@@ -1,0 +1,8 @@
+"""Operator surface (SURVEY.md §2.2). Importing this package registers
+every named query + oracle into spark_ibm_mq_spark.registry."""
+
+from spark_ibm_mq_spark.operators import (  # noqa: F401
+    flagship,
+)
+
+_ALL_MODULES = ["flagship"]
