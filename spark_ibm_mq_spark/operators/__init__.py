@@ -2,7 +2,21 @@
 every named query + oracle into spark_ibm_mq_spark.registry."""
 
 from spark_ibm_mq_spark.operators import (  # noqa: F401
+    aggregations,
     flagship,
+    joins,
+    mq_envelope,
+    projections,
+    sorts_sets,
+    windows,
 )
 
-_ALL_MODULES = ["flagship"]
+_ALL_MODULES = [
+    "aggregations",
+    "flagship",
+    "joins",
+    "mq_envelope",
+    "projections",
+    "sorts_sets",
+    "windows",
+]

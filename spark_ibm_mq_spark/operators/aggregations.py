@@ -1,0 +1,229 @@
+"""Aggregation operators (SURVEY.md §2.2 "Aggregations").
+
+The reference's running telemetry counters (IBMMQReceiver.java:91-93,246) are
+the degenerate form; these are the full grouped-aggregation surface.
+
+Scale notes: every groupBy here compiles to partial (map-side) + final
+HashAggregate, so the shuffle moves pre-aggregated groups, not raw rows.
+Group keys are low-cardinality (flags, months, nations) except the per-user /
+per-customer aggregates, which shuffle on a uniform key — both fine at 100 TB
+with AQE coalescing. approx_* sketches are the scale path when exact
+distincts would blow memory.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
+from spark_ibm_mq_spark.registry import register
+from spark_ibm_mq_spark.tables import load_table
+
+
+@register(
+    "agg_monthly_orders",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           count(*)                             AS n_orders,
+           count(DISTINCT o_custkey)            AS n_custs,
+           round(sum(o_totalprice), 4)          AS total,
+           round(min(o_totalprice), 4)          AS lo,
+           round(max(o_totalprice), 4)          AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count / count(distinct) / sum / min / max per month."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)                 AS qty_std,
+           round(var_samp(l_quantity), 4)                    AS qty_var,
+           round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/covar (sample semantics
+    in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_std"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_linestatus,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS price_p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4)  AS price_p90,
+           round(median(l_extendedprice), 4)              AS price_median
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + median. Scale note: at 100 TB swap
+    `percentile` for `percentile_approx` (single-pass sketch, no sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("price_p50"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("price_p90"),
+        F.round(F.median("l_extendedprice"), 4).alias("price_median"),
+    )
+
+
+@register(
+    "agg_rollup_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag)  AS g_flag,
+           grouping(l_linestatus)  AS g_status,
+           count(*)                AS n,
+           round(sum(l_quantity), 4) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping() markers (subtotals + grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("qty"),
+        )
+    )
+
+
+@register(
+    "agg_cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                    AS n,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@register(
+    "agg_latest_order_per_cust",
+    oracle="""
+    SELECT o_custkey,
+           max_by(o_orderkey, epoch_ms(o_orderdate) * 100000 + o_orderkey) AS latest_order,
+           min_by(o_orderkey, epoch_ms(o_orderdate) * 100000 + o_orderkey) AS first_order,
+           round(max(o_totalprice), 4) AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_latest_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest/first row per group via max_by/min_by with a unique composite
+    ordinal (ts-millis ⊕ key) — deterministic where bare first()/last() is
+    not. This is the replication 'latest row wins' aggregate (README.md:59)."""
+    o = load_table(spark, sf_dir, "orders")
+    ordinal = (
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")) * 100000 + F.col("o_orderkey")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordinal).alias("latest_order"),
+        F.min_by("o_orderkey", ordinal).alias("first_order"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+@register(
+    "agg_collect_event_types",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types_seen,
+           count(*)                             AS n_events,
+           round(sum(value), 4)                 AS total_value
+    FROM ev
+    GROUP BY user_id
+    """,
+)
+def agg_collect_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted array per group (re-assembling grouped messages,
+    cf. MQ seqNo grouping IBMMQReceiver.java:251)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@register(
+    "agg_pivot_event_types",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT user_id % 10 AS cohort,
+           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+    FROM ev
+    GROUP BY 1
+    """,
+)
+def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an explicit value list — explicit values avoid
+    the extra distinct-scan pass Spark needs to discover pivot columns."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot yields NULL for empty cells; FILTER-count yields 0 — normalize.
+    return pivoted.select(
+        "cohort", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@register("agg_approx_distinct")  # no oracle: HLL sketch is engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count — the
+    100 TB scale path for distinct cardinality (rows-only driver check; the
+    sketch estimate is engine-specific so no DuckDB value parity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

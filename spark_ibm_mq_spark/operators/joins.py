@@ -1,0 +1,243 @@
+"""Join operators (SURVEY.md §2.2 "Joins").
+
+The reference enriches its MQ stream against reference tables downstream in
+vanilla Spark (README.md:59-69 replication use case); these are the batch
+join shapes that consumption layer needs.
+
+Scale notes: dimension sides (region/nation/supplier, literal band tables)
+are explicitly `broadcast()` — at 100 TB the fact side never shuffles for
+those joins. Fact-fact joins (lineitem⋈orders) shuffle on the join key and
+rely on AQE for skew splitting. The non-equi band join broadcasts the tiny
+side so it's a BroadcastNestedLoopJoin, the only sane plan for theta joins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
+from spark_ibm_mq_spark.registry import register
+from spark_ibm_mq_spark.tables import load_table
+
+
+@register(
+    "join_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiway inner equi-join (TPC-H Q5 shape): fact-fact shuffle join +
+    broadcast dims. Catalyst reorders; we pin broadcasts explicitly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_left_order_counts",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving zero-order customers (TPC-H Q13 shape);
+    count(o_orderkey) skips nulls in both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "join_semi_purchasers",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM ev
+                  WHERE ev.user_id = c_custkey AND ev.event_type = 'purchase')
+    """,
+)
+def join_semi_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 purchase event (existence check,
+    no duplication of the left side)."""
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return c.join(
+        ev, c.c_custkey == ev.user_id, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_anti_inactive",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.user_id = c_custkey)
+    """,
+)
+def join_anti_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no events (dedup-against-seen shape,
+    §2.2 Joins)."""
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    return c.join(
+        ev, c.c_custkey == ev.user_id, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_price_bands",
+    oracle="""
+    SELECT band, count(*) AS n, round(sum(l_extendedprice), 4) AS total
+    FROM lineitem
+    JOIN (VALUES ('low', 0.0, 20000.0),
+                 ('mid', 20000.0, 60000.0),
+                 ('high', 60000.0, 1000000000.0)) AS b(band, lo, hi)
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    """,
+)
+def join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (range) join against a tiny literal dimension — broadcast
+    nested-loop, the only viable non-equi strategy at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = F.broadcast(
+        spark.createDataFrame(
+            [("low", 0.0, 20000.0), ("mid", 20000.0, 60000.0), ("high", 60000.0, 1e9)],
+            "band string, lo double, hi double",
+        )
+    )
+    return (
+        li.join(bands, (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 4).alias("total"))
+    )
+
+
+@register(
+    "join_cross_flags",
+    oracle="""
+    SELECT r_name, l_returnflag
+    FROM region CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem) f
+    """,
+)
+def join_cross_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (explicit cartesian of two tiny inputs)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    flags = load_table(spark, sf_dir, "lineitem").select("l_returnflag").distinct()
+    return r.crossJoin(flags)
+
+
+@register(
+    "join_asof_click_before_purchase",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT p_id, user_id, c_id, gap_s FROM (
+        SELECT p.event_id AS p_id, p.user_id AS user_id, c.event_id AS c_id,
+               round((epoch_ms(p.ts) - epoch_ms(c.ts)) / 1000.0, 4) AS gap_s,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest click ≤ each purchase per user — the reference's
+    replication 'latest row wins' pattern (README.md:59) as join + window.
+    Scale note: the range-join + row_number formulation shuffles once on
+    user_id; for highly-skewed users, pre-bucket both sides on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    w = Window.partitionBy("p_id").orderBy(F.col("c_ts").desc(), F.col("c_id").desc())
+    return (
+        p.join(c, (p.user_id == c.c_user) & (c.c_ts <= p.p_ts))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_id",
+            "user_id",
+            "c_id",
+            F.round(
+                (F.unix_millis(F.col("p_ts").cast("timestamp"))
+                 - F.unix_millis(F.col("c_ts").cast("timestamp"))) / 1000.0,
+                4,
+            ).alias("gap_s"),
+        )
+    )
+
+
+@register(
+    "join_full_outer_nation_presence",
+    oracle="""
+    SELECT coalesce(cc.nationkey, ss.nationkey) AS nationkey, c_cnt, s_cnt
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS c_cnt
+          FROM customer GROUP BY 1) cc
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, count(*) AS s_cnt
+          FROM supplier GROUP BY 1) ss
+    ON cc.nationkey = ss.nationkey
+    """,
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: customer vs supplier presence per nation, nulls kept
+    on unmatched sides."""
+    cc = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    ss = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
+    )
+    return (
+        cc.join(ss, "nationkey", "full_outer")
+        .select("nationkey", "c_cnt", "s_cnt")
+    )

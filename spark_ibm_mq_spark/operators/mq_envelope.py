@@ -1,0 +1,205 @@
+"""MQ envelope semantics as batch operators (SURVEY.md §7 M2).
+
+The reference turns every MQ message into the JSON envelope
+``[{"key": "<putMillis>_<seqNo>"}, {"value": "<body>"}]``
+(IBMMQReceiver.java:256-264) with a monotone unique key
+(putDateTime→millis at :250, seqNo at :251, collision repair at :252-254).
+These queries re-express that record model — build, decompose, repair,
+ordered replay, latest-wins, gap detection — over the `events` fixture,
+which stands in for the message stream (TESTDATA.md).
+
+Scale notes: key synthesis is embarrassingly parallel (no shuffle). The
+collision repair and replay operators shuffle once on their window key; the
+reference instead bought global order with a single receiver (README.md:60-65)
+— here total order is demanded only at the final sort, and per-key order is
+the default contract.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
+from spark_ibm_mq_spark.registry import register
+from spark_ibm_mq_spark.tables import load_table
+
+
+def with_envelope(ev: DataFrame) -> DataFrame:
+    """Add the reference's record model to an events frame: put_ts, seq_no,
+    and the string key `<putMillis>_<seqNo>` (IBMMQReceiver.java:259)."""
+    put_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return ev.select(
+        F.concat(put_ms.cast("string"), F.lit("_"), F.col("event_id").cast("string")).alias("key"),
+        F.col("props").alias("value"),
+        F.col("ts").alias("put_ts"),
+        F.col("event_id").alias("seq_no"),
+        "user_id",
+        "event_type",
+    )
+
+
+@register(
+    "mq_envelope_build",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT concat(CAST(epoch_ms(ts) AS VARCHAR), '_', CAST(event_id AS VARCHAR)) AS key,
+           props AS value
+    FROM ev
+    """,
+)
+def mq_envelope_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4/R5 envelope projection: (key = putMillis_seqNo, value = body)."""
+    ev = load_table(spark, sf_dir, "events")
+    return with_envelope(ev).select("key", "value")
+
+
+@register(
+    "mq_key_decompose",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT key,
+           CAST(string_split(key, '_')[1] AS BIGINT) AS put_ms,
+           CAST(string_split(key, '_')[2] AS BIGINT) AS seq_no,
+           make_timestamp(CAST(string_split(key, '_')[1] AS BIGINT) * 1000) AS put_ts_ms
+    FROM (SELECT concat(CAST(epoch_ms(ts) AS VARCHAR), '_', CAST(event_id AS VARCHAR)) AS key
+          FROM ev)
+    """,
+)
+def mq_key_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse of the envelope: key → (put_ms, seq_no, put_ts) — the consumer
+    ordering contract (README.md:59: keys order/dedup replicated rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    env = with_envelope(ev).select("key")
+    parts = F.split("key", "_")
+    put_ms = F.element_at(parts, 1).cast("bigint")
+    return env.select(
+        "key",
+        put_ms.alias("put_ms"),
+        F.element_at(parts, 2).cast("bigint").alias("seq_no"),
+        F.timestamp_millis(put_ms).cast("timestamp_ntz").alias("put_ts_ms"),
+    )
+
+
+@register(
+    "mq_seq_repair",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT event_id,
+           put_ms,
+           seq_no,
+           concat(CAST(put_ms AS VARCHAR), '_', CAST(seq_no AS VARCHAR)) AS key
+    FROM (
+        SELECT event_id,
+               epoch_ms(date_trunc('second', ts)) AS put_ms,
+               row_number() OVER (PARTITION BY date_trunc('second', ts)
+                                  ORDER BY event_id) AS seq_no
+        FROM ev
+    )
+    """,
+)
+def mq_seq_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 sequence-collision repair, batch form: messages sharing a put
+    timestamp get synthesized monotone seq numbers — exactly
+    `if (lastTs == putMs && seqNo == 1) seqNo = lastSeqNo + 1`
+    (IBMMQReceiver.java:252-254) as `row_number() OVER (PARTITION BY put_ts)`.
+    Second-granularity trunc manufactures the collisions the reference guards
+    against."""
+    ev = load_table(spark, sf_dir, "events")
+    put_s = F.date_trunc("second", "ts")
+    w = Window.partitionBy(put_s).orderBy("event_id")
+    put_ms = F.unix_millis(put_s.cast("timestamp"))
+    return ev.select(
+        "event_id",
+        put_ms.alias("put_ms"),
+        F.row_number().over(w).alias("seq_no"),
+    ).withColumn(
+        "key",
+        F.concat(F.col("put_ms").cast("string"), F.lit("_"), F.col("seq_no").cast("string")),
+    )
+
+
+@register(
+    "mq_ordered_replay",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT concat(CAST(epoch_ms(ts) AS VARCHAR), '_', CAST(event_id AS VARCHAR)) AS key,
+           props AS value,
+           event_type
+    FROM ev
+    ORDER BY ts, event_id
+    LIMIT 100
+    """,
+)
+def mq_ordered_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered replay: ORDER BY (put_ts, seq_no) — the total order the
+    reference guarantees with its monotone key (IBMMQReceiver.java:259,
+    README.md:59-69). LIMIT makes it TakeOrderedAndProject, not a full sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        with_envelope(ev)
+        .orderBy("put_ts", "seq_no")
+        .select("key", "value", "event_type")
+        .limit(100)
+    )
+
+
+@register(
+    "mq_latest_wins",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT user_id, event_type, value AS latest_value, event_id AS latest_seq FROM (
+        SELECT user_id, event_type, value, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev
+    ) WHERE rn = 1
+    """,
+)
+def mq_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication latest-row-wins: newest record per replication key —
+    the DB2QREP consumption pattern the reference targets (README.md:59)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("value").alias("latest_value"),
+            F.col("event_id").alias("latest_seq"),
+        )
+    )
+
+
+@register(
+    "mq_gap_detect",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT user_id, event_id, prev_id, gap FROM (
+        SELECT user_id, event_id,
+               lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+               event_id - lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM ev
+    ) WHERE gap >= 500
+    """,
+)
+def mq_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection via lag() — generalizes the reference's
+    lastSeqNo bookkeeping (IBMMQReceiver.java:266-267) into a loss monitor
+    (its telemetry prints received-vs-committed for the same purpose,
+    IBMMQReceiver.java:481-522)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.lag("event_id").over(w).alias("prev_id"),
+            (F.col("event_id") - F.lag("event_id").over(w)).alias("gap"),
+        )
+        .filter(F.col("gap") >= 500)
+    )

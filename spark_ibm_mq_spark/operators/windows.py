@@ -1,0 +1,178 @@
+"""Window-function operators (SURVEY.md §2.2 "Window functions").
+
+The reference's seq-collision repair (IBMMQReceiver.java:252-254) is a
+row_number in disguise and its lastTs/lastSeqNo state (266-267) is a lag();
+these queries are that machinery as declarative windows.
+
+Scale notes: a window shuffles once on its partition key and sorts within
+partitions. Keys here (priority, user, brand) are well-distributed; for a
+skewed key the fix is salting or pre-aggregation, never a global sort. All
+orderings carry a unique tie-break column so results are deterministic and
+replayable (the same property the reference buys with its monotone key).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
+from spark_ibm_mq_spark.registry import register
+from spark_ibm_mq_spark.tables import load_table
+
+
+@register(
+    "win_rank_orders",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_orderkey, o_orderpriority,
+               round(o_totalprice, 4) AS price,
+               rank()       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+               dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               ntile(4)     OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+        FROM orders
+    ) WHERE rnk <= 5
+    """,
+)
+def win_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number/ntile; row_number+ntile get a unique
+    tie-break, rank family is tie-stable by value."""
+    o = load_table(spark, sf_dir, "orders")
+    by_price = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    tiebreak = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 4).alias("price"),
+            F.rank().over(by_price).alias("rnk"),
+            F.dense_rank().over(by_price).alias("drnk"),
+            F.row_number().over(tiebreak).alias("rn"),
+            F.ntile(4).over(tiebreak).alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "win_lag_lead_events",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT event_id, user_id,
+           round((epoch_ms(ts) - epoch_ms(lag(ts) OVER w)) / 1000.0, 4) AS gap_s,
+           lead(event_type) OVER w AS next_type
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event time — the reference's lastTs/lastSeqNo
+    carry-over state (IBMMQReceiver.java:216-217,266-267) as a window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev_ms = F.unix_millis(F.lag("ts").over(w).cast("timestamp"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round((ms - prev_ms) / 1000.0, 4).alias("gap_s"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "win_running_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+           count(*) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)     AS running_n,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)         AS moving_avg3
+    FROM orders
+    """,
+)
+def win_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates with explicit row frames (cumulative + 3-row
+    moving average) — the reference's cumulative telemetry counters
+    (IBMMQReceiver.java:246) declaratively."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(cum), 4).alias("running_total"),
+        F.count(F.lit(1)).over(cum).alias("running_n"),
+        F.round(F.avg("o_totalprice").over(mov), 4).alias("moving_avg3"),
+    )
+
+
+@register(
+    "win_dedup_latest_event",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev
+    ) WHERE rn = 1
+    """,
+)
+def win_dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup (row_number DESC = 1) — the core
+    replication-consumer operation the reference's ordered key enables
+    (README.md:59)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@register(
+    "win_top3_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, round(revenue, 4) AS revenue FROM (
+        SELECT p_brand, p_partkey, revenue,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY revenue DESC, p_partkey) AS rn
+        FROM (
+            SELECT p_brand, p_partkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, p_partkey
+        ) rev
+    ) ranked WHERE rn <= 3
+    """,
+)
+def win_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: aggregate first (shrinks input), then window rank —
+    never a global sort. At 100 TB the pre-aggregation makes the window
+    input |brands|×|parts|, not |lineitem|."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", F.round("revenue", 4).alias("revenue"))
+    )

@@ -18,6 +18,9 @@ from pyspark.sql import SparkSession
 # for the pandas-UDF paths.
 _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark can't read natively;
+    # read as long and convert via exact integer division (tables.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
