@@ -6,6 +6,7 @@ from spark_ibm_mq_spark.operators import (  # noqa: F401
     flagship,
     joins,
     mq_envelope,
+    mq_source,
     projections,
     sorts_sets,
     windows,
@@ -16,6 +17,7 @@ _ALL_MODULES = [
     "flagship",
     "joins",
     "mq_envelope",
+    "mq_source",
     "projections",
     "sorts_sets",
     "windows",

@@ -1,0 +1,117 @@
+"""Driver-checkable queries over the `ibmmq` DataSource (SURVEY.md §7 M3).
+
+A fake broker queue is materialized deterministically from the `events`
+fixture (arrival order = (ts, event_id), put_ms = epoch_ms(ts),
+seq_no = event_id, body = props), so both the batch reader and the
+streaming reader produce rows that a plain SQL oracle over `events` can
+reproduce — full value parity for the custom source, not just rows-only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
+from spark_ibm_mq_spark.registry import register
+from spark_ibm_mq_spark.sources import FakeMQBroker, register_ibmmq
+
+_QUEUE = "EVENTS.Q"
+
+_DRAIN_ORACLE = f"""
+    {EVENTS_CTE}
+    SELECT concat(CAST(epoch_ms(ts) AS VARCHAR), '_', CAST(event_id AS VARCHAR)) AS key,
+           props                                AS value,
+           make_timestamp(epoch_ms(ts) * 1000)  AS put_ts,
+           event_id                             AS seq_no,
+           '{_QUEUE}'                           AS queue
+    FROM ev
+"""
+
+
+def _broker_dir_for(sf_dir: str) -> str:
+    """Materialize (once per sf_dir) a fake-broker queue mirroring `events`.
+
+    DuckDB does the export — no Spark job needed to build the fixture, and
+    the line order (ts, event_id) is deterministic."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"ibmmq_fake_broker_{tag}")
+    marker = os.path.join(d, ".complete")
+    if os.path.exists(marker):
+        return d
+    import duckdb
+
+    os.makedirs(d, exist_ok=True)
+    qfile = os.path.join(d, f"{_QUEUE}.jsonl")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT epoch_ms(CAST(ts AS TIMESTAMP)), event_id, props
+            FROM read_parquet('{sf_dir}/events.parquet')
+            ORDER BY ts, event_id"""
+    ).fetchall()
+    con.close()
+    tmp = qfile + ".tmp"
+    import json
+
+    with open(tmp, "w", encoding="utf-8") as f:
+        for put_ms, seq_no, body in rows:
+            f.write(json.dumps({"put_ms": int(put_ms), "seq_no": int(seq_no), "body": body}) + "\n")
+    os.replace(tmp, qfile)
+    open(marker, "w").close()
+    return d
+
+
+@register("mq_source_batch_drain", oracle=_DRAIN_ORACLE)
+def mq_source_batch_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch browse snapshot through spark.read.format("ibmmq") — the R3
+    cursor scan (IBMMQReceiver.java:203-205) as a bounded relation, value-
+    checked against SQL over the same events."""
+    d = _broker_dir_for(sf_dir)
+    register_ibmmq(spark)
+    return (
+        spark.read.format("ibmmq")
+        .option("path", d)
+        .option("queue", _QUEUE)
+        .load()
+    )
+
+
+@register("mq_source_stream_drain", oracle=_DRAIN_ORACLE)
+def mq_source_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming path: readStream.format("ibmmq") in browse mode, drained
+    with Trigger.AvailableNow into a parquet sink, then read back — proves
+    the R1-R8 micro-batch loop end-to-end with full value parity.
+
+    Browse mode keeps the shared fixture queue intact (non-destructive,
+    IBMMQReceiver.java:131-134); checkpoint/sink dirs are fresh per call."""
+    d = _broker_dir_for(sf_dir)
+    register_ibmmq(spark)
+    work = tempfile.mkdtemp(prefix="ibmmq_stream_drain_")
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    total = FakeMQBroker(d, _QUEUE).depth()
+    reader = (
+        spark.readStream.format("ibmmq")
+        .option("path", d)
+        .option("queue", _QUEUE)
+        .option("keepMessages", "true")
+        .option("maxMessagesPerBatch", str(max(total, 1)))
+    )
+    # availableNow processes the one prefetched batch per run; loop restarts
+    # from the checkpoint until the cursor has covered the queue.
+    for _ in range(8):
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        done = spark.read.parquet(out).count() >= total
+        if done:
+            break
+    return spark.read.parquet(out)

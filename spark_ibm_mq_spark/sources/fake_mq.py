@@ -1,0 +1,149 @@
+"""File-backed fake IBM MQ broker.
+
+Stands in for a queue manager so the `ibmmq` DataSource is testable without
+a broker (SURVEY.md §5.2: "an in-memory queue stub implementing
+get/browse/commit/backout"). File-backed rather than in-memory because the
+DataSource reader runs in a separate Python worker process — state must
+survive the process boundary.
+
+Layout under a broker directory (one broker == one queue manager):
+
+    <dir>/<queue>.jsonl    messages, one JSON object per line:
+                           {"put_ms": <epoch millis>, "seq_no": <int>,
+                            "body": <str>} or {"body_b64": <base64 bytes>}
+                           (body_b64 exercises the CCSID/encoding path,
+                            IBMMQReceiver.java:242-244)
+    <dir>/<queue>.ack      int: messages destructively consumed (committed)
+                           — the MQ-side effect of qmgr.commit()
+                           (IBMMQReceiver.java:357-360)
+    <dir>/<queue>.inhibit  exists → MQQA_GET_INHIBITED
+                           (IBMMQReceiver.java:232-235,428)
+    <dir>/<queue>.fail     exists → simulate a broken connection: reads
+                           raise until the file is removed
+                           (reconnect path, IBMMQReceiver.java:154-198)
+
+Semantics:
+- *browse* (keepMessages=true) reads never move `.ack`; a browse cursor is
+  just a line position (MQOO_BROWSE / BROWSE_FIRST→NEXT,
+  IBMMQReceiver.java:131-134,203-205).
+- *destructive get* under syncpoint = read lines, then `ack(n)` on commit;
+  crash before ack ⇒ the same lines are re-read (at-least-once, matching
+  store→commit ordering, IBMMQReceiver.java:349-393).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+from collections.abc import Iterable
+
+
+class FakeMQBroker:
+    def __init__(self, path: str, queue: str = "DEV.QUEUE.1") -> None:
+        self.path = path
+        self.queue = queue
+        os.makedirs(path, exist_ok=True)
+
+    # ---- file paths ----
+    def _f(self, suffix: str) -> str:
+        return os.path.join(self.path, f"{self.queue}.{suffix}")
+
+    # ---- producer side ----
+    def put(self, put_ms: int, seq_no: int, body: str | bytes) -> None:
+        rec: dict = {"put_ms": int(put_ms), "seq_no": int(seq_no)}
+        if isinstance(body, bytes):
+            rec["body_b64"] = base64.b64encode(body).decode("ascii")
+        else:
+            rec["body"] = body
+        with open(self._f("jsonl"), "a", encoding="utf-8") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def put_all(self, messages: Iterable[tuple[int, int, str | bytes]]) -> None:
+        with open(self._f("jsonl"), "a", encoding="utf-8") as f:
+            for put_ms, seq_no, body in messages:
+                rec: dict = {"put_ms": int(put_ms), "seq_no": int(seq_no)}
+                if isinstance(body, bytes):
+                    rec["body_b64"] = base64.b64encode(body).decode("ascii")
+                else:
+                    rec["body"] = body
+                f.write(json.dumps(rec) + "\n")
+
+    # ---- consumer side ----
+    def messages(self, from_pos: int, limit: int | None = None) -> list[dict]:
+        """Browse from an absolute queue position (line number). Destructive
+        consumers pass from_pos >= acked()."""
+        if self.connection_broken():
+            raise ConnectionError(f"fake MQ: connection to {self.queue} is down")
+        out: list[dict] = []
+        qfile = self._f("jsonl")
+        if not os.path.exists(qfile):
+            return out
+        with open(qfile, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                if i < from_pos:
+                    continue
+                if limit is not None and len(out) >= limit:
+                    break
+                out.append(json.loads(line))
+        return out
+
+    @staticmethod
+    def decode_body(rec: dict, encoding: str = "utf-8") -> str:
+        if "body_b64" in rec:
+            return base64.b64decode(rec["body_b64"]).decode(encoding)
+        return rec["body"]
+
+    def ack(self, upto_pos: int) -> None:
+        """Destructively consume messages below upto_pos (monotone)."""
+        cur = self.acked()
+        if upto_pos > cur:
+            tmp = self._f("ack.tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(str(int(upto_pos)))
+            os.replace(tmp, self._f("ack"))
+
+    def acked(self) -> int:
+        try:
+            with open(self._f("ack"), encoding="utf-8") as f:
+                return int(f.read().strip() or 0)
+        except FileNotFoundError:
+            return 0
+
+    # ---- queue state ----
+    def depth(self) -> int:
+        """Current queue depth (total puts − destructive consumes)."""
+        qfile = self._f("jsonl")
+        if not os.path.exists(qfile):
+            return 0
+        with open(qfile, encoding="utf-8") as f:
+            total = sum(1 for _ in f)
+        return total - self.acked()
+
+    def get_inhibited(self) -> bool:
+        return os.path.exists(self._f("inhibit"))
+
+    def set_inhibited(self, flag: bool) -> None:
+        if flag:
+            open(self._f("inhibit"), "w").close()
+        elif os.path.exists(self._f("inhibit")):
+            os.remove(self._f("inhibit"))
+
+    def connection_broken(self) -> bool:
+        return os.path.exists(self._f("fail"))
+
+    def set_connection_broken(self, flag: bool) -> None:
+        if flag:
+            open(self._f("fail"), "w").close()
+        elif os.path.exists(self._f("fail")):
+            os.remove(self._f("fail"))
+
+    # ---- telemetry (reference R14, IBMMQReceiver.java:481-522) ----
+    def stats(self) -> dict:
+        return {
+            "queue": self.queue,
+            "depth": self.depth(),
+            "acked": self.acked(),
+            "get_inhibited": self.get_inhibited(),
+            "connection_broken": self.connection_broken(),
+        }

@@ -1,0 +1,234 @@
+"""The `ibmmq` DataSource (PySpark Python Data Source API, Spark ≥ 4).
+
+A Structured-Streaming-native replacement for the reference's DStream
+``Receiver<String>`` (IBMMQReceiver.java) with the same ordering, delivery,
+and flow-control semantics:
+
+- browse vs destructive consumption  (IBMMQReceiver.java:131-136,203-211)
+- key = `<putMillis>_<seqNo>` with sequence-collision repair
+  (IBMMQReceiver.java:250-254,259)
+- commit-after-durable: Spark persists the offset, then `commit(end)` acks
+  MQ — the store()→qmgr.commit() ordering of IBMMQReceiver.java:349-393,
+  with the checkpoint offset log replacing the receiver WAL (README.md:71-75)
+- halt-file kill-switch (IBMMQReceiver.java:457-479) and GET-inhibited
+  respect (IBMMQReceiver.java:232-235) → empty micro-batches
+- maxMessagesPerBatch — an *honored* rate cap (the reference parses
+  mqRateLimit but never uses it, IBMMQReceiver.java:120-124; actual limiting
+  was delegated to spark.streaming.receiver.maxRate, README.md:62)
+- reconnect with configurable backoff (reference hardcodes 600 s,
+  IBMMQReceiver.java:193-198)
+- CCSID/encoding decode of the message body (IBMMQReceiver.java:242-244)
+
+Unlike the reference, the source emits TYPED columns
+(key, value, put_ts, seq_no, queue) instead of a stringly JSON envelope —
+the envelope projection is a `select`, not a parse (SURVEY.md §1.2).
+
+Scale / ordering: one reader instance per queue, mirroring the reference's
+one-receiver-per-queue ordering contract (README.md:60-65). The
+SimpleDataSourceStreamReader runs driver-side — correct for a serial
+protocol like MQ; parallelism comes from unioning per-queue streams, and
+everything downstream of the source is fully distributed.
+
+Deterministic replay: the synthesized-seq state (last_ms, last_seq) is part
+of the offset JSON, so a replayed batch mints identical keys (SURVEY.md §7
+"hard parts" — this is what keeps exactly-once dedup sound across restarts).
+
+`provider=fake` (default) uses the file-backed FakeMQBroker; a real
+`pymqi`-backed client would plug in behind the same handful of calls
+(messages/ack/depth/inhibited), import-gated since no broker exists here.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+from spark_ibm_mq_spark.sources.fake_mq import FakeMQBroker
+
+SCHEMA = "key string, value string, put_ts timestamp_ntz, seq_no bigint, queue string"
+
+
+def repair_seq(put_ms: int, raw_seq: int, last_ms: int, last_seq: int) -> int:
+    """The reference's sequence-collision rule (IBMMQReceiver.java:252-254):
+    consecutive messages sharing a put timestamp where the incoming MQ seqNo
+    reset to 1 (non-grouped messages always report 1) get a synthesized
+    monotone seq = lastSeqNo + 1, keeping keys unique and ordered."""
+    if last_ms == put_ms and raw_seq == 1:
+        return last_seq + 1
+    return raw_seq
+
+
+def _rows_from_messages(
+    msgs: list[dict], queue: str, encoding: str, last_ms: int, last_seq: int
+) -> tuple[list[tuple], int, int]:
+    rows: list[tuple] = []
+    for rec in msgs:
+        put_ms = int(rec["put_ms"])
+        seq = repair_seq(put_ms, int(rec["seq_no"]), last_ms, last_seq)
+        body = FakeMQBroker.decode_body(rec, encoding)
+        put_ts = datetime.fromtimestamp(put_ms / 1000.0, tz=timezone.utc).replace(tzinfo=None)
+        rows.append((f"{put_ms}_{seq}", body, put_ts, seq, queue))
+        last_ms, last_seq = put_ms, seq
+    return rows, last_ms, last_seq
+
+
+class _Options:
+    def __init__(self, options: dict) -> None:
+        get = options.get
+        self.path: str = get("path") or ""
+        if not self.path:
+            raise ValueError("ibmmq source requires option 'path' (broker directory)")
+        self.queue: str = get("queue", "DEV.QUEUE.1")
+        # browse (non-destructive) vs destructive GET — IBMMQReceiver.java:131-136
+        self.keep_messages: bool = str(get("keepmessages", "true")).lower() == "true"
+        self.max_per_batch: int = int(get("maxmessagesperbatch", "5000"))
+        self.halt_file: str | None = get("haltfile")
+        self.encoding: str = get("encoding", "utf-8")
+        self.reconnect_wait_s: float = float(get("reconnectwaitms", "100")) / 1000.0
+        self.max_reconnects: int = int(get("maxreconnects", "3"))
+
+    def broker(self) -> FakeMQBroker:
+        return FakeMQBroker(self.path, self.queue)
+
+
+def _fetch_with_reconnect(opts: _Options, broker: FakeMQBroker, from_pos: int, limit: int):
+    """R12: on broken connection, back off and retry before surfacing the
+    error to Spark (which then restarts the micro-batch from the checkpoint,
+    the R13 path)."""
+    attempts = 0
+    while True:
+        try:
+            return broker.messages(from_pos, limit)
+        except ConnectionError:
+            attempts += 1
+            if attempts > opts.max_reconnects:
+                raise
+            time.sleep(opts.reconnect_wait_s)
+
+
+class MQBatchReader(DataSourceReader):
+    """Batch path: a browse snapshot of the queue (drain-without-consume),
+    the R3 cursor scan as a bounded relation. Single partition — the queue
+    protocol is serial; downstream ops repartition as needed."""
+
+    def __init__(self, options: dict) -> None:
+        self.opts = _Options(options)
+
+    def partitions(self):
+        return [InputPartition(0)]
+
+    def read(self, partition):
+        opts = self.opts
+        broker = opts.broker()
+        start = broker.acked()
+        msgs = _fetch_with_reconnect(opts, broker, start, None)
+        rows, _, _ = _rows_from_messages(msgs, opts.queue, opts.encoding, 0, 0)
+        yield from rows
+
+
+class MQSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming path. Offset JSON carries (pos, last_ms, last_seq): queue
+    position plus the collision-repair state, so read/replay are bit-identical
+    (deterministic keys across restarts)."""
+
+    def __init__(self, options: dict) -> None:
+        self.opts = _Options(options)
+
+    def initialOffset(self) -> dict:
+        start = self.opts.broker().acked() if not self.opts.keep_messages else 0
+        return {"pos": start, "last_ms": 0, "last_seq": 0}
+
+    def _paused(self, broker: FakeMQBroker) -> bool:
+        # R9 halt file + R10 GET-inhibited ⇒ produce empty batches
+        if self.opts.halt_file and os.path.exists(self.opts.halt_file):
+            return True
+        return broker.get_inhibited()
+
+    def read(self, start: dict) -> tuple:
+        opts = self.opts
+        broker = opts.broker()
+        if self._paused(broker):
+            return iter([]), dict(start)
+        msgs = _fetch_with_reconnect(opts, broker, start["pos"], opts.max_per_batch)
+        rows, last_ms, last_seq = _rows_from_messages(
+            msgs, opts.queue, opts.encoding, start["last_ms"], start["last_seq"]
+        )
+        end = {"pos": start["pos"] + len(rows), "last_ms": last_ms, "last_seq": last_seq}
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        opts = self.opts
+        broker = opts.broker()
+        n = end["pos"] - start["pos"]
+        if n <= 0:
+            return iter([])
+        msgs = _fetch_with_reconnect(opts, broker, start["pos"], n)
+        rows, _, _ = _rows_from_messages(
+            msgs, opts.queue, opts.encoding, start["last_ms"], start["last_seq"]
+        )
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        # Commit-after-durable (R7): Spark has persisted `end` to the offset
+        # log before calling this; acking MQ now means a crash in between
+        # redelivers (at-least-once), never loses. Browse mode never acks.
+        if not self.opts.keep_messages:
+            self.opts.broker().ack(end["pos"])
+
+
+class IBMMQDataSource(DataSource):
+    """spark.read[Stream].format("ibmmq") — see module docstring for the
+    option surface (mirrors the reference ctor args IBMMQReceiver.java:101-102)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ibmmq"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> MQBatchReader:
+        return MQBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> MQSimpleStreamReader:
+        return MQSimpleStreamReader(self.options)
+
+
+_REGISTERED_SESSIONS: set[int] = set()
+
+
+def register_ibmmq(spark) -> None:
+    """Register the source and ship the package to worker Python processes.
+
+    The DataSource class is pickled by reference, so the Python workers
+    (driver-side planner for the stream reader, executors for the batch
+    reader) must be able to import spark_ibm_mq_spark — addPyFile'ing a
+    package zip is the standard way to guarantee that for an externally
+    created session (e.g. the correctness driver's)."""
+    key = id(spark)
+    if key in _REGISTERED_SESSIONS:
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join("/tmp", "spark_ibm_mq_spark_pkg.zip")
+    tmp = zip_path + ".tmp"
+    with zipfile.ZipFile(tmp, "w") as zf:  # rebuilt each time: must track code
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    spark.dataSource.register(IBMMQDataSource)
+    _REGISTERED_SESSIONS.add(key)

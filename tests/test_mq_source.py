@@ -1,0 +1,227 @@
+"""Source-semantics tests for the `ibmmq` DataSource against the fake broker
+(SURVEY.md §5.2 item 3): key synthesis + collision repair, browse vs
+destructive delivery, ack lag, flow control (halt/inhibit), batch cap,
+encoding, reconnect backoff, and deterministic replay."""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_ibm_mq_spark.sources import FakeMQBroker, register_ibmmq
+from spark_ibm_mq_spark.sources.mq import _fetch_with_reconnect, _Options, repair_seq
+
+
+@pytest.fixture()
+def broker(tmp_path):
+    return FakeMQBroker(str(tmp_path), "Q.TEST")
+
+
+def _reader(spark, broker, **opts):
+    r = (
+        spark.readStream.format("ibmmq")
+        .option("path", broker.path)
+        .option("queue", broker.queue)
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r
+
+
+# ---------------------------------------------------------------- key synthesis
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=50), st.integers(min_value=1, max_value=3)),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_keys_unique_and_monotone_under_collisions(stream):
+    """Property (reference invariant, IBMMQReceiver.java:252-254): for any
+    non-decreasing put-time stream where non-grouped messages report seq 1,
+    synthesized (put_ms, seq) pairs are strictly increasing → keys unique."""
+    # put times must be non-decreasing like a real queue's put order
+    ts_sorted = sorted(ms for ms, _ in stream)
+    seqs = [s for _, s in stream]
+    last_ms, last_seq = 0, 0
+    produced = []
+    for put_ms, raw_seq in zip(ts_sorted, seqs):
+        seq = repair_seq(put_ms, raw_seq, last_ms, last_seq)
+        produced.append((put_ms, seq))
+        last_ms, last_seq = put_ms, seq
+    # collisions only repaired for the always-1 (non-grouped) case, which is
+    # the reference's guarantee; filter to that case for strict monotonicity
+    non_grouped = all(s == 1 for s in seqs)
+    if non_grouped:
+        assert all(a < b for a, b in zip(produced, produced[1:]))
+        assert len(set(produced)) == len(produced)
+
+
+def test_repair_matches_reference_rule():
+    # exact scenario from IBMMQReceiver.java:252-254
+    assert repair_seq(1004, 1, 1004, 1) == 2  # same ms, reset seq → lastSeq+1
+    assert repair_seq(1004, 1, 1004, 2) == 3
+    assert repair_seq(1005, 1, 1004, 3) == 1  # new ms → raw seq kept
+    assert repair_seq(1004, 7, 1004, 3) == 7  # grouped seq ≠ 1 → kept
+
+
+# ---------------------------------------------------------------- batch reader
+
+
+def test_batch_browse_snapshot(spark, broker):
+    broker.put_all([(1000, 1, "a"), (1000, 1, "b"), (2000, 1, "c")])
+    register_ibmmq(spark)
+    df = (
+        spark.read.format("ibmmq")
+        .option("path", broker.path)
+        .option("queue", broker.queue)
+        .load()
+    )
+    rows = sorted((r.key, r.value, r.seq_no) for r in df.collect())
+    assert rows == [("1000_1", "a", 1), ("1000_2", "b", 2), ("2000_1", "c", 1)]
+    assert broker.depth() == 3  # browse is non-destructive
+
+
+def test_batch_encoding_ccsid(spark, broker):
+    broker.put(1000, 1, "café".encode("latin-1"))
+    register_ibmmq(spark)
+    df = (
+        spark.read.format("ibmmq")
+        .option("path", broker.path)
+        .option("queue", broker.queue)
+        .option("encoding", "latin-1")
+        .load()
+    )
+    assert df.collect()[0].value == "café"
+
+
+# ------------------------------------------------------------- streaming reader
+
+
+def _drain(spark, reader, work, runs=8):
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    counts = []
+    for _ in range(runs):
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        counts.append(spark.read.parquet(out).count())
+        if len(counts) >= 2 and counts[-1] == counts[-2]:
+            break
+    return spark.read.parquet(out), counts
+
+
+def test_stream_destructive_exactly_once_with_ack_lag(spark, broker, tmp_path):
+    broker.put_all([(1000 + i, 1, f"m{i}") for i in range(10)])
+    register_ibmmq(spark)
+    df, counts = _drain(
+        spark,
+        _reader(spark, broker, keepMessages="false", maxMessagesPerBatch="4"),
+        str(tmp_path / "work"),
+    )
+    keys = [r.key for r in df.collect()]
+    assert len(keys) == 10 and len(set(keys)) == 10  # exactly-once into sink
+    # maxMessagesPerBatch honored: cumulative counts step by ≤4
+    assert all(b - a <= 4 for a, b in zip(counts, counts[1:]))
+    # commit-after-durable: acks trail by at most one batch, never exceed reads
+    assert 10 - 4 <= broker.acked() <= 10
+
+
+def test_stream_browse_never_acks(spark, broker, tmp_path):
+    broker.put_all([(1000 + i, 1, f"m{i}") for i in range(6)])
+    register_ibmmq(spark)
+    df, _ = _drain(
+        spark,
+        _reader(spark, broker, keepMessages="true", maxMessagesPerBatch="3"),
+        str(tmp_path / "work"),
+    )
+    assert df.count() == 6
+    assert broker.acked() == 0 and broker.depth() == 6
+
+
+def test_stream_halt_file_pauses(spark, broker, tmp_path):
+    halt = str(tmp_path / "q.halt")
+    open(halt, "w").close()
+    broker.put_all([(1000, 1, "m0"), (1001, 1, "m1")])
+    register_ibmmq(spark)
+    df, _ = _drain(
+        spark,
+        _reader(spark, broker, haltFile=halt),
+        str(tmp_path / "w1"),
+        runs=2,
+    )
+    assert df.count() == 0  # halted → empty batches (R9)
+    os.remove(halt)
+    df, _ = _drain(spark, _reader(spark, broker, haltFile=halt), str(tmp_path / "w2"))
+    assert df.count() == 2
+
+
+def test_stream_get_inhibited_pauses(spark, broker, tmp_path):
+    broker.put_all([(1000, 1, "m0")])
+    broker.set_inhibited(True)
+    register_ibmmq(spark)
+    df, _ = _drain(spark, _reader(spark, broker), str(tmp_path / "w1"), runs=2)
+    assert df.count() == 0  # MQQA_GET_INHIBITED respected (R10)
+    broker.set_inhibited(False)
+    df, _ = _drain(spark, _reader(spark, broker), str(tmp_path / "w2"))
+    assert df.count() == 1
+
+
+# ------------------------------------------------------------------- reconnect
+
+
+def test_reconnect_retries_then_raises(broker):
+    broker.put(1000, 1, "m")
+    broker.set_connection_broken(True)
+    opts = _Options({"path": broker.path, "queue": broker.queue,
+                     "reconnectwaitms": "10", "maxreconnects": "2"})
+    t0 = time.monotonic()
+    with pytest.raises(ConnectionError):
+        _fetch_with_reconnect(opts, broker, 0, None)
+    assert time.monotonic() - t0 >= 0.02  # backed off between attempts (R12)
+
+
+def test_reconnect_recovers_mid_retry(broker):
+    broker.put(1000, 1, "m")
+    broker.set_connection_broken(True)
+    opts = _Options({"path": broker.path, "queue": broker.queue,
+                     "reconnectwaitms": "50", "maxreconnects": "20"})
+    t = threading.Timer(0.15, broker.set_connection_broken, args=(False,))
+    t.start()
+    try:
+        msgs = _fetch_with_reconnect(opts, broker, 0, None)
+    finally:
+        t.cancel()
+    assert [m["body"] for m in msgs] == ["m"]
+
+
+# ------------------------------------------------------------------- replay
+
+
+def test_read_between_offsets_deterministic(broker):
+    """Replayed ranges mint identical keys because collision-repair state
+    lives in the offset (SURVEY.md §7 hard-parts)."""
+    from spark_ibm_mq_spark.sources.mq import MQSimpleStreamReader
+
+    broker.put_all([(1000, 1, "a"), (1000, 1, "b"), (1000, 1, "c"), (2000, 1, "d")])
+    r = MQSimpleStreamReader({"path": broker.path, "queue": broker.queue})
+    start = r.initialOffset()
+    rows1, end = r.read(start)
+    rows1 = list(rows1)
+    rows2 = list(r.readBetweenOffsets(start, end))
+    assert rows1 == rows2
+    assert [x[0] for x in rows1] == ["1000_1", "1000_2", "1000_3", "2000_1"]
