@@ -3,22 +3,30 @@ every named query + oracle into spark_ibm_mq_spark.registry."""
 
 from spark_ibm_mq_spark.operators import (  # noqa: F401
     aggregations,
+    dedup,
     flagship,
     joins,
     mq_envelope,
     mq_source,
+    multimodal,
     projections,
+    similarity,
     sorts_sets,
+    text_analysis,
     windows,
 )
 
 _ALL_MODULES = [
     "aggregations",
+    "dedup",
     "flagship",
     "joins",
     "mq_envelope",
     "mq_source",
+    "multimodal",
     "projections",
+    "similarity",
     "sorts_sets",
+    "text_analysis",
     "windows",
 ]

