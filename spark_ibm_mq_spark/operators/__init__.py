@@ -12,6 +12,7 @@ from spark_ibm_mq_spark.operators import (  # noqa: F401
     projections,
     similarity,
     sorts_sets,
+    streaming_analytics,
     text_analysis,
     windows,
 )
@@ -27,6 +28,7 @@ _ALL_MODULES = [
     "projections",
     "similarity",
     "sorts_sets",
+    "streaming_analytics",
     "text_analysis",
     "windows",
 ]

@@ -1,0 +1,186 @@
+"""Streaming analytics as driver-checkable queries (SURVEY.md §7 M4).
+
+Each query REALLY runs Structured Streaming — events.parquet replayed as a
+file-source stream, processed with event-time windows / watermarked dedup /
+stream-static joins, drained with Trigger.AvailableNow into a memory sink —
+then returns the sink table, whose contents a batch SQL oracle reproduces
+exactly. Complete output mode is used for windowed aggregations so no
+window is withheld by the final watermark (deterministic end state).
+
+Scale notes: windowed aggregations shuffle on (window, key) with partial
+aggregation per micro-batch; state size = open windows × keys, bounded by
+the watermark. Stream-static joins broadcast the static dim per batch.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
+from spark_ibm_mq_spark.registry import register
+from spark_ibm_mq_spark.streaming.readers import events_file_stream
+from spark_ibm_mq_spark.tables import load_table
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Drain a streaming frame into a uniquely-named memory sink with
+    availableNow and return the sink table."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)                    AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 4) AS total_value
+    FROM ev
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type over a real
+    streaming query (watermark + window + complete mode)."""
+    ev = events_file_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT CAST(ws AS TIMESTAMP) AS window_start, count(*) AS n
+    FROM (
+        SELECT unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+        FROM ev
+    )
+    GROUP BY 1
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length / 1h slide): every event lands in two
+    windows; oracle enumerates the same two starts per event."""
+    ev = events_file_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"), "n"
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP)                     AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           count(*)                                        AS n_events
+    FROM (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             <= INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_session
+            FROM ev
+        )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user as a real streaming
+    aggregation; the oracle reproduces Spark's session semantics
+    (end = last event + gap) with the classic lag/island batch SQL."""
+    ev = events_file_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "stream_dedup_replayed",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT event_id, user_id, event_type FROM ev
+    """,
+)
+def stream_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once → exactly-once: the stream unioned with itself (every
+    record delivered twice, the reference's redelivery-after-backout case,
+    IBMMQReceiver.java:363-371) deduplicated by key with
+    dropDuplicatesWithinWatermark — output is each record once
+    (README.md:71's loss/duplication contract, closed downstream)."""
+    ev = events_file_stream(spark, sf_dir)
+    doubled = ev.union(ev).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    return _run_to_memory(deduped, "append")
+
+
+@register(
+    "stream_static_join_segments",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT c_mktsegment, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM ev JOIN customer ON ev.user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: live events enriched against the customer dim
+    (broadcast per micro-batch), aggregated by segment — the reference's
+    'enrich replicated rows against reference tables' consumption pattern."""
+    ev = events_file_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+    return _run_to_memory(agg, "complete")
