@@ -19,6 +19,33 @@ from spark_ibm_mq_spark.session import get_spark
 registry.load_all_modules()
 
 
+def mq_source_throughput(spark, n_msgs: int = 50_000) -> float:
+    """msgs/sec drained through the ibmmq batch source from the fake broker
+    (BASELINE.md target: ≥10k msg/s, 10× the reference's configured 1k
+    ceiling). Includes broker file scan + key synthesis + Arrow transfer."""
+    import tempfile
+
+    from spark_ibm_mq_spark.sources import FakeMQBroker, register_ibmmq
+
+    d = tempfile.mkdtemp(prefix="bench_mq_")
+    broker = FakeMQBroker(d, "BENCH.Q")
+    broker.put_all((1_700_000_000_000 + i, 1, f'{{"n": {i}}}') for i in range(n_msgs))
+    register_ibmmq(spark)
+    # warm the python worker + pickle registry once; measure steady state
+    spark.read.format("ibmmq").option("path", d).option("queue", "BENCH.Q").load().limit(1).count()
+    t0 = time.perf_counter()
+    got = (
+        spark.read.format("ibmmq")
+        .option("path", d)
+        .option("queue", "BENCH.Q")
+        .load()
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    assert got == n_msgs, f"drained {got}/{n_msgs}"
+    return round(n_msgs / dt, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -51,6 +78,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "mq_source_msgs_per_sec": mq_source_throughput(spark),
             }
         )
     )

@@ -4,6 +4,7 @@ every named query + oracle into spark_ibm_mq_spark.registry."""
 from spark_ibm_mq_spark.operators import (  # noqa: F401
     aggregations,
     dedup,
+    file_sources,
     flagship,
     joins,
     mq_envelope,
@@ -14,12 +15,14 @@ from spark_ibm_mq_spark.operators import (  # noqa: F401
     sorts_sets,
     streaming_analytics,
     text_analysis,
+    udfs,
     windows,
 )
 
 _ALL_MODULES = [
     "aggregations",
     "dedup",
+    "file_sources",
     "flagship",
     "joins",
     "mq_envelope",
@@ -30,5 +33,6 @@ _ALL_MODULES = [
     "sorts_sets",
     "streaming_analytics",
     "text_analysis",
+    "udfs",
     "windows",
 ]

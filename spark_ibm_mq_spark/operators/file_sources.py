@@ -1,0 +1,95 @@
+"""CSV and JSON-lines scans (SURVEY.md §2.2 Scans/sources).
+
+The fixtures are parquet; these queries materialize deterministic CSV/JSONL
+exports once per sf_dir (DuckDB does the export so both engines read the
+exact same bytes) and then run schema'd `spark.read.csv` / `spark.read.json`
+scans against SQL oracles over the same files.
+
+Scale notes: both readers are splittable line formats — schema is always
+declared (inference costs an extra pass and guesses types); at 100 TB these
+land as staging reads that immediately re-materialize to parquet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_ibm_mq_spark.registry import register
+from spark_ibm_mq_spark.tables import load_table
+
+
+def _export_dir(sf_dir: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"file_sources_{tag}")
+    marker = os.path.join(d, ".complete")
+    if os.path.exists(marker):
+        return d
+    import duckdb
+
+    os.makedirs(d, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT n_nationkey, n_name, n_regionkey
+                 FROM read_parquet('{sf_dir}/nation.parquet') ORDER BY n_nationkey)
+            TO '{d}/nation.csv' (HEADER, DELIMITER ',')"""
+    )
+    con.execute(
+        f"""COPY (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                 FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey)
+            TO '{d}/orders.jsonl' (FORMAT JSON)"""
+    )
+    con.close()
+    open(marker, "w").close()
+    return d
+
+
+@register(
+    "scan_csv_nation",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_customers
+    FROM nation n JOIN customer c ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def scan_csv_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with declared schema + header, joined against a parquet
+    table — mixed-format federation, the classic staging shape."""
+    d = _export_dir(sf_dir)
+    nation = spark.read.csv(
+        os.path.join(d, "nation.csv"),
+        header=True,
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(nation)
+        .join(cust, nation.n_nationkey == cust.c_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "scan_jsonl_orders",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_jsonl_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with declared schema — the reference's payloads are
+    JSON text (README.md:12-15); this is the bulk-file form."""
+    d = _export_dir(sf_dir)
+    orders = spark.read.json(
+        os.path.join(d, "orders.jsonl"),
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )

@@ -127,3 +127,27 @@ def distinct_flag_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT — partial-aggregate dedup before the shuffle, so the exchange
     carries unique combos only."""
     return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "set_intersect_all_flags",
+    oracle="""
+    SELECT l_returnflag FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+    INTERSECT ALL
+    SELECT l_returnflag FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-07-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def set_intersect_all_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection: min of per-side multiplicities)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h1 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("l_returnflag")
+    h2 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("l_returnflag")
+    return h1.intersectAll(h2)

@@ -184,3 +184,45 @@ def stream_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
     )
     return _run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_stream_join",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id
+    FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on both sides and a
+    time-range condition (clicks within the hour before each purchase) —
+    the §2.2 EXT join. State on each side is bounded by
+    watermark + range: Spark evicts rows older than the join window."""
+    ev1 = events_file_stream(spark, sf_dir)
+    ev2 = events_file_stream(spark, sf_dir)
+    p = (
+        ev1.filter(F.col("event_type") == "purchase")
+        .withColumnRenamed("event_id", "p_id")
+        .withColumnRenamed("ts", "p_ts")
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        ev2.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.c_ts <= p.p_ts),
+    ).select("p_id", "c_id", "user_id")
+    return _run_to_memory(joined, "append")

@@ -63,18 +63,43 @@ def test_simhash_pairs_are_near_dups(spark):
     assert sum(1 for j in js if j >= 0.8) / len(js) >= 0.6
 
 
-def test_ann_lsh_shape_and_recall(spark):
+def test_ann_lsh_shape(spark):
     """This fixture's vectors are near-orthogonal (max pair cosine ≈ 0.5),
     so hyperplane signs correlate weakly and honest recall is low — assert
-    the structural properties: ≤ k results per query, some exact-top-k hits,
-    candidate pruning actually happened (ANN ≠ brute force)."""
+    only the structural properties here; recall is proven on planted
+    neighbors below."""
     rows = registry.QUERIES["sim_ann_lsh"](spark, SF_DIR).collect()
     assert rows
     per_q: dict[int, int] = {}
     for r in rows:
         per_q[r.q_id] = per_q.get(r.q_id, 0) + 1
     assert all(n <= 5 for n in per_q.values())
-    assert sum(1 for r in rows if r.hit) >= 1
+
+
+def test_ann_lsh_finds_planted_neighbor(spark, tmp_path):
+    """A genuine near-duplicate (cos ≈ 0.998) must land in the same or a
+    1-bit-adjacent LSH bucket and come back as the rank-1 ANN hit —
+    deterministic with the fixed plane seed and fixed vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    base /= np.linalg.norm(base)
+    neighbor = base + 0.05 * rng.standard_normal(64)
+    neighbor /= np.linalg.norm(neighbor)
+    fillers = rng.standard_normal((50, 64))
+    fillers /= np.linalg.norm(fillers, axis=1, keepdims=True)
+    rows = [(0, [float(x) for x in base], 0)]
+    rows.append((10, [float(x) for x in neighbor], 0))
+    rows += [(20 + i, [float(x) for x in v], 1) for i, v in enumerate(fillers)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    out = registry.QUERIES["sim_ann_lsh"](spark, d).collect()
+    top = {(r.q_id, r.rank): (r.n_id, r.hit) for r in out}
+    assert top[(0, 1)][0] == 10, f"planted neighbor not rank-1: {sorted(top.items())[:6]}"
+    assert top[(0, 1)][1] is True
 
 
 def test_decode_stub_deterministic(spark):
