@@ -40,7 +40,10 @@ from spark_ibm_mq_spark.tables import load_table
 def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiway inner equi-join (TPC-H Q5 shape): fact-fact shuffle join +
     broadcast dims. Catalyst reorders; we pin broadcasts explicitly."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # fixture files are single-row-group parquet → 1-partition scans; spread
+    # the fact side so the broadcast joins use every core (a real table has
+    # many splits and never needs this)
+    li = load_table(spark, sf_dir, "lineitem").repartition(32)
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
@@ -139,7 +142,7 @@ def join_anti_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta (range) join against a tiny literal dimension — broadcast
     nested-loop, the only viable non-equi strategy at scale."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").repartition(32)
     bands = F.broadcast(
         spark.createDataFrame(
             [("low", 0.0, 20000.0), ("mid", 20000.0, 60000.0), ("high", 60000.0, 1e9)],
