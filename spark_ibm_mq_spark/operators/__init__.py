@@ -10,6 +10,7 @@ from spark_ibm_mq_spark.operators import (  # noqa: F401
     mq_envelope,
     mq_source,
     multimodal,
+    pipeline,
     projections,
     similarity,
     sorts_sets,
@@ -28,6 +29,7 @@ _ALL_MODULES = [
     "mq_envelope",
     "mq_source",
     "multimodal",
+    "pipeline",
     "projections",
     "similarity",
     "sorts_sets",

@@ -1,0 +1,76 @@
+"""Composite LLM-data-pipeline query (north-star): the classic
+clean-corpus pass — quality-gate → exact-dedup → per-language token budget —
+as one chained DataFrame program, oracle-checked end to end.
+
+Scale notes: the three stages fuse into scan → filter (codegen) →
+hash-groupBy on a 32-byte hash → hash-groupBy on lang. Two small shuffles;
+the document bodies never shuffle (only hashes and counts after stage 1).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_ibm_mq_spark.functions.text import STOPWORDS_EN, tokens
+from spark_ibm_mq_spark.registry import register
+from spark_ibm_mq_spark.tables import load_table
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_QUALITY_PRED = f"""
+      (len({_TOKS}) BETWEEN 10 AND 5000)
+  AND (length(text) * 1.0 / greatest(len({_TOKS}), 1) BETWEEN 3 AND 12)
+  AND (len(list_filter({_TOKS}, t -> list_contains({_STOP_SQL}, lower(t)))) * 1.0
+         / greatest(len({_TOKS}), 1) BETWEEN 0.01 AND 0.6)
+"""
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH gated AS (
+        SELECT * FROM documents WHERE {_QUALITY_PRED}
+    ),
+    deduped AS (
+        SELECT lang, min(doc_id) AS keep_id,
+               any_value(len({_TOKS})) AS n_toks
+        FROM gated
+        GROUP BY sha256(text), lang
+    )
+    SELECT lang,
+           count(*)      AS n_docs,
+           sum(n_toks)   AS total_tokens,
+           min(keep_id)  AS first_doc
+    FROM deduped
+    GROUP BY lang
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate (length / word-shape / stopword-density) → exact dedup
+    on content hash (keep lowest doc_id) → per-language doc + token budget.
+    The shape every pretraining-data pipeline runs before tokenization."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t)))) / F.greatest(
+        n, F.lit(1)
+    )
+    avg_word = F.length("text") / F.greatest(n, F.lit(1))
+    gated = d.filter(
+        n.between(10, 5000) & avg_word.between(3, 12) & stop_ratio.between(0.01, 0.6)
+    )
+    deduped = (
+        gated.groupBy(F.sha2("text", 256).alias("h"), "lang")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.any_value(F.size(tokens("text"))).alias("n_toks"),
+        )
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.min("keep_id").alias("first_doc"),
+    )
