@@ -250,3 +250,29 @@ def agg_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+    SELECT l_linestatus,
+           round((sum(pow(l_quantity - m, 3)) / n) / pow(sum(pow(l_quantity - m, 2)) / n, 1.5), 4)
+               AS qty_skew,
+           round((sum(pow(l_quantity - m, 4)) / n) / pow(sum(pow(l_quantity - m, 2)) / n, 2) - 3, 4)
+               AS qty_kurt
+    FROM lineitem
+    JOIN (SELECT l_linestatus AS ls, avg(l_quantity) AS m, count(*) AS n
+          FROM lineitem GROUP BY 1) stats ON l_linestatus = ls
+    GROUP BY l_linestatus, m, n
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skewness / kurtosis. Spark computes population skewness g1 and excess
+    kurtosis g2; engines disagree on the estimator (DuckDB applies sample
+    corrections), so the oracle spells out the population-moment formula
+    explicitly instead of calling DuckDB's functions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.skewness("l_quantity"), 4).alias("qty_skew"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("qty_kurt"),
+    )

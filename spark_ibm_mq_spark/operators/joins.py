@@ -244,3 +244,20 @@ def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFra
         cc.join(ss, "nationkey", "full_outer")
         .select("nationkey", "c_cnt", "s_cnt")
     )
+
+
+@register(
+    "join_right_outer_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, c_mktsegment
+    FROM customer RIGHT JOIN orders ON c_custkey = o_custkey AND c_acctbal > 9000
+    """,
+)
+def join_right_outer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every order kept, customer attributes only where the
+    (extra, non-key) join predicate held."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (c.c_acctbal > 9000), "right"
+    ).select("o_orderkey", "o_orderpriority", "c_mktsegment")

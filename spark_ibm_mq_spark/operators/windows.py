@@ -29,6 +29,8 @@ from spark_ibm_mq_spark.tables import load_table
                round(o_totalprice, 4) AS price,
                rank()       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
                dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk,
+               round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC), 4) AS prnk,
                row_number() OVER (PARTITION BY o_orderpriority
                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn,
                ntile(4)     OVER (PARTITION BY o_orderpriority
@@ -52,6 +54,7 @@ def win_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 4).alias("price"),
             F.rank().over(by_price).alias("rnk"),
             F.dense_rank().over(by_price).alias("drnk"),
+            F.round(F.percent_rank().over(by_price), 4).alias("prnk"),
             F.row_number().over(tiebreak).alias("rn"),
             F.ntile(4).over(tiebreak).alias("quartile"),
         )
