@@ -1,0 +1,51 @@
+"""Scale-technique demonstrations (SURVEY.md §4.2 / prompt requirements):
+bucketed co-located joins (no shuffle on the join key) and salted
+aggregation for skewed keys (same results, spread partitions)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from spark_ibm_mq_spark.plans import executed_plan, num_exchanges
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides on the join key removes the per-query
+    shuffle: at 100 TB this is the difference between an O(data) network
+    pass per join and reading co-located buckets."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    left = spark.range(0, 100_000).withColumn("v", F.col("id") % 97)
+    right = spark.range(0, 100_000).withColumn("w", F.col("id") % 89)
+    left.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("bkt_left")
+    right.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("bkt_right")
+    try:
+        j = spark.table("bkt_left").join(spark.table("bkt_right"), "id")
+        n = j.count()
+        assert n == 100_000
+        plan = executed_plan(j)
+        # SortMergeJoin over bucketed scans: no hash-exchange on either side
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_salted_aggregation_matches_plain(spark):
+    """Skew pattern: one hot key holding ~90% of rows. Salting splits the
+    hot key across 16 partial groups, then re-aggregates — identical
+    results, bounded per-task input."""
+    df = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") % 1000).cast("double").alias("x"),
+    )
+    plain = {(r.k): (r.n, round(r.s, 4)) for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("x"), 4).alias("s")).collect()}
+    salted = (
+        df.withColumn("salt", F.pmod(F.hash("x"), F.lit(16)))
+        .groupBy("k", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("x").alias("ps"))
+        .groupBy("k")
+        .agg(F.sum("pn").alias("n"), F.round(F.sum("ps"), 4).alias("s"))
+    )
+    got = {(r.k): (r.n, r.s) for r in salted.collect()}
+    assert got == plain
