@@ -4,6 +4,7 @@ cartesians, codegen live)."""
 
 from spark_ibm_mq_spark.plans.inspect import (
     executed_plan,
+    formatted_explain,
     has_cartesian,
     num_broadcast_joins,
     num_exchanges,
@@ -14,6 +15,7 @@ from spark_ibm_mq_spark.plans.inspect import (
 
 __all__ = [
     "executed_plan",
+    "formatted_explain",
     "has_cartesian",
     "num_broadcast_joins",
     "num_exchanges",
