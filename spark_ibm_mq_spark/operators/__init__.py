@@ -16,6 +16,7 @@ from spark_ibm_mq_spark.operators import (  # noqa: F401
     sorts_sets,
     streaming_analytics,
     text_analysis,
+    tpch_suite,
     udfs,
     windows,
 )
@@ -35,6 +36,7 @@ _ALL_MODULES = [
     "sorts_sets",
     "streaming_analytics",
     "text_analysis",
+    "tpch_suite",
     "udfs",
     "windows",
 ]
