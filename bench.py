@@ -59,6 +59,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     # warm the JVM + parquet footers once with the flagship query
     registry.QUERIES["pricing_summary"](spark, sf_dir).collect()
+    # warm the Python datasource/UDF worker pool too (worker fork + package
+    # zip distribution is one-time session cost, not per-query cost)
+    registry.QUERIES["mq_source_batch_drain"](spark, sf_dir).limit(1).count()
 
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]

@@ -109,22 +109,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks"),
     ).withColumn("n", F.size("toks"))
-    # single-file parquet scans land in ONE partition; spread the streamed
-    # side so the 10^6-pair verification uses every core (on a cluster this
-    # is the shuffle the size-bucket join would do anyway)
     a = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"), F.col("n").alias("size_a")
-    ).repartition(32, "doc_a")
+    )
     # probe keys: b answers for sizes nb-1, nb, nb+1 → pairs within ±1 meet
-    # exactly once on probe == na (equi-join; no BNLJ, no cartesian)
+    # exactly once on probe == na (equi-join; no BNLJ, no cartesian).
+    # Single-file parquet scans land in ONE partition; spread the streamed
+    # side so the pair verification uses every core.
     b = docs.select(
         F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"), F.col("n").alias("size_b"),
         F.explode(F.array(F.col("n") - 1, F.col("n"), F.col("n") + 1)).alias("probe"),
-    )
+    ).repartition(32, "doc_b")
     inter = F.size(F.array_intersect("ta", "tb"))
     jac = inter / (F.col("size_a") + F.col("size_b") - inter)
+    # broadcast the un-exploded side: the size key has only ~|size range|
+    # distinct values, so a shuffle join on it skews badly no matter the
+    # partition count — a map-side join sidesteps the skew entirely. Past
+    # broadcastable corpus size: bucket both sides by size and let AQE
+    # split the hot buckets.
     return (
-        a.join(b, (F.col("size_a") == F.col("probe")) & (F.col("doc_a") < F.col("doc_b")))
+        F.broadcast(a)
+        .join(b, (F.col("size_a") == F.col("probe")) & (F.col("doc_a") < F.col("doc_b")))
         .filter(jac >= 0.95)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -141,23 +146,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. The band join is the scale path: candidates ∝ colliding
     bands, not n². Verified output = (doc_a, doc_b, est_jaccard, jaccard).
     Driver does a rows-only check; the exact re-verification inside the
-    query is the correctness guard."""
-    toks = _doc_tokens(spark, sf_dir).repartition(32, "doc_id")
-    # one minhash per seed: min over xxhash64(seed ⊕ token)
-    sig = toks.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("t")))).alias(f"h{i}")
-            for i in range(_N_MINHASH)
-        ]
-    )
+    query is the correctness guard.
+
+    Signatures are computed per-row (`transform` + `array_min` over the
+    token array) instead of explode→groupBy: zero shuffles for the
+    signature stage, and the whole doc→signature map stays inside one
+    codegen stage — at 100 TB this removes a full-corpus token shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    # fixture files are single-row-group → 1 scan partition; spread rows
+    # before the (CPU-heavy) per-row hashing so every core participates
+    arrs = d.select(
+        "doc_id", F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks")
+    ).repartition(32, "doc_id")
+
+    def _minhash(i: int):
+        return F.array_min(
+            F.transform("toks", lambda t: F.xxhash64(F.concat(F.lit(f"s{i}:"), t)))
+        )
+
     rows_per_band = _N_MINHASH // _BANDS
+    # the trailing repartition is a reuse point, not a distribution need:
+    # four consumers below (both band-join sides, both feature attaches)
+    # share this exchange via ReuseExchange, so the 16×|corpus| token
+    # hashing runs ONCE instead of once per consumer
+    sig = arrs.select(
+        "doc_id",
+        "toks",
+        F.array(*[_minhash(i) for i in range(_N_MINHASH)]).alias("sig"),
+    ).repartition(32, "doc_id")
     bands = sig.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
                     )
                     for b in range(_BANDS)
                 ]
@@ -175,29 +201,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # estimated jaccard from signature agreement
-    sig_a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(_N_MINHASH)])
-    sig_b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(_N_MINHASH)])
-    est = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_N_MINHASH)
-    ) / float(_N_MINHASH)
-    # exact verification restricted to candidates: join the token arrays in
-    # and count the intersection per pair — O(|candidates|·|tokens|), never
-    # an all-pairs token join
-    d = load_table(spark, sf_dir, "documents")
-    arrs = d.select(
-        "doc_id", F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks")
+    # attach (signature, tokens) per side; est = signature agreement,
+    # exact re-check = one array_intersect per candidate pair — candidate
+    # set is small, so these joins broadcast under AQE
+    fa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"), F.col("toks").alias("ta")
     )
-    ta = arrs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
-    tb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    fb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"), F.col("toks").alias("tb")
+    )
+    est = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
+    ) / float(_N_MINHASH)
     inter = F.size(F.array_intersect("ta", "tb"))
     jac = inter / (F.size("ta") + F.size("tb") - inter)
+    # per-doc features broadcast: the candidate-pair side is the big side
+    # (∝ collisions), the feature side is ∝ corpus and sits on the AQE
+    # broadcast threshold here — pin it so the plan never flips to a
+    # sort-merge that sorts the pair list twice. At corpus sizes past
+    # broadcastability this becomes a shuffle join keyed on doc id.
     return (
-        cand.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
+        cand.join(F.broadcast(fa), "doc_a")
+        .join(F.broadcast(fb), "doc_b")
         .withColumn("est_jaccard", F.round(est, 4))
-        .join(ta, "doc_a")
-        .join(tb, "doc_b")
+        # signature-estimate prune BEFORE the O(|ta|·|tb|) exact intersect:
+        # the 16-element agreement check is ~100× cheaper, and band
+        # candidacy already implies probabilistic recall — this is the
+        # standard LSH candidate→estimate→verify funnel
+        .filter(F.col("est_jaccard") >= 0.5)
         .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= 0.7)
         .select("doc_a", "doc_b", "est_jaccard", "jaccard")
@@ -212,21 +243,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the multi-probe variant (rotate which 12 bits form the prefix) recovers
     recall at scale without a cross join."""
     n_bits = 48
-    toks = _doc_tokens(spark, sf_dir).repartition(32, "doc_id")
-    h = F.xxhash64("t")
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(n_bits)
-        ]
+    d = load_table(spark, sf_dir, "documents")
+    # per-row bit votes over the hashed-token array (no explode/groupBy
+    # shuffle): bit b is set when more than half the token hashes have bit
+    # b set — identical to the ±1-vote-sum formulation, stage-local at 100 TB
+    arrs = d.select(
+        "doc_id", F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks")
+    ).repartition(32, "doc_id")
+    hashed = arrs.select(
+        "doc_id",
+        F.transform("toks", lambda t: F.xxhash64(t)).alias("hs"),
+        F.size("toks").alias("n"),
     )
+
+    def _bit_set_count(b: int):
+        return F.size(
+            F.filter("hs", lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+
     simhash = sum(
-        F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        F.when(_bit_set_count(b) * 2 > F.col("n"), F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         for b in range(n_bits)
     )
-    sigs = votes.select("doc_id", simhash.alias("simhash")).withColumn(
+    sigs = hashed.select("doc_id", simhash.alias("simhash")).withColumn(
         "prefix", F.shiftright("simhash", n_bits - 12)
     )
     x, y = sigs.alias("x"), sigs.alias("y")

@@ -142,7 +142,9 @@ def join_anti_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta (range) join against a tiny literal dimension — broadcast
     nested-loop, the only viable non-equi strategy at scale."""
-    li = load_table(spark, sf_dir, "lineitem").repartition(32)
+    # project to the single used column BEFORE the parallelizing shuffle —
+    # the exchange then moves 8 bytes/row instead of the whole lineitem row
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice").repartition(32)
     bands = F.broadcast(
         spark.createDataFrame(
             [("low", 0.0, 20000.0), ("mid", 20000.0, 60000.0), ("high", 60000.0, 1e9)],

@@ -141,3 +141,116 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.col("eq_id").isNotNull().alias("hit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path, fully oracled
+# ---------------------------------------------------------------------------
+
+_IVF_K = 16       # coarse cells; centroid c = embedding of vec_id c
+_IVF_NPROBE = 4   # cells probed per query
+_IVF_QUERY_MOD = 100  # query set: vec_id % 100 == 0
+
+
+def _cos_sql(x: str, y: str) -> str:
+    """DuckDB cosine between two array expressions using the sequential
+    double fold that is bit-identical to functions/vector.cosine_similarity
+    (same trick as _COS_SQL, parameterized over the operand expressions)."""
+    return f"""(
+      list_aggregate(list_transform(list_zip({x}::DOUBLE[], {y}::DOUBLE[]),
+                     z -> z[1] * z[2]), 'sum')
+      / (sqrt(list_aggregate(list_transform({x}::DOUBLE[], v -> v * v), 'sum'))
+         * sqrt(list_aggregate(list_transform({y}::DOUBLE[], v -> v * v), 'sum')))
+    )"""
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < {_IVF_K}
+    ),
+    assign AS (
+        SELECT vec_id AS n_id, cell, ne FROM (
+            SELECT e.vec_id, c.cell, e.embedding AS ne,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cell
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT q_id, qe, cell FROM (
+            SELECT q.vec_id AS q_id, q.embedding AS qe, c.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_cos_sql('q.embedding', 'c.ce')} DESC, c.cell
+                   ) AS rn
+            FROM embeddings q CROSS JOIN cent c
+            WHERE q.vec_id % {_IVF_QUERY_MOD} = 0
+        ) WHERE rn <= {_IVF_NPROBE}
+    )
+    SELECT q_id, n_id, cos_sim, rank FROM (
+        SELECT p.q_id, a.n_id,
+               round({_cos_sql('p.qe', 'a.ne')}, 4) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY p.q_id
+                   ORDER BY {_cos_sql('p.qe', 'a.ne')} DESC, a.n_id
+               ) AS rank
+        FROM probe p JOIN assign a ON a.cell = p.cell
+        WHERE a.n_id != p.q_id
+    ) WHERE rank <= {_TOP_K}
+    """,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into K cells (centroid c = the
+    embedding of vec_id c — deterministic, so the whole index is
+    oracle-checkable), build the inverted index by nearest-centroid
+    assignment, then answer each query by probing its nprobe nearest cells
+    and exact-reranking only those candidates.
+
+    Scale shape: centroids broadcast everywhere they appear; the only
+    corpus-wide shuffle is the assignment window (one pass — at 100 TB the
+    inverted index is written once as cell-bucketed parquet and amortized
+    across query batches); per query the scan is |corpus|·nprobe/K instead
+    of |corpus|. The probe list is broadcast into the candidate join, so
+    query fan-out never shuffles the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < _IVF_K).select(
+            F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
+        )
+    )
+    # inverted index: nearest centroid per vector (rn=1 on bit-stable cosine)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("cell")
+    )
+    assign = (
+        e.crossJoin(cent)
+        .withColumn("c_sim", cosine_similarity(F.col("embedding"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("n_id"), "cell", F.col("embedding").alias("ne"))
+    )
+    # probe list: nprobe nearest cells per query vector
+    w_probe = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
+    probe = (
+        e.filter(F.col("vec_id") % _IVF_QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+        .crossJoin(cent)
+        .withColumn("c_sim", cosine_similarity(F.col("qe"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("q_id", "qe", "cell")
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
+    return (
+        F.broadcast(probe)
+        .join(assign, "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("cos_raw", cosine_similarity(F.col("qe"), F.col("ne")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "n_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )

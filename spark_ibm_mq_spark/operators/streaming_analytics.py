@@ -25,19 +25,32 @@ from spark_ibm_mq_spark.streaming.readers import events_file_stream
 from spark_ibm_mq_spark.tables import load_table
 
 
-def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, mode: str, shuffle_partitions: int = 8
+) -> DataFrame:
     """Drain a streaming frame into a uniquely-named memory sink with
-    availableNow and return the sink table."""
-    name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    availableNow and return the sink table.
+
+    Stateful streaming tasks each open a state store per shuffle partition,
+    so partition count is a latency/parallelism dial, not free: the fixture
+    streams are thousands of rows, where 32 stores per operator is pure
+    overhead. 8 here; a real deployment sizes this to cores × state volume
+    (the partition count is baked into the checkpoint on first run)."""
     spark = stream_df.sparkSession
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

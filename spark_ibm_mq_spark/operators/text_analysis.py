@@ -184,21 +184,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: (a) winnowing-lite — min MD5 over adjacent
     token bigrams (a 1-hash rolling-window sketch), (b) order-insensitive
     bag fingerprint over the sorted distinct token set. Both content-defined:
-    stable under re-chunking, usable as shuffle-narrow dedup keys."""
+    stable under re-chunking, usable as shuffle-narrow dedup keys.
+
+    Bigrams pair the token array with itself shifted by one (`zip_with`
+    over two slices) — entirely per-row, so the whole fingerprint is one
+    scan with zero shuffles; the old explode→window(lead)→groupBy shape
+    shuffled every token of the corpus. Docs with <2 tokens have no bigram
+    and are excluded (matches the oracle's `bh IS NOT NULL`)."""
     d = load_table(spark, sf_dir, "documents")
-    toks_arr = tokens("text")
-    bag = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks_arr))))
-    exploded = d.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks_arr)))).alias("bag_fingerprint"),
-        F.posexplode(toks_arr).alias("pos", "t"),
+    docs = d.select("doc_id", tokens("text").alias("toks")).repartition(32, "doc_id")
+    n = F.size("toks")
+    bigram_min = F.array_min(
+        F.zip_with(
+            F.slice("toks", 1, n - 1),
+            F.slice("toks", 2, n - 1),
+            lambda a, b: F.md5(F.concat(a, F.lit("|"), b)),
+        )
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigram_hash = F.md5(F.concat(F.col("t"), F.lit("|"), F.lead("t").over(w)))
+    bag = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("toks"))))
     return (
-        exploded.withColumn("bh", bigram_hash)
-        .filter(F.col("bh").isNotNull())
-        .groupBy("doc_id", "bag_fingerprint")
-        .agg(F.min("bh").alias("min_bigram_hash"))
-        .select("doc_id", "min_bigram_hash", "bag_fingerprint")
+        docs.select(
+            "doc_id",
+            bigram_min.alias("min_bigram_hash"),
+            bag.alias("bag_fingerprint"),
+        )
+        .filter(F.col("min_bigram_hash").isNotNull())
     )

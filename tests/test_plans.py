@@ -62,3 +62,48 @@ def test_pandas_udf_keeps_scan_side_filter_pushed(spark):
     df = registry.QUERIES["udf_pandas_net_price"](spark, SF_DIR)
     filters = pushed_filters(df)
     assert any("l_quantity" in f for f in filters), filters
+
+
+def test_tpch_q5_broadcasts_dims_no_cartesian(spark):
+    df = registry.QUERIES["tpch_q5_local_supplier_volume"](spark, SF_DIR)
+    assert num_broadcast_joins(df) >= 3  # supplier, nation, region at minimum
+    assert not has_cartesian(df)
+
+
+def test_tpch_q6_full_pushdown_narrow_scan(spark):
+    df = registry.QUERIES["tpch_q6_forecast_revenue"](spark, SF_DIR)
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+    assert any("l_discount" in f for f in filters), filters
+    assert any("l_quantity" in f for f in filters), filters
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_tpch_q18_semi_join_before_fact_join(spark):
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["tpch_q18_large_volume_customers"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "LeftSemi" in plan or "left_semi" in plan.lower(), plan[:500]
+    assert not has_cartesian(df)
+
+
+def test_tpch_q19_disjunction_stays_equi_join(spark):
+    df = registry.QUERIES["tpch_q19_disjunctive_revenue"](spark, SF_DIR)
+    # the OR-of-ANDs must not degrade the p_partkey equi-join to a BNLJ
+    assert not has_cartesian(df)
+    assert num_broadcast_joins(df) >= 1
+
+
+def test_ivf_probe_join_no_corpus_shuffle_per_query(spark):
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["sim_ann_ivf"](spark, SF_DIR)
+    # centroid fan-outs are broadcast nested-loop (small side broadcast,
+    # corpus streamed — never a shuffled CartesianProduct) and the
+    # probe→candidate join is a broadcast hash join
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert num_broadcast_joins(df) >= 1
