@@ -115,3 +115,77 @@ def mq_source_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         if done:
             break
     return spark.read.parquet(out)
+
+
+_MULTI_QUEUES = ("EVENTS.EVEN", "EVENTS.ODD")
+
+
+def _broker_dir_multi(sf_dir: str) -> str:
+    """Two-queue broker fixture: events split by user_id parity, each queue
+    in its own (ts, event_id)-ordered stream — the reference's
+    one-receiver-per-queue topology (IBMMQReceiver.java:425)."""
+    tag = hashlib.md5((sf_dir + ":multi").encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"ibmmq_fake_broker_{tag}")
+    marker = os.path.join(d, ".complete")
+    if os.path.exists(marker):
+        return d
+    import json
+
+    import duckdb
+
+    os.makedirs(d, exist_ok=True)
+    con = duckdb.connect()
+    for qname, parity in ((_MULTI_QUEUES[0], 0), (_MULTI_QUEUES[1], 1)):
+        rows = con.execute(
+            f"""SELECT epoch_ms(CAST(ts AS TIMESTAMP)), event_id, props
+                FROM read_parquet('{sf_dir}/events.parquet')
+                WHERE user_id % 2 = {parity}
+                ORDER BY ts, event_id"""
+        ).fetchall()
+        tmp = os.path.join(d, f"{qname}.jsonl.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for put_ms, seq_no, body in rows:
+                f.write(
+                    json.dumps(
+                        {"put_ms": int(put_ms), "seq_no": int(seq_no), "body": body}
+                    )
+                    + "\n"
+                )
+        os.replace(tmp, os.path.join(d, f"{qname}.jsonl"))
+    con.close()
+    open(marker, "w").close()
+    return d
+
+
+@register(
+    "mq_source_multi_queue_union",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT concat(CAST(epoch_ms(ts) AS VARCHAR), '_', CAST(event_id AS VARCHAR)) AS key,
+           props                                AS value,
+           make_timestamp(epoch_ms(ts) * 1000)  AS put_ts,
+           event_id                             AS seq_no,
+           CASE WHEN user_id % 2 = 0 THEN '{_MULTI_QUEUES[0]}'
+                ELSE '{_MULTI_QUEUES[1]}' END   AS queue
+    FROM ev
+    """,
+)
+def mq_source_multi_queue_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-queue merge: one `ibmmq` relation per queue, combined with
+    `unionByName` — the SURVEY §1.2 mapping of the reference's
+    one-receiver-per-queue model (`IBMMQReceiver.java:425`; union replaces
+    running N receivers). Each queue keeps its own cursor/ordering; the
+    union is a zero-shuffle bag merge, and per-key order is recovered
+    downstream by (put_ts, seq_no) exactly as in mq_ordered_replay."""
+    d = _broker_dir_multi(sf_dir)
+    register_ibmmq(spark)
+
+    def q(name: str) -> DataFrame:
+        return (
+            spark.read.format("ibmmq")
+            .option("path", d)
+            .option("queue", name)
+            .load()
+        )
+
+    return q(_MULTI_QUEUES[0]).unionByName(q(_MULTI_QUEUES[1]))

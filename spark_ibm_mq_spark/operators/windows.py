@@ -179,3 +179,58 @@ def win_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("p_brand", "p_partkey", F.round("revenue", 4).alias("revenue"))
     )
+
+
+@register(
+    "win_sessionize_events",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT user_id, session_id,
+           min(ts)    AS session_start,
+           max(ts)    AS session_end,
+           count(*)   AS n_events
+    FROM (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL
+                          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)) > 1800000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM ev
+        ) marks
+    ) numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def win_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): lag → new-session flag
+    → running sum as session id → per-session aggregate. The batch twin of
+    `stream_session_windows`. One shuffle on user_id serves all three
+    window passes (same partitioning), then the groupBy reuses it too —
+    Catalyst plans a single Exchange for the whole chain."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis(F.col("ts").cast("timestamp")) - F.unix_millis(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap_ms > 1_800_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
