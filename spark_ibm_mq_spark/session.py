@@ -55,7 +55,10 @@ def get_spark(app_name: str = "spark-ibm-mq-spark", shuffle_partitions: int | No
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] runs every task in the driver JVM: an undersized heap
+        # turns the pair-heavy dedup queries into GC churn (3× run-to-run
+        # variance observed at 8g); the container has 128 GiB
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in _RUNTIME_CONFS.items():

@@ -124,3 +124,18 @@ def test_real_decode_is_gated():
 
     with pytest.raises(NotImplementedError):
         _real_decode(b"payload")
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4/16 cells must recover most of the exact top-k for
+    the query vectors it shares with the brute-force baseline."""
+    ivf = {
+        (r.q_id, r.n_id)
+        for r in registry.QUERIES["sim_ann_ivf"](spark, SF_DIR).collect()
+    }
+    exact_all = registry.QUERIES["sim_topk_bruteforce"](spark, SF_DIR).collect()
+    ivf_qids = {q for q, _ in ivf}
+    exact = {(r.q_id, r.n_id) for r in exact_all if r.q_id in ivf_qids}
+    assert exact, "no shared query vectors between IVF and brute force"
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
