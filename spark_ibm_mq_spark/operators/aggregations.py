@@ -171,7 +171,7 @@ def agg_latest_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {EVENTS_CTE}
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types_seen,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
            count(*)                             AS n_events,
            round(sum(value), 4)                 AS total_value
     FROM ev
@@ -180,10 +180,14 @@ def agg_latest_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set → sorted array per group (re-assembling grouped messages,
-    cf. MQ seqNo grouping IBMMQReceiver.java:251)."""
+    cf. MQ seqNo grouping IBMMQReceiver.java:251). The set is emitted
+    sorted-and-joined (scalar string) so the driver canonicalizer can hash
+    the cell; collect_set/array_sort stay in the plan."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types_seen"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "types_seen"
+        ),
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )

@@ -18,12 +18,12 @@ scale path).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
-from spark_ibm_mq_spark.functions.vector import cosine_similarity
+from spark_ibm_mq_spark.functions.vector import dot, l2_norm
 from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import load_table
+from spark_ibm_mq_spark.tables import load_table, spread
 
 # distinct whitespace tokens per doc — shared by the Jaccard/MinHash queries
 _TOKS_SQL = (
@@ -116,10 +116,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly once on probe == na (equi-join; no BNLJ, no cartesian).
     # Single-file parquet scans land in ONE partition; spread the streamed
     # side so the pair verification uses every core.
-    b = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"), F.col("n").alias("size_b"),
-        F.explode(F.array(F.col("n") - 1, F.col("n"), F.col("n") + 1)).alias("probe"),
-    ).repartition(32, "doc_b")
+    b = spread(
+        docs.select(
+            F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"), F.col("n").alias("size_b"),
+            F.explode(F.array(F.col("n") - 1, F.col("n"), F.col("n") + 1)).alias("probe"),
+        ),
+        "doc_b",
+    )
     inter = F.size(F.array_intersect("ta", "tb"))
     jac = inter / (F.col("size_a") + F.col("size_b") - inter)
     # broadcast the un-exploded side: the size key has only ~|size range|
@@ -153,11 +156,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature stage, and the whole doc→signature map stays inside one
     codegen stage — at 100 TB this removes a full-corpus token shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    # fixture files are single-row-group → 1 scan partition; spread rows
-    # before the (CPU-heavy) per-row hashing so every core participates
-    arrs = d.select(
-        "doc_id", F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks")
-    ).repartition(32, "doc_id")
+    # spread rows before the (CPU-heavy) per-row hashing so every core
+    # participates even on a single-row-group fixture scan
+    arrs = spread(
+        d.select("doc_id", F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks")),
+        "doc_id",
+    )
 
     def _minhash(i: int):
         return F.array_min(
@@ -169,11 +173,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four consumers below (both band-join sides, both feature attaches)
     # share this exchange via ReuseExchange, so the 16×|corpus| token
     # hashing runs ONCE instead of once per consumer
-    sig = arrs.select(
+    sig = spread(
+        arrs.select(
+            "doc_id",
+            "toks",
+            F.array(*[_minhash(i) for i in range(_N_MINHASH)]).alias("sig"),
+        ),
         "doc_id",
-        "toks",
-        F.array(*[_minhash(i) for i in range(_N_MINHASH)]).alias("sig"),
-    ).repartition(32, "doc_id")
+        force=True,
+    )
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -247,9 +255,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row bit votes over the hashed-token array (no explode/groupBy
     # shuffle): bit b is set when more than half the token hashes have bit
     # b set — identical to the ±1-vote-sum formulation, stage-local at 100 TB
-    arrs = d.select(
-        "doc_id", F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks")
-    ).repartition(32, "doc_id")
+    arrs = spread(
+        d.select("doc_id", F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks")),
+        "doc_id",
+    )
     hashed = arrs.select(
         "doc_id",
         F.transform("toks", lambda t: F.xxhash64(t)).alias("hs"),
@@ -300,29 +309,53 @@ _UNIT_SQL = """
     list_transform(embedding::DOUBLE[],
         x -> x / sqrt(list_aggregate(list_transform(embedding::DOUBLE[], y -> y * y), 'sum')))
 """
-_UDOT_SQL = "list_aggregate(list_transform(list_zip(a.u, b.u), z -> z[1] * z[2]), 'sum')"
+
+
+def _dot_sql(x: str, y: str) -> str:
+    """DuckDB sequential double dot fold — bit-identical to the Spark
+    ``F.aggregate(F.zip_with(...))`` left fold (both walk the array in
+    order, accumulating in double)."""
+    return f"list_aggregate(list_transform(list_zip({x}, {y}), z -> z[1] * z[2]), 'sum')"
+
+
+_UDOT_SQL = _dot_sql("a.u", "b.u")
+
+_COS_CELLS = 8  # coarse cells; centroid c = (unit) embedding of vec_id c
 
 
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH unit AS (SELECT vec_id, {_UNIT_SQL} AS u FROM embeddings)
+    WITH unit AS (SELECT vec_id, {_UNIT_SQL} AS u FROM embeddings),
+    cent AS (SELECT vec_id AS cell, u AS cu FROM unit WHERE vec_id < {_COS_CELLS}),
+    assign AS (
+        SELECT vec_id, u, cell FROM (
+            SELECT e.vec_id, e.u, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_dot_sql('e.u', 'c.cu')} DESC, c.cell) AS rn
+            FROM unit e CROSS JOIN cent c
+        ) WHERE rn = 1
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({_UDOT_SQL}, 4) AS cos_sim
-    FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
     WHERE {_UDOT_SQL} >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs with cosine ≥ 0.4 (this fixture's vectors
-    are near-orthogonal; real near-dup thresholds ≈ 0.95). Vectors are
-    normalized ONCE per row before the pair join, so each pair costs a
-    single dot fold instead of dot + two norms (3× fewer HOF evaluations —
-    the folds are interpreted, not codegen'd). Both engines normalize and
-    fold in identical sequential order → bit-identical values. The
-    LSH-bucketed variant in operators/similarity.py is the 100 TB path."""
-    from spark_ibm_mq_spark.functions.vector import dot, l2_norm
+    """Embedding near-dup, cell-blocked: coarse-quantize every vector to its
+    nearest of 8 deterministic centroids (centroid c = the unit
+    embedding of vec_id c — same oracle-checkable trick as sim_ann_ivf),
+    then compare pairs ONLY within a cell, with an exact unit-dot rerank at
+    cosine ≥ 0.4.
 
+    Scale shape: centroids broadcast; the candidate join is an equi-join on
+    cell (shuffle on cell, AQE splits hot cells) — never the all-pairs
+    nested loop, whose cost grows 10,000× at 100× corpus. Cell count scales
+    with corpus (K ≈ n / target cell size) so per-cell pair work stays
+    bounded. Vectors are normalized ONCE per row, so assignment and rerank
+    are single dot folds; both engines fold in identical sequential order →
+    bit-identical values at the 0.4 boundary."""
     e = load_table(spark, sf_dir, "embeddings")
     unit = (
         e.select(
@@ -335,13 +368,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("ed", lambda x: x / F.col("nrm")).alias("u"),
         )
     )
-    a = unit.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua")).repartition(32)
-    b = unit.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
+    cent = F.broadcast(
+        unit.filter(F.col("vec_id") < _COS_CELLS).select(
+            F.col("vec_id").alias("cell"), F.col("u").alias("cu")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
+    # the trailing cell-keyed spread is the join-side exchange: both sides
+    # of the self-join below reuse it (ReuseExchange), so the normalize +
+    # assignment window runs once, not twice
+    assign = spread(
+        unit.crossJoin(cent)
+        .withColumn("c_sim", dot(F.col("u"), F.col("cu")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "u", "cell"),
+        "cell",
+        force=True,
+    )
+    a = assign.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"), "cell")
+    b = assign.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"), F.col("cell").alias("cell_b"))
     cos = F.aggregate(
         F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
         .filter(cos >= 0.4)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
     )

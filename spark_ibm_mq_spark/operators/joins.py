@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import load_table
+from spark_ibm_mq_spark.tables import load_table, spread
 
 
 @register(
@@ -42,8 +42,8 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast dims. Catalyst reorders; we pin broadcasts explicitly."""
     # fixture files are single-row-group parquet → 1-partition scans; spread
     # the fact side so the broadcast joins use every core (a real table has
-    # many splits and never needs this)
-    li = load_table(spark, sf_dir, "lineitem").repartition(32)
+    # many splits, so spread() is a no-op there)
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
@@ -144,7 +144,7 @@ def join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-loop, the only viable non-equi strategy at scale."""
     # project to the single used column BEFORE the parallelizing shuffle —
     # the exchange then moves 8 bytes/row instead of the whole lineitem row
-    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice").repartition(32)
+    li = spread(load_table(spark, sf_dir, "lineitem").select("l_extendedprice"))
     bands = F.broadcast(
         spark.createDataFrame(
             [("low", 0.0, 20000.0), ("mid", 20000.0, 60000.0), ("high", 60000.0, 1e9)],
@@ -189,28 +189,40 @@ def join_cross_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest click ≤ each purchase per user — the reference's
-    replication 'latest row wins' pattern (README.md:59) as join + window.
-    Scale note: the range-join + row_number formulation shuffles once on
-    user_id; for highly-skewed users, pre-bucket both sides on user_id."""
+    replication 'latest row wins' pattern (README.md:59).
+
+    Shape: union-interleave merge. Clicks and purchases are unioned into one
+    per-user event sequence sorted by (ts, kind, event_id) — clicks sort
+    before same-ts purchases for the inclusive ``<=`` bound — and a running
+    ``last(click, ignorenulls)`` window carries the most recent click onto
+    each purchase row. One shuffle on user_id, O(n log n) per user; unlike
+    the range-join + row_number formulation it never materializes the
+    (purchase × earlier-click) pair blowup, so a hot user with 10⁵ events
+    costs 10⁵ log 10⁵, not 10¹⁰ pairs."""
     ev = load_table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    # kind 0 = click, 1 = purchase: clicks order before equal-ts purchases
+    merged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("kind"),
     )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w = Window.partitionBy("p_id").orderBy(F.col("c_ts").desc(), F.col("c_id").desc())
+    click = F.when(F.col("kind") == 0, F.struct("ts", "event_id"))
     return (
-        p.join(c, (p.user_id == c.c_user) & (c.c_ts <= p.p_ts))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        merged.withColumn("last_click", F.last(click, ignorenulls=True).over(w))
+        .filter((F.col("kind") == 1) & F.col("last_click").isNotNull())
         .select(
-            "p_id",
+            F.col("event_id").alias("p_id"),
             "user_id",
-            "c_id",
+            F.col("last_click.event_id").alias("c_id"),
             F.round(
-                (F.unix_millis(F.col("p_ts").cast("timestamp"))
-                 - F.unix_millis(F.col("c_ts").cast("timestamp"))) / 1000.0,
+                (F.unix_millis(F.col("ts").cast("timestamp"))
+                 - F.unix_millis(F.col("last_click.ts").cast("timestamp"))) / 1000.0,
                 4,
             ).alias("gap_s"),
         )

@@ -248,8 +248,11 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_id,
         len(embedding)                               AS dim,
         round(CAST(embedding[1] AS DOUBLE), 4)       AS head_val,
-        list_sort(list_transform(embedding[1:4],
-                  x -> round(CAST(x AS DOUBLE), 4))) AS head4_sorted,
+        array_to_string(
+            list_transform(
+                list_sort(list_transform(embedding[1:4],
+                          x -> round(CAST(x AS DOUBLE), 4))),
+                x -> printf('%.4f', x)), ',')        AS head4_sorted,
         round(CAST(embedding[1] AS DOUBLE)
               + CAST(embedding[2] AS DOUBLE), 4)     AS head2_sum
     FROM embeddings
@@ -257,16 +260,23 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family: size/element_at/slice/transform/array_sort over the
-    embedding ARRAY<FLOAT> column (§2.2 Array; north-star vector ops)."""
+    embedding ARRAY<FLOAT> column (§2.2 Array; north-star vector ops).
+
+    The sorted head-slice is emitted as a ``%.4f``-joined string so the
+    driver's pandas canonicalizer can hash the cell (round-1 FAIL: ndarray
+    cells are unhashable); the array ops stay in the plan."""
     e = load_table(spark, sf_dir, "embeddings")
     head4 = F.transform(
         F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double"), 4)
+    )
+    head4_str = F.transform(
+        F.array_sort(head4), lambda x: F.format_string("%.4f", x)
     )
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 4).alias("head_val"),
-        F.array_sort(head4).alias("head4_sorted"),
+        F.array_join(head4_str, ",").alias("head4_sorted"),
         F.round(
             F.element_at("embedding", 1).cast("double")
             + F.element_at("embedding", 2).cast("double"),
@@ -281,19 +291,22 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     {EVENTS_CTE}
     SELECT
         event_id,
-        list_sort(json_keys(props))                     AS prop_keys,
-        CAST(json_extract_string(props, '$.k') AS INT)  AS k_val
+        array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+        CAST(json_extract_string(props, '$.k') AS INT)    AS k_val
     FROM ev
     """,
 )
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family: from_json→MapType, map_keys, element_at (§2.2 Map; props
-    payload mirrors the reference's stringly-typed body)."""
+    payload mirrors the reference's stringly-typed body).
+
+    Keys are emitted sorted-and-joined (scalar string) so the driver's
+    canonicalizer can hash the cell; the MapType ops stay in the plan."""
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,int>")
     return ev.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
         F.element_at(m, "k").alias("k_val"),
     )
 

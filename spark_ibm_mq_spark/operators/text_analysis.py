@@ -16,7 +16,7 @@ from spark_ibm_mq_spark.functions.text import (
     tokens,
 )
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import load_table
+from spark_ibm_mq_spark.tables import load_table, spread
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
 
@@ -192,7 +192,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled every token of the corpus. Docs with <2 tokens have no bigram
     and are excluded (matches the oracle's `bh IS NOT NULL`)."""
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select("doc_id", tokens("text").alias("toks")).repartition(32, "doc_id")
+    docs = spread(d.select("doc_id", tokens("text").alias("toks")), "doc_id")
     n = F.size("toks")
     bigram_min = F.array_min(
         F.zip_with(

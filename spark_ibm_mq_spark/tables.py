@@ -46,3 +46,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread(df: DataFrame, *cols: str, force: bool = False) -> DataFrame:
+    """Repartition an under-partitioned input up to the session parallelism.
+
+    The fixture tables are single-row-group parquet files → 1-partition
+    scans, which would serialize every downstream per-row compute stage on
+    one core. A real multi-split table never hits this, so the repartition
+    is applied ONLY when the scan has fewer partitions than cores (no extra
+    shuffle at scale), and the width comes from ``defaultParallelism``
+    rather than a hardcoded constant so it tracks the actual cluster.
+
+    ``force=True`` keeps the exchange unconditionally — used where the
+    repartition is a ReuseExchange point shared by several consumers (the
+    exchange materializes an expensive per-row compute once instead of once
+    per consumer), which is worth one shuffle at any scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if not force and df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
