@@ -30,11 +30,82 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# The driver's CORRECTNESS gate checks the FIRST 50 entries of queries() in
+# dict order.  Rounds 1-3 always presented the same registration order, so 41
+# queries (TPC-H, windows, sets/sorts, streaming analytics, text, similarity,
+# UDF/UDAF/UDTF, pipeline, multimodal decode) never earned a driver row.  This
+# round leads with exactly those never-checked queries, then the queries
+# modified this round (must be re-verified), then representative already-green
+# rows to guard against regressions.  Rotate next round until every oracled
+# query has a hard driver-green row on record.
+_CHECK_FIRST = [
+    # --- never driver-checked through r3 (registry indexes 50-90) ---
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "win_rank_orders",
+    "win_lag_lead_events",
+    "win_running_totals",
+    "win_dedup_latest_event",
+    "win_top3_parts_per_brand",
+    "win_sessionize_events",
+    "sort_topn_offset",
+    "set_union_by_name",
+    "set_intersect_nations",
+    "set_except_nations",
+    "set_except_all_flags",
+    "set_intersect_all_flags",
+    "distinct_flag_combos",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_replayed",
+    "stream_static_join_segments",
+    "stream_stream_join",
+    "text_quality_stats",
+    "text_lang_id",
+    "text_token_counts",
+    "text_fingerprint",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "udf_pandas_net_price",
+    "udaf_grouped_weighted_avg",
+    "udtf_key_explode",
+    "pipeline_clean_corpus",
+    "mm_decode_features",
+    "mm_frame_sample",
+    # --- modified or added this round: need (re-)verification ---
+    "dedup_embedding_cosine",
+    "proj_price_bands_expr",
+    "sort_within_partitions",
+    "stream_tumbling_counts_append",
+    "mq_source_destructive_drain",
+    # --- representative already-green rows (regression guard) ---
+    "pricing_summary",
+    "join_asof_click_before_purchase",
+    "dedup_ngram_jaccard",
+    "mq_source_stream_drain",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    head = {k: mapping[k] for k in _CHECK_FIRST if k in mapping}
+    head.update({k: v for k, v in mapping.items() if k not in head})
+    return head
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    return _ordered(dict(registry.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each SQL-expressible query."""
-    return dict(registry.ORACLE)
+    return _ordered(dict(registry.ORACLE))
