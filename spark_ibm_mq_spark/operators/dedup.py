@@ -327,12 +327,12 @@ _COS_CELLS = 8  # coarse cells; centroid c = (unit) embedding of vec_id c
     "dedup_embedding_cosine",
     oracle=f"""
     WITH unit AS (SELECT vec_id, {_UNIT_SQL} AS u FROM embeddings),
-    cent AS (SELECT vec_id AS cell, u AS cu FROM unit WHERE vec_id < {_COS_CELLS}),
+    cent AS (SELECT vec_id AS cell, u AS cu FROM unit ORDER BY vec_id LIMIT {_COS_CELLS}),
     assign AS (
         SELECT vec_id, u, cell FROM (
             SELECT e.vec_id, e.u, c.cell,
                    row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY {_dot_sql('e.u', 'c.cu')} DESC, c.cell) AS rn
+                       ORDER BY round({_dot_sql('e.u', 'c.cu')}, 6) DESC, c.cell) AS rn
             FROM unit e CROSS JOIN cent c
         ) WHERE rn = 1
     )
@@ -350,10 +350,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ≥ 0.4.
 
     Scale shape: centroids broadcast; the candidate join is an equi-join on
-    cell (shuffle on cell, AQE splits hot cells) — never the all-pairs
-    nested loop, whose cost grows 10,000× at 100× corpus. Cell count scales
-    with corpus (K ≈ n / target cell size) so per-cell pair work stays
-    bounded. Vectors are normalized ONCE per row, so assignment and rerank
+    cell — never the all-pairs nested loop, whose cost grows 10,000× at
+    100× corpus. With K cells the cell-keyed exchange carries at most K
+    non-empty partitions (AQE does NOT re-split a user repartition reused
+    via ReuseExchange), so K must scale with the corpus
+    (K ≈ n / target cell size) — that keeps per-cell pair work bounded AND
+    the exchange wide; salt the cell key if one cell stays hot. Vectors are normalized ONCE per row, so assignment and rerank
     are single dot folds; both engines fold in identical sequential order →
     bit-identical values at the 0.4 boundary."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -368,12 +370,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("ed", lambda x: x / F.col("nrm")).alias("u"),
         )
     )
+    # centroids = the K lowest vec_ids present (NOT `vec_id < K`, which would
+    # silently yield zero centroids — and a vacuous empty-but-"matching"
+    # result on both engines — for any fixture whose ids don't start at 0)
     cent = F.broadcast(
-        unit.filter(F.col("vec_id") < _COS_CELLS).select(
+        unit.orderBy("vec_id").limit(_COS_CELLS).select(
             F.col("vec_id").alias("cell"), F.col("u").alias("cu")
         )
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
+    # assignment orders by the dot product ROUNDED to 6 decimals (both
+    # engines): a 1-ulp Spark/DuckDB divergence in the raw double must not
+    # be able to flip a vector's cell
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("c_sim"), 6).desc(), F.col("cell")
+    )
     # the trailing cell-keyed spread is the join-side exchange: both sides
     # of the self-join below reuse it (ReuseExchange), so the normalize +
     # assignment window runs once, not twice

@@ -32,7 +32,7 @@ _N_QUERIES = 5  # vec_id < 5 are the query vectors
         SELECT a.vec_id AS q_id, b.vec_id AS n_id,
                round({_COS_SQL}, 4) AS cos_sim,
                row_number() OVER (PARTITION BY a.vec_id
-                                  ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
+                                  ORDER BY round({_COS_SQL}, 6) DESC, b.vec_id) AS rank
         FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
         WHERE a.vec_id < {_N_QUERIES}
     ) WHERE rank <= {_TOP_K}
@@ -50,7 +50,11 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne"))
     cos = cosine_similarity(F.col("qe"), F.col("ne"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
+    # rank on the cosine rounded to 6 decimals (oracle matches): raw-double
+    # ordering lets a 1-ulp engine divergence reshuffle the top-k boundary
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("n_id")
+    )
     return (
         q.join(n, F.col("n_id") != F.col("q_id"))
         .withColumn("cos_raw", cos)
@@ -168,14 +172,15 @@ def _cos_sql(x: str, y: str) -> str:
     "sim_ann_ivf",
     oracle=f"""
     WITH cent AS (
-        SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < {_IVF_K}
+        SELECT vec_id AS cell, embedding AS ce FROM embeddings
+        ORDER BY vec_id LIMIT {_IVF_K}
     ),
     assign AS (
         SELECT vec_id AS n_id, cell, ne FROM (
             SELECT e.vec_id, c.cell, e.embedding AS ne,
                    row_number() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cell
+                       ORDER BY round({_cos_sql('e.embedding', 'c.ce')}, 6) DESC, c.cell
                    ) AS rn
             FROM embeddings e CROSS JOIN cent c
         ) WHERE rn = 1
@@ -185,7 +190,7 @@ def _cos_sql(x: str, y: str) -> str:
             SELECT q.vec_id AS q_id, q.embedding AS qe, c.cell,
                    row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY {_cos_sql('q.embedding', 'c.ce')} DESC, c.cell
+                       ORDER BY round({_cos_sql('q.embedding', 'c.ce')}, 6) DESC, c.cell
                    ) AS rn
             FROM embeddings q CROSS JOIN cent c
             WHERE q.vec_id % {_IVF_QUERY_MOD} = 0
@@ -196,7 +201,7 @@ def _cos_sql(x: str, y: str) -> str:
                round({_cos_sql('p.qe', 'a.ne')}, 4) AS cos_sim,
                row_number() OVER (
                    PARTITION BY p.q_id
-                   ORDER BY {_cos_sql('p.qe', 'a.ne')} DESC, a.n_id
+                   ORDER BY round({_cos_sql('p.qe', 'a.ne')}, 6) DESC, a.n_id
                ) AS rank
         FROM probe p JOIN assign a ON a.cell = p.cell
         WHERE a.n_id != p.q_id
@@ -217,14 +222,17 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     of |corpus|. The probe list is broadcast into the candidate join, so
     query fan-out never shuffles the corpus."""
     e = load_table(spark, sf_dir, "embeddings")
+    # centroids = the K lowest vec_ids present (not `vec_id < K`, which is
+    # vacuously empty for id-shifted fixtures on BOTH engines)
     cent = F.broadcast(
-        e.filter(F.col("vec_id") < _IVF_K).select(
+        e.orderBy("vec_id").limit(_IVF_K).select(
             F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
         )
     )
-    # inverted index: nearest centroid per vector (rn=1 on bit-stable cosine)
+    # inverted index: nearest centroid per vector; ordering on the cosine
+    # ROUNDED to 6 decimals so a 1-ulp engine divergence can't flip a cell
     w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("c_sim").desc(), F.col("cell")
+        F.round(F.col("c_sim"), 6).desc(), F.col("cell")
     )
     assign = (
         e.crossJoin(cent)
@@ -234,7 +242,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("n_id"), "cell", F.col("embedding").alias("ne"))
     )
     # probe list: nprobe nearest cells per query vector
-    w_probe = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
+    w_probe = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("c_sim"), 6).desc(), F.col("cell")
+    )
     probe = (
         e.filter(F.col("vec_id") % _IVF_QUERY_MOD == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
@@ -244,7 +254,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _IVF_NPROBE)
         .select("q_id", "qe", "cell")
     )
-    w_rank = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("n_id")
+    )
     return (
         F.broadcast(probe)
         .join(assign, "cell")
