@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -33,17 +34,26 @@ def mq_source_throughput(spark, n_msgs: int = 50_000) -> float:
     register_ibmmq(spark)
     # warm the python worker + pickle registry once; measure steady state
     spark.read.format("ibmmq").option("path", d).option("queue", "BENCH.Q").load().limit(1).count()
-    t0 = time.perf_counter()
-    got = (
-        spark.read.format("ibmmq")
-        .option("path", d)
-        .option("queue", "BENCH.Q")
-        .load()
-        .count()
-    )
-    dt = time.perf_counter() - t0
-    assert got == n_msgs, f"drained {got}/{n_msgs}"
-    return round(n_msgs / dt, 1)
+    rates = []
+    for _ in range(_RUNS):
+        t0 = time.perf_counter()
+        got = (
+            spark.read.format("ibmmq")
+            .option("path", d)
+            .option("queue", "BENCH.Q")
+            .load()
+            .count()
+        )
+        dt = time.perf_counter() - t0
+        assert got == n_msgs, f"drained {got}/{n_msgs}"
+        rates.append(n_msgs / dt)
+    return round(statistics.median(rates), 1)
+
+
+# Single-shot timings of queries that spin up streaming state stores swing up
+# to 48x run-to-run on identical code (observed r2 vs r3); median-of-N makes a
+# genuine 2x regression distinguishable from trigger/scheduler jitter.
+_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
 def main() -> None:
@@ -65,12 +75,15 @@ def main() -> None:
 
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink: executes the full physical plan (all columns, sorts,
-        # joins) without driver-side collect skewing the measurement
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(_RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink: executes the full physical plan (all columns, sorts,
+            # joins) without driver-side collect skewing the measurement
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -81,6 +94,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": _RUNS,
                 "mq_source_msgs_per_sec": mq_source_throughput(spark),
             }
         )
