@@ -4,8 +4,14 @@ Each query REALLY runs Structured Streaming — events.parquet replayed as a
 file-source stream, processed with event-time windows / watermarked dedup /
 stream-static joins, drained with Trigger.AvailableNow into a memory sink —
 then returns the sink table, whose contents a batch SQL oracle reproduces
-exactly. Complete output mode is used for windowed aggregations so no
-window is withheld by the final watermark (deterministic end state).
+exactly. Complete output mode is used for some windowed aggregations so no
+window is withheld by the final watermark (deterministic end state) — but
+complete mode retains every window ever seen in the state store, which is
+unbounded on an unbounded stream: it is a determinism FIXTURE, not the
+deployment mode. The scale-safe shape is `stream_tumbling_counts_append`
+(watermark-closed append mode, state bounded by open windows only); its
+oracle filters the batch result to windows the final watermark has passed
+(window_end <= max(ts) - delay, verified against Spark's eviction).
 
 Scale notes: windowed aggregations shuffle on (window, key) with partial
 aggregation per micro-batch; state size = open windows × keys, bounded by
@@ -77,6 +83,52 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
     )
     out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
+    "stream_tumbling_counts_append",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)                    AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 4) AS total_value
+    FROM ev
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM ev)
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe variant of `stream_tumbling_counts`: append output
+    mode, so a window is emitted exactly once when the watermark passes its
+    end and its state is evicted — state is bounded by open windows × keys
+    instead of growing forever as in complete mode. This is the mode a 100 TB
+    deployment runs; the complete-mode twin exists only as the
+    every-window determinism fixture.
+
+    Oracle: the batch aggregation restricted to windows the final watermark
+    (max event time − 10 min) has passed; the fixture replays as a single
+    micro-batch, so no event is ever late and the trailing no-data batch
+    flushes every closed window deterministically. (Emission boundary
+    `window_end <= watermark` verified empirically against Spark's state
+    eviction; exact equality is unreachable with the fixture's microsecond
+    timestamps vs whole-hour window ends.)"""
+    ev = events_file_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    out = _run_to_memory(agg, "append")
     return out.select(
         F.col("window.start").cast("timestamp_ntz").alias("window_start"),
         F.col("window.end").cast("timestamp_ntz").alias("window_end"),
