@@ -117,6 +117,67 @@ def mq_source_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+@register("mq_source_destructive_drain", oracle=_DRAIN_ORACLE)
+def mq_source_destructive_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destructive GET under syncpoint, end-to-end: the R2 consume path with
+    the R7 commit-after-durable contract (IBMMQReceiver.java:206-211,
+    357-393) — messages are removed from the queue only after the
+    micro-batch that read them has been durably committed.
+
+    Runs against a per-call COPY of the broker fixture (destructive reads
+    mutate the queue; the shared browse fixture must stay intact) and drains
+    with keepMessages=false. Spark only calls `commit(end_N)` when batch N+1
+    is CONSTRUCTED — an empty prefetch plans no batch, so a fully-drained
+    availableNow run leaves the final batch read-but-unacked (exactly the
+    at-least-once redelivery window the contract allows). On a live queue
+    the next arrival closes that window; the fixture models it by putting
+    one flush sentinel after the drain and running one more cycle, whose
+    batch construction fires the final commit. Asserts every real message
+    ends consumed (acked == puts, only the sentinel left) — the driver row
+    therefore witnesses both the row values AND the destructive semantics."""
+    import shutil
+
+    src = _broker_dir_for(sf_dir)
+    d = tempfile.mkdtemp(prefix="ibmmq_destructive_")
+    shutil.copy(os.path.join(src, f"{_QUEUE}.jsonl"), os.path.join(d, f"{_QUEUE}.jsonl"))
+    register_ibmmq(spark)
+    broker = FakeMQBroker(d, _QUEUE)
+    total = broker.depth()
+    work = tempfile.mkdtemp(prefix="ibmmq_destructive_work_")
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    reader = (
+        spark.readStream.format("ibmmq")
+        .option("path", d)
+        .option("queue", _QUEUE)
+        .option("keepMessages", "false")
+        .option("maxMessagesPerBatch", str(max(total, 1)))
+    )
+    sentinel = "__flush__"
+    drained = False
+    for _ in range(10):
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if drained:  # extra cycle: sentinel batch construction acks the rest
+            break
+        if spark.read.parquet(out).count() >= total:
+            drained = True
+            broker.put(9_999_999_999_999, 0, sentinel)
+    assert broker.acked() == total and broker.depth() == 1, (
+        f"destructive drain left acked={broker.acked()} depth={broker.depth()} "
+        f"of {total} (+1 sentinel)"
+    )
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(out).filter(F.col("value") != sentinel)
+
+
 _MULTI_QUEUES = ("EVENTS.EVEN", "EVENTS.ODD")
 
 
