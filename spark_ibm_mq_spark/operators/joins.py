@@ -159,6 +159,39 @@ def join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "proj_price_bands_expr",
+    oracle="""
+    SELECT band, count(*) AS n, round(sum(l_extendedprice), 4) AS total
+    FROM (SELECT CASE WHEN l_extendedprice < 20000.0 THEN 'low'
+                      WHEN l_extendedprice < 60000.0 THEN 'mid'
+                      ELSE 'high' END AS band,
+                 l_extendedprice
+          FROM lineitem)
+    GROUP BY band
+    """,
+)
+def proj_price_bands_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same band classification as `join_price_bands`, as the plan you
+    actually run at 100 TB when the bands don't overlap: a CASE expression
+    in the projection — zero joins, zero broadcast, whole-stage codegen
+    straight off the scan, one tiny partial+final aggregate. The BNLJ twin
+    stays registered as the theta-join operator demo; this is the
+    expression-based fast path (BNLJ re-evaluates every band predicate per
+    (row, band) pair — O(rows × bands) — where CASE is O(rows))."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    band = (
+        F.when(F.col("l_extendedprice") < 20000.0, "low")
+        .when(F.col("l_extendedprice") < 60000.0, "mid")
+        .otherwise("high")
+    )
+    return (
+        li.withColumn("band", band)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 4).alias("total"))
+    )
+
+
+@register(
     "join_cross_flags",
     oracle="""
     SELECT r_name, l_returnflag

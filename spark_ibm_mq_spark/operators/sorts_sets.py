@@ -42,6 +42,39 @@ def sort_topn_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sort_within_partitions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate,
+           round(l_extendedprice, 4) AS price
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    """,
+)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local sort (SURVEY §2.2 Sorts): repartition by order key,
+    then `sortWithinPartitions` — NO range exchange, no global merge. This
+    is the write-optimized-layout primitive at 100 TB: cluster rows inside
+    each output split (for parquet min/max pruning or a downstream
+    merge-join) at the cost of a hash exchange + local sort, where a global
+    orderBy would add a sampled range exchange and a single merge point.
+
+    The row SET is order-independent, so the order-insensitive driver hash
+    compares values while the plan test pins the Sort(global=false) shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") >= "1995-01-01")
+        .repartition("l_orderkey")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            F.round("l_extendedprice", 4).alias("price"),
+        )
+    )
+
+
+@register(
     "set_union_by_name",
     oracle="""
     SELECT event_id, user_id, value, 'click' AS kind, NULL AS props FROM events

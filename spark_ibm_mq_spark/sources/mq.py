@@ -80,6 +80,34 @@ def _rows_from_messages(
     return rows, last_ms, last_seq
 
 
+# IBM MQ coded character set id → Python codec. The commonly-deployed CCSIDs
+# (public IBM MQ documentation); anything unmapped raises rather than
+# silently mojibake-ing message bodies.
+_CCSID_CODECS: dict[int, str] = {
+    37: "cp037",        # EBCDIC US/Canada
+    273: "cp273",       # EBCDIC Germany/Austria
+    500: "cp500",       # EBCDIC International
+    819: "latin-1",     # ISO 8859-1
+    850: "cp850",       # DOS Latin-1
+    1047: "cp1047",     # EBCDIC Latin-1/Open Systems
+    1200: "utf-16",     # UTF-16 (BOM-aware)
+    1208: "utf-8",      # UTF-8 (MQ default for text)
+    1252: "cp1252",     # Windows Latin-1
+    5348: "cp1252",     # Windows Latin-1 (euro update)
+    13488: "utf-16-be", # UCS-2/UTF-16BE
+    17584: "utf-16-be", # UTF-16BE with supplementary chars
+}
+
+
+def ccsid_to_codec(ccsid: int) -> str:
+    try:
+        return _CCSID_CODECS[ccsid]
+    except KeyError:
+        raise ValueError(
+            f"unsupported CCSID {ccsid}; known: {sorted(_CCSID_CODECS)}"
+        ) from None
+
+
 class _Options:
     def __init__(self, options: dict) -> None:
         get = options.get
@@ -91,7 +119,14 @@ class _Options:
         self.keep_messages: bool = str(get("keepmessages", "true")).lower() == "true"
         self.max_per_batch: int = int(get("maxmessagesperbatch", "5000"))
         self.halt_file: str | None = get("haltfile")
-        self.encoding: str = get("encoding", "utf-8")
+        # body decode: either a Python codec name ('encoding') or an IBM MQ
+        # numeric CCSID ('ccsid', IBMMQReceiver.java:95,242-244 — the
+        # reference takes only the integer form). ccsid wins if both given.
+        ccsid = get("ccsid")
+        if ccsid is not None:
+            self.encoding = ccsid_to_codec(int(ccsid))
+        else:
+            self.encoding = get("encoding", "utf-8")
         self.reconnect_wait_s: float = float(get("reconnectwaitms", "100")) / 1000.0
         self.max_reconnects: int = int(get("maxreconnects", "3"))
 

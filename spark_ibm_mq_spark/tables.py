@@ -62,8 +62,20 @@ def spread(df: DataFrame, *cols: str, force: bool = False) -> DataFrame:
     repartition is a ReuseExchange point shared by several consumers (the
     exchange materializes an expensive per-row compute once instead of once
     per consumer), which is worth one shuffle at any scale.
+
+    Width detection deliberately avoids ``df.rdd.getNumPartitions()``: that
+    forces physical planning and, under AQE, can eagerly execute upstream
+    exchanges. ``inputFiles()`` is driver-side metadata from the logical
+    plan's file index — no job, no planning. A file count ≥ cores means the
+    scan already parallelizes (parquet splits at least per-file); an unknown
+    lineage (no file source ⇒ empty list) is left untouched.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if not force and df.rdd.getNumPartitions() >= target:
-        return df
+    if not force:
+        try:
+            n_files = len(df.inputFiles())
+        except Exception:
+            return df
+        if n_files == 0 or n_files >= target:
+            return df
     return df.repartition(target, *cols) if cols else df.repartition(target)

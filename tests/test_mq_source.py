@@ -103,6 +103,35 @@ def test_batch_encoding_ccsid(spark, broker):
     assert df.collect()[0].value == "café"
 
 
+def test_batch_numeric_ccsid_option(spark, broker):
+    """Integer CCSID option maps to the right codec (the reference's only
+    encoding surface, IBMMQReceiver.java:95,242-244): 819 = ISO 8859-1,
+    1208 = UTF-8; unknown CCSIDs fail loudly."""
+    import pytest as _pytest
+
+    from spark_ibm_mq_spark.sources.mq import ccsid_to_codec
+
+    broker.put(1000, 1, "café".encode("latin-1"))
+    broker.put(2000, 1, "naïve".encode("cp037"))
+    register_ibmmq(spark)
+
+    def read(ccsid):
+        return (
+            spark.read.format("ibmmq")
+            .option("path", broker.path)
+            .option("queue", broker.queue)
+            .option("ccsid", str(ccsid))
+            .load()
+            .collect()
+        )
+
+    assert read(819)[0].value == "café"          # ISO 8859-1
+    assert read(37)[1].value == "naïve"          # EBCDIC US
+    assert ccsid_to_codec(1208) == "utf-8"
+    with _pytest.raises(ValueError, match="unsupported CCSID"):
+        ccsid_to_codec(424242)
+
+
 # ------------------------------------------------------------- streaming reader
 
 

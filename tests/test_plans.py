@@ -58,6 +58,17 @@ def test_topn_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in executed_plan(df)
 
 
+def test_sort_within_partitions_no_range_exchange(spark):
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["sort_within_partitions"](spark, SF_DIR)
+    plan = executed_plan(df)
+    # local sort after a hash repartition: no global (range-partitioned) sort
+    assert "Sort [" in plan, plan[:800]
+    assert "rangepartitioning" not in plan.lower(), plan[:800]
+    assert "hashpartitioning" in plan.lower(), plan[:800]
+
+
 def test_pandas_udf_keeps_scan_side_filter_pushed(spark):
     df = registry.QUERIES["udf_pandas_net_price"](spark, SF_DIR)
     filters = pushed_filters(df)

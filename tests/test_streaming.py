@@ -11,7 +11,19 @@ from pyspark.sql import Window
 
 from spark_ibm_mq_spark.streaming.monitor import MQTelemetryListener
 from spark_ibm_mq_spark.streaming.readers import events_file_stream
-from spark_ibm_mq_spark.streaming.stateful import seq_gap_monitor
+import pytest
+
+from spark_ibm_mq_spark.streaming.stateful import (
+    seq_gap_monitor,
+    seq_gap_monitor_tws,
+    tws_runtime_available,
+)
+
+_TWS_SKIP = pytest.mark.skipif(
+    not tws_runtime_available(),
+    reason="transformWithStateInPandas state server needs protobuf at runtime "
+    "(absent in this image); plan-construction coverage still runs",
+)
 from spark_ibm_mq_spark.tables import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -49,6 +61,75 @@ def test_seq_gap_monitor_matches_batch_lag(spark):
         (r.user_id, r.prev_id, r.event_id, r.gap) for r in batch.collect()
     }
     assert got and got == expected, f"stateful={len(got)} batch={len(expected)}"
+
+
+def test_seq_gap_monitor_tws_plan_constructs(spark):
+    """Analysis-time coverage that runs everywhere: the TWS plan builds
+    against the streaming source and resolves to the declared output schema
+    (runtime execution additionally needs protobuf — see _TWS_SKIP)."""
+    ev = events_file_stream(spark, SF_DIR)
+    df = seq_gap_monitor_tws(ev, threshold=50)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["user_id", "prev_id", "event_id", "gap"]
+
+
+@_TWS_SKIP
+def test_seq_gap_monitor_tws_matches_batch_lag(spark):
+    """The transformWithStateInPandas form produces exactly the same gap set
+    as the applyInPandasWithState form and the batch lag() formulation."""
+    ev = events_file_stream(spark, SF_DIR)
+    _drain_to_memory(seq_gap_monitor_tws(ev, threshold=50), "gapsink_tws")
+    got = {
+        (r.user_id, r.prev_id, r.event_id, r.gap)
+        for r in spark.sql("select * from gapsink_tws").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = load_table(spark, SF_DIR, "events").select(
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        "event_id",
+        (F.col("event_id") - F.lag("event_id").over(w)).alias("gap"),
+    ).filter(F.col("gap") >= 50)
+    expected = {
+        (r.user_id, r.prev_id, r.event_id, r.gap) for r in batch.collect()
+    }
+    assert got and got == expected, f"tws={len(got)} batch={len(expected)}"
+
+
+@_TWS_SKIP
+def test_gap_state_tws_carries_across_batches(spark, tmp_path):
+    """Cross-batch (and cross-restart) state carry-over through the
+    transformWithStateInPandas checkpointed ValueState."""
+    d = str(tmp_path / "stream_in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, 10), (1, 11)], "user_id bigint, event_id bigint") \
+        .coalesce(1).write.parquet(d)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id bigint, event_id bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        q = (
+            seq_gap_monitor_tws(stream, threshold=500)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 0
+    spark.createDataFrame([(1, 900)], "user_id bigint, event_id bigint") \
+        .coalesce(1).write.mode("append").parquet(d)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert [(r.user_id, r.prev_id, r.event_id, r.gap) for r in rows] == [(1, 11, 900, 889)]
 
 
 def test_gap_state_carries_across_batches(spark, tmp_path):
