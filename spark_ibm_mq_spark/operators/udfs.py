@@ -134,3 +134,41 @@ def udtf_key_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return env.mapInPandas(explode_keys, schema="put_ms bigint, seq_no bigint")
+
+
+@register(
+    "udtf_key_explode_decorator",
+    oracle="""
+    WITH keys AS (
+        SELECT concat(CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS VARCHAR), '_',
+                      CAST(event_id AS VARCHAR)) AS key
+        FROM events
+    )
+    SELECT CAST(string_split(key, '_')[1] AS BIGINT) AS put_ms,
+           CAST(string_split(key, '_')[2] AS BIGINT) AS seq_no
+    FROM keys
+    """,
+)
+def udtf_key_explode_decorator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The genuine `@udtf` decorator form of `udtf_key_explode` (SURVEY
+    §2.2 UDTF row): a registered Python table function applied per row via
+    LATERAL — one eval() generator call per input row. This is the API-
+    completeness demo; the mapInPandas twin is the Arrow-batched shape you
+    run at scale (same semantics, vectorized transfer)."""
+    from pyspark.sql.functions import udtf
+
+    from spark_ibm_mq_spark.operators.mq_envelope import with_envelope
+
+    @udtf(returnType="put_ms bigint, seq_no bigint")
+    class KeyExplode:
+        def eval(self, key: str):
+            ms, seq = key.split("_")
+            yield int(ms), int(seq)
+
+    spark.udtf.register("key_explode", KeyExplode)
+    view = f"env_keys_{abs(hash(sf_dir)) % 10_000_000}"
+    with_envelope(load_table(spark, sf_dir, "events")).select("key") \
+        .createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT t.put_ms, t.seq_no FROM {view}, LATERAL key_explode(key) t"
+    )
