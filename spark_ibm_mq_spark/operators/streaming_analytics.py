@@ -167,6 +167,38 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_counts_append",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT CAST(ws AS TIMESTAMP) AS window_start, count(*) AS n
+    FROM (
+        SELECT unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+        FROM ev
+    )
+    WHERE ws + INTERVAL 2 HOUR <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM ev)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode twin of `stream_sliding_counts` (2h/1h sliding windows):
+    each window emitted once when the watermark passes its end, state
+    bounded by open windows — the deployment mode. Oracle: the two
+    enumerated window starts per event, restricted to windows whose end
+    (start + 2h) the final watermark has passed."""
+    ev = events_file_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"), "n"
+    )
+
+
+@register(
     "stream_session_windows",
     oracle=f"""
     {EVENTS_CTE}
@@ -200,6 +232,60 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "stream_session_windows_append",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT user_id, session_start, session_end, n_events FROM (
+        SELECT user_id,
+               CAST(min(ts) AS TIMESTAMP)                      AS session_start,
+               CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+               count(*)                                        AS n_events
+        FROM (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 <= INTERVAL 30 MINUTE
+                            THEN 0 ELSE 1 END AS new_session
+                FROM ev
+            )
+        )
+        GROUP BY user_id, session_id
+    )
+    WHERE session_end <= (SELECT date_trunc('milliseconds', CAST(max(ts) AS TIMESTAMP))
+                                 - INTERVAL 10 MINUTE FROM ev)
+    """,
+)
+def stream_session_windows_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode twin of `stream_session_windows`: a session is emitted
+    once, when the watermark passes its end (last event + 30 min gap), and
+    its state evicted — bounded by OPEN sessions per user instead of every
+    session ever. Oracle: the batch island/lag sessionization restricted to
+    sessions whose end the final watermark has passed. Spark tracks max
+    event time in MILLISECONDS (EventTimeStatsAccum truncates µs→ms), so
+    the oracle's watermark uses date_trunc('milliseconds', max(ts)) —
+    session ends carry µs precision, and the sub-ms sliver between the two
+    conventions could otherwise flip a boundary session (the tumbling/
+    sliding twins are hour-aligned, where the sliver provably can't
+    matter)."""
+    ev = events_file_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, "append")
     return out.select(
         "user_id",
         F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
