@@ -413,3 +413,140 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarter revenue per supplier, then
+    the supplier(s) hitting the maximum — the scalar-subquery-on-aggregate
+    pattern, decorrelated as: aggregate once, reduce the 1-row max,
+    broadcast it back over the (already tiny) per-supplier rollup. The only
+    fact-table pass is the first aggregation (filter pushed to the scan);
+    everything after operates on |suppliers| rows. Revenue is rounded to 4
+    decimals BEFORE the max-equality on both engines: comparing raw
+    float sums across engines at equality is exactly the 1-ulp trap the
+    cosine queries dodge the same way."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+        SELECT l_partkey AS agg_partkey, 0.2 * avg(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    ) part_agg ON agg_partkey = l_partkey
+    WHERE p_brand = 'Brand#4' AND p_type = 'PROMO'
+      AND l_quantity < avg_qty
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery `l_quantity < 0.2 * avg(l_quantity per part)` written
+    the way every engine actually executes it — decorrelated into a
+    per-part average joined back to the fact rows. The fixture part table
+    has no p_container, so the selective pair is (p_brand, p_type) — same
+    shape, documented substitution.
+
+    Scale: two lineitem passes (per-part avg, then the filtered join); the
+    part filter broadcasts and prunes the join early. The quantity
+    threshold is engine-exact: integer-valued quantities sum exactly in
+    doubles (order-independent), so avg and 0.2*avg are bit-identical in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#4") & (F.col("p_type") == "PROMO"))
+        .select("p_partkey")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("avg_qty")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("agg_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    SELECT n_name AS cntry, count(*) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY n_name
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balance and NO orders, counted per country. The
+    fixture customer has no c_phone, so country = the nation dim via
+    c_nationkey, and because every fixture customer has orders the NOT
+    EXISTS targets urgent-priority orders — same shape (uncorrelated
+    scalar average + NOT EXISTS anti-join with a pushed join-side filter +
+    group-count), documented substitutions that keep the result non-empty
+    (a 0-row match would verify nothing).
+
+    Scale: the scalar average is a 1-row broadcast; NOT EXISTS is a
+    left-anti join shuffling only (o_custkey) pairs; nation broadcasts."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("threshold")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("threshold"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
