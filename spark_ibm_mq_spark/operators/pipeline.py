@@ -74,3 +74,49 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").alias("total_tokens"),
         F.min("keep_id").alias("first_doc"),
     )
+
+
+@register(
+    "pipeline_train_test_split",
+    oracle="""
+    SELECT split,
+           count(*)          AS n_docs,
+           sum(length(text)) AS n_chars,
+           min(doc_id)       AS min_id,
+           max(doc_id)       AS max_id
+    FROM (
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'train' ELSE 'test' END AS split,
+               doc_id, text
+        FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/10 train/test split — the assignment every training
+    pipeline needs to be reproducible across runs, engines, and reshuffles:
+    hash the stable key (never `rand()` or row position, which change under
+    repartitioning) and threshold the digest. md5 is bit-identical in Spark
+    and DuckDB, so the split itself is oracle-checked, not just the counts;
+    the first hex byte < 'e6' puts 230/256 ≈ 89.8 % in train.
+
+    Scale: one narrow scan, a codegen'd hash+compare per row, one tiny
+    aggregate — no shuffle of document bodies; the split column is what a
+    real pipeline writes back as a partition key."""
+    d = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "e6", "train"
+        ).otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
