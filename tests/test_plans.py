@@ -107,6 +107,38 @@ def test_tpch_q19_disjunction_stays_equi_join(spark):
     assert num_broadcast_joins(df) >= 1
 
 
+def test_tpch_q15_single_fact_pass_broadcast_max(spark):
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["tpch_q15_top_supplier"](spark, SF_DIR)
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+    # the max-revenue scalar and the supplier dim both broadcast; the only
+    # shuffle is the per-supplier aggregation
+    assert num_broadcast_joins(df) >= 1
+    assert not has_cartesian(df) or "BroadcastNestedLoopJoin" in executed_plan(df)
+
+
+def test_tpch_q17_decorrelated_avg_no_cartesian(spark):
+    df = registry.QUERIES["tpch_q17_small_quantity_revenue"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    assert num_broadcast_joins(df) >= 1  # filtered part side
+
+
+def test_tpch_q22_anti_join_shape(spark):
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["tpch_q22_global_sales_opportunity"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "LeftAnti" in plan or "left_anti" in plan.lower(), plan[:500]
+
+
+def test_train_test_split_narrow_scan(spark):
+    df = registry.QUERIES["pipeline_train_test_split"](spark, SF_DIR)
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"doc_id", "text"}, cols  # lang/meta pruned
+
+
 def test_ivf_probe_join_no_corpus_shuffle_per_query(spark):
     from spark_ibm_mq_spark.plans import executed_plan
 
