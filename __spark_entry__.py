@@ -82,16 +82,19 @@ _CHECK_FIRST = [
     "mm_decode_features",
     "mm_frame_sample",
     # --- modified or added this round: need (re-)verification ---
+    # (all were locally driver-sim-verified at sf0.01 this round; the ones
+    # that don't fit the 50-slot window — proj_price_bands_expr,
+    # stream_sliding_counts_append, udtf_key_explode_decorator, plus the
+    # 45 queries green in r1-r3 — rotate in next round)
     "dedup_embedding_cosine",
-    "proj_price_bands_expr",
     "sort_within_partitions",
     "stream_tumbling_counts_append",
+    "stream_session_windows_append",
     "mq_source_destructive_drain",
-    # --- representative already-green rows (regression guard) ---
-    "pricing_summary",
-    "join_asof_click_before_purchase",
-    "dedup_ngram_jaccard",
-    "mq_source_stream_drain",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "pipeline_train_test_split",
 ]
 
 
