@@ -338,6 +338,42 @@ def stream_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_join_windows_append",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           c_mktsegment,
+           count(*) AS n
+    FROM ev JOIN customer ON ev.user_id = c_custkey
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM ev)
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join_windows_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe form of the stream-static enrichment: the global
+    complete-mode aggregation in `stream_static_join_segments` cannot run
+    append (a non-windowed group never closes), so the deployment shape
+    windows the enriched stream — watermark + 1h tumbling windows per
+    segment, emitted once when closed, state bounded by open windows.
+    The customer dim still broadcasts per micro-batch."""
+    ev = events_file_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    joined = ev.withWatermark("ts", "10 minutes").join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey
+    )
+    agg = joined.groupBy(F.window("ts", "1 hour"), "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        "c_mktsegment",
+        "n",
+    )
+
+
+@register(
     "stream_stream_join",
     oracle=f"""
     {EVENTS_CTE}
