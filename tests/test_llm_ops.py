@@ -139,3 +139,29 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert exact, "no shared query vectors between IVF and brute force"
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+
+
+def test_train_test_split_invariant_to_partitioning(spark):
+    """The split assignment must be a pure function of the key — identical
+    under any repartitioning or row order (the property rand()/row-position
+    splits violate, and the reason the operator hashes a stable key)."""
+    import pyspark.sql.functions as F
+
+    from spark_ibm_mq_spark.tables import load_table
+
+    split_expr = (
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "e6", "train"
+        ).otherwise("test")
+    )
+    d = load_table(spark, SF_DIR, "documents").select("doc_id")
+    base = {r.doc_id: r.split for r in d.withColumn("split", split_expr).collect()}
+    scrambled = (
+        d.repartition(17, "doc_id")
+        .sortWithinPartitions(F.col("doc_id").desc())
+        .withColumn("split", split_expr)
+    )
+    got = {r.doc_id: r.split for r in scrambled.collect()}
+    assert got == base
+    frac = sum(1 for v in base.values() if v == "train") / len(base)
+    assert 0.8 < frac < 0.98, frac  # ~230/256 by construction
