@@ -80,7 +80,7 @@ _CHECK_FIRST = [
     "udtf_key_explode",
     "pipeline_clean_corpus",
     "mm_decode_features",
-    "mm_frame_sample",
+    "dedup_minhash_lsh_md5",
     # --- modified or added this round: need (re-)verification ---
     # (all were locally driver-sim-verified at sf0.01 this round; the ones
     # that don't fit the 50-slot window — proj_price_bands_expr,

@@ -2,9 +2,11 @@
 
 Exact, n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup —
 the large-scale training-data-pipeline surface. Exact + Jaccard + cosine are
-fully oracle-checked; MinHash/SimHash are rows-only (xxhash64 has no DuckDB
-equivalent) but each verifies its candidates with an exact re-check inside
-the query.
+fully oracle-checked; the xxhash64 MinHash and SimHash are rows-only
+(xxhash64 has no DuckDB equivalent) with an exact re-check inside the query,
+and `dedup_minhash_lsh_md5` runs the same MinHash+LSH funnel on md5 —
+bit-identical across engines — for a full value-parity oracle of the sketch
+pipeline itself.
 
 Scale notes: every pairwise operator here avoids the naive O(n²) cross join
 — pairs are generated through an equi-join on a shared token / band / bucket
@@ -244,6 +246,144 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the 16-element agreement check is ~100× cheaper, and band
         # candidacy already implies probabilistic recall — this is the
         # standard LSH candidate→estimate→verify funnel
+        .filter(F.col("est_jaccard") >= 0.5)
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+    )
+
+
+
+@register(
+    "dedup_minhash_lsh_md5",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, toks,
+           [list_aggregate(list_transform(toks, t -> md5('s0:' || t)), 'min'),
+           list_aggregate(list_transform(toks, t -> md5('s1:' || t)), 'min'),
+           list_aggregate(list_transform(toks, t -> md5('s2:' || t)), 'min'),
+           list_aggregate(list_transform(toks, t -> md5('s3:' || t)), 'min'),
+           list_aggregate(list_transform(toks, t -> md5('s4:' || t)), 'min'),
+           list_aggregate(list_transform(toks, t -> md5('s5:' || t)), 'min'),
+           list_aggregate(list_transform(toks, t -> md5('s6:' || t)), 'min'),
+           list_aggregate(list_transform(toks, t -> md5('s7:' || t)), 'min'),
+           list_aggregate(list_transform(toks, t -> md5('s8:' || t)), 'min'),
+           list_aggregate(list_transform(toks, t -> md5('s9:' || t)), 'min'),
+           list_aggregate(list_transform(toks, t -> md5('s10:' || t)), 'min'),
+           list_aggregate(list_transform(toks, t -> md5('s11:' || t)), 'min'),
+           list_aggregate(list_transform(toks, t -> md5('s12:' || t)), 'min'),
+           list_aggregate(list_transform(toks, t -> md5('s13:' || t)), 'min'),
+           list_aggregate(list_transform(toks, t -> md5('s14:' || t)), 'min'),
+           list_aggregate(list_transform(toks, t -> md5('s15:' || t)), 'min')] AS sig
+        FROM toks
+    ),
+    bands AS (
+        SELECT doc_id,
+               unnest([0, 1, 2, 3]) AS band,
+               unnest([md5(sig[1]||sig[2]||sig[3]||sig[4]),
+                   md5(sig[5]||sig[6]||sig[7]||sig[8]),
+                   md5(sig[9]||sig[10]||sig[11]||sig[12]),
+                   md5(sig[13]||sig[14]||sig[15]||sig[16])]) AS band_hash
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
+        SELECT doc_a, doc_b,
+               round(list_sum(list_transform([1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16], i -> CASE WHEN fa.sig[i] = fb.sig[i] THEN 1 ELSE 0 END)) / 16.0, 4) AS est_jaccard,
+               round(len(list_intersect(fa.toks, fb.toks)) * 1.0 /
+                     (len(fa.toks) + len(fb.toks)
+                      - len(list_intersect(fa.toks, fb.toks))), 4) AS jaccard
+        FROM cand
+        JOIN sig fa ON fa.doc_id = doc_a
+        JOIN sig fb ON fb.doc_id = doc_b
+    )
+    WHERE est_jaccard >= 0.5 AND jaccard >= 0.7
+    """,
+)
+def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH with FULL value parity: identical funnel to
+    `dedup_minhash_lsh` (16 signatures, 4 bands, candidate → estimate-prune
+    → exact-Jaccard verify), but every hash is md5 — bit-identical between
+    Spark and DuckDB — and each minhash is the lexicographic MIN of the
+    per-token digests (uniform over hex strings, so the same estimator).
+    The xxhash64 twin stays registered as the throughput path (64-bit
+    integer hashing is ~an order of magnitude cheaper than 32-hex-char md5
+    strings); this variant exists so the sketch pipeline itself has a hard
+    driver-checked oracle rather than a rows-only pass."""
+    d = load_table(spark, sf_dir, "documents")
+    arrs = spread(
+        d.select("doc_id", F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks")),
+        "doc_id",
+    )
+
+    def _mh(i: int):
+        return F.array_min(
+            F.transform("toks", lambda t: F.md5(F.concat(F.lit(f"s{i}:".format(i=i)), t)))
+        )
+
+    rows_per_band = _N_MINHASH // _BANDS
+    sig = spread(
+        arrs.select(
+            "doc_id",
+            "toks",
+            F.array(*[_mh(i) for i in range(_N_MINHASH)]).alias("sig"),
+        ),
+        "doc_id",
+        force=True,
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        )
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"), F.col("toks").alias("ta")
+    )
+    fb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"), F.col("toks").alias("tb")
+    )
+    est = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
+    ) / float(_N_MINHASH)
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter / (F.size("ta") + F.size("tb") - inter)
+    return (
+        cand.join(F.broadcast(fa), "doc_a")
+        .join(F.broadcast(fb), "doc_b")
+        .withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= 0.5)
         .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= 0.7)
