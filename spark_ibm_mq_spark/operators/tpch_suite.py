@@ -550,3 +550,469 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): count quarter orders that
+    have at least one "late" line, grouped by priority. The fixture lineitem
+    has no l_commitdate/l_receiptdate, so late = shipped more than 90 days
+    after the order date — same EXISTS-with-inequality shape, documented
+    substitution.
+
+    Scale: the EXISTS is a left-semi join — Spark shuffles only
+    (orderkey, shipdate) pairs against the date-pruned orders side, dedups
+    on the build side, and the quarter filter is pushed to the orders scan
+    (PushedFilters). No lineitem payload ever moves."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q12_priority_by_linestatus",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def tpch_q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority): conditional
+    counting after the fact join. The fixture has no l_shipmode, so the
+    grouping column is l_linestatus — same shape (join + CASE-sum pivot on a
+    low-cardinality column), documented substitution.
+
+    Scale: one shuffle (the orderkey join); the CASE-sums are map-side
+    partial aggregates over 2 groups, so the final exchange moves ~2 rows
+    per task. The shipdate year filter is pushed to the lineitem scan."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.1 * p_retailprice * l_quantity AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product type profit): profit per supplier nation per
+    order year for one product line. The fixture has no partsupp, so cost =
+    0.1 * p_retailprice * l_quantity instead of ps_supplycost * l_quantity —
+    same shape (5-way join, derived profit expression, two-level group),
+    documented substitution.
+
+    Scale: part is filtered then broadcast, so the name LIKE prunes the
+    fact rows in the broadcast hash join probe before the orderkey shuffle;
+    supplier/nation broadcast too — the orders join is the only exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supplier = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey AS partkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey)
+    SELECT partkey, part_value FROM pv
+    WHERE part_value > (SELECT round(sum(part_value) * 0.001, 2) FROM pv)
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part value for
+    one nation's suppliers, kept only when above a fraction of the total —
+    the group-HAVING-against-global-scalar pattern. The fixture has no
+    partsupp, so value = lineitem revenue via that nation's suppliers,
+    documented substitution.
+
+    Scale: the per-part aggregate shuffles once on l_partkey; the scalar
+    total is a 1-row reduction of that SAME aggregated frame (reused, not
+    recomputed from the fact table) broadcast back as a theta join.
+    Parity: part_value is rounded to 2 decimals BEFORE the total/threshold
+    so a sub-ulp sum divergence cannot flip the comparison on either side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    )
+    pv = (
+        li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("part_value")
+        )
+    )
+    threshold = pv.agg(F.round(F.sum("part_value") * 0.001, 2).alias("threshold"))
+    return (
+        pv.join(F.broadcast(threshold), F.col("part_value") > F.col("threshold"))
+        .select("partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per part attribute triple, excluding a blacklisted supplier set
+    via NOT IN. The fixture has no partsupp (pairs come from lineitem) and
+    no s_comment (the blacklist is low-balance suppliers) — same shape,
+    documented substitutions.
+
+    Scale: the pair-dedup and the count-distinct both shuffle on partkey;
+    the part filter broadcasts, and NOT IN compiles to a broadcast
+    left-anti join (the blacklist is tiny and NULL-free by construction,
+    so anti-join semantics match NOT IN exactly)."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#4")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+    )
+    blacklist = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(blacklist, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey AS sp_partkey, l_suppkey AS sp_suppkey,
+             round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+      FROM lineitem GROUP BY 1, 2)
+    SELECT s_acctbal, s_name, n_name, partkey, unit_cost
+    FROM (
+      SELECT s_acctbal, s_name, n_name, p_partkey AS partkey, unit_cost,
+             min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+      FROM supply
+      JOIN supplier ON s_suppkey = sp_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      JOIN part ON p_partkey = sp_partkey
+      WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+    ) priced
+    WHERE unit_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, partkey
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum cost supplier): for each qualifying part,
+    the European supplier(s) offering it at the lowest unit cost — the
+    correlated-MIN subquery, decorrelated as a min-over-partition window
+    the way Catalyst itself rewrites it. The fixture has no partsupp, so a
+    supplier's offer price is the minimum observed l_extendedprice /
+    l_quantity for that (part, supplier) — documented substitution.
+
+    Scale: the supply aggregation shuffles once on (partkey, suppkey);
+    supplier/nation/region/filtered-part all broadcast; the window
+    re-shuffles only the few-per-part surviving rows on partkey. unit_cost
+    is rounded to 4 decimals BEFORE min/equality so the comparison is
+    engine-exact (min over identical doubles picks the identical value)."""
+    from pyspark.sql.window import Window
+
+    supply = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("sp_partkey"),
+            F.col("l_suppkey").alias("sp_suppkey"),
+        )
+        .agg(
+            F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+                "unit_cost"
+            )
+        )
+    )
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+        )
+    )
+    priced = (
+        supply.join(supplier, F.col("s_suppkey") == F.col("sp_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(part, F.col("p_partkey") == F.col("sp_partkey"))
+        .withColumn(
+            "min_cost",
+            F.min("unit_cost").over(Window.partitionBy("p_partkey")),
+        )
+    )
+    return (
+        priced.filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("p_partkey").alias("partkey"),
+            "unit_cost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "partkey")
+    )
+
+
+@register(
+    "tpch_q20_excess_shippers",
+    oracle="""
+    WITH red96 AS (
+      SELECT l_suppkey AS rs, sum(l_quantity) AS red_qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1)
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+      AND s_suppkey IN (SELECT rs FROM red96
+                        WHERE red_qty > (SELECT avg(red_qty) FROM red96))
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in one region
+    whose shipped volume of a product line in a year exceeds a
+    data-derived threshold — the nested IN-chain (region ⊃ supplier IN
+    (agg HAVING > scalar subquery)). The fixture has no partsupp/availqty,
+    so excess = above-average 1996 shipped quantity of red parts —
+    documented substitution preserving the semi-join-on-aggregate chain.
+
+    Scale: the red-part filter broadcasts into the lineitem scan year
+    window (both predicates pushed); the per-supplier aggregate is one
+    shuffle on suppkey over pre-filtered rows; the scalar average reduces
+    that SAME frame (reuse, not a second fact pass) and broadcasts; the
+    final IN is a broadcast left-semi join onto the tiny supplier dim.
+    Quantities are integral doubles, so every sum and the avg are
+    engine-exact — no rounding needed before the > comparison."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    red_parts = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    red96 = (
+        li.join(red_parts, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("l_suppkey").alias("rs"))
+        .agg(F.sum("l_quantity").alias("red_qty"))
+    )
+    thr = red96.agg(F.avg("red_qty").alias("thr"))
+    excess = red96.join(F.broadcast(thr), F.col("red_qty") > F.col("thr")).select("rs")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    return (
+        supplier.join(F.broadcast(excess), F.col("rs") == F.col("s_suppkey"), "left_semi")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM (
+      SELECT DISTINCT l1.l_orderkey AS okey, l1.l_suppkey AS skey
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    ) waiting
+    JOIN supplier ON s_suppkey = skey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): suppliers who
+    were the SOLE late shipper on a finished multi-supplier order. The
+    oracle states it in the textbook correlated EXISTS / NOT EXISTS form;
+    the Spark plan is the scalable decorrelation every warehouse engine
+    applies: aggregate lineitem once per (order, supplier) with a late
+    flag, roll up per-order supplier/late counts, and filter
+    `is_late AND n_supp > 1 AND n_late = 1` — one shuffle on
+    (orderkey, suppkey) plus one on orderkey, instead of two self-joins of
+    the fact table. Late = shipped >60 days after order date (fixture has
+    no receipt/commit dates — documented substitution).
+
+    Scale: both aggregates are map-side-combinable; the per-order rollup
+    output (two small ints per order) broadcasts back onto the pair frame
+    only via an orderkey-partitioned join; supplier/nation broadcast."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    ol = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("skey")
+        )
+        .agg(F.max(late).alias("is_late"))
+    )
+    ostat = ol.groupBy("okey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    waiting = (
+        ol.join(ostat, "okey")
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .select("okey", "skey")
+    )
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_3", "NATION_8", "NATION_13")
+        )
+    )
+    return (
+        waiting.join(supplier, F.col("s_suppkey") == F.col("skey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
