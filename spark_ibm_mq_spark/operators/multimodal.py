@@ -50,7 +50,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECODE_SCHEMA = (
     "doc_id bigint, width int, height int, channels int, "
-    "n_frames int, feat array<double>"
+    "n_frames int, feat array<double>, feat_csv string"
 )
 
 
@@ -80,12 +80,10 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int, list[float]]:
     return width, height, channels, n_frames, feat
 
 
-@register("mm_decode_features")  # rows-only: decode is a stubbed media op
-def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _decode_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over binary payloads via mapInPandas: Arrow
-    batches in, typed (dims, frames, feature-vector) rows out. The decoder
-    is the deterministic fake (see module docstring); swapping in
-    `_real_decode` changes no Spark plumbing."""
+    batches in, typed (dims, frames, feature-vector) rows out. Internal —
+    carries the raw `feat array<double>` column for downstream operators."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
@@ -96,7 +94,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {
                 "doc_id": [], "width": [], "height": [],
-                "channels": [], "n_frames": [], "feat": [],
+                "channels": [], "n_frames": [], "feat": [], "feat_csv": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, c, nf, feat = _fake_decode(bytes(payload))
@@ -106,9 +104,21 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["channels"].append(c)
                 out["n_frames"].append(nf)
                 out["feat"].append(feat)
+                out["feat_csv"].append(",".join(f"{v:.6f}" for v in feat))
             yield pd.DataFrame(out)
 
     return d.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+
+
+@register("mm_decode_features")  # rows-only: decode is a stubbed media op
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over binary payloads via mapInPandas. The
+    decoder is the deterministic fake (see module docstring); swapping in
+    `_real_decode` changes no Spark plumbing. The feature vector is emitted
+    as a scalar CSV string (`feat_csv`) — the driver's canonicalizer sorts
+    and hashes every output cell, and raw array cells are unhashable there
+    (r4 lesson); the array form stays available via `_decode_df`."""
+    return _decode_df(spark, sf_dir).drop("feat")
 
 
 @register("mm_frame_sample")  # rows-only: builds on the stubbed decode
@@ -117,7 +127,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame index per payload (every ceil(n_frames/3)-th frame), the shape a
     video pipeline uses before per-frame featurization. Pure DataFrame ops
     on top of the decode output — no extra Python pass."""
-    decoded = mm_decode_features(spark, sf_dir)
+    decoded = _decode_df(spark, sf_dir)
     stride = F.greatest(F.ceil(F.col("n_frames") / 3).cast("int"), F.lit(1))
     frames = F.sequence(F.lit(0), F.col("n_frames") - 1, stride)
     return decoded.select(

@@ -10,7 +10,7 @@ the document bodies never shuffle (only hashes and counts after stage 1).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from spark_ibm_mq_spark.functions.text import STOPWORDS_EN, tokens
 from spark_ibm_mq_spark.registry import register
@@ -41,7 +41,7 @@ _QUALITY_PRED = f"""
     )
     SELECT lang,
            count(*)      AS n_docs,
-           sum(n_toks)   AS total_tokens,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
            min(keep_id)  AS first_doc
     FROM deduped
     GROUP BY lang
@@ -81,7 +81,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT split,
            count(*)          AS n_docs,
-           sum(length(text)) AS n_chars,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
            min(doc_id)       AS min_id,
            max(doc_id)       AS max_id
     FROM (
@@ -119,4 +119,95 @@ def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_id"),
             F.max("doc_id").alias("max_id"),
         )
+    )
+
+
+@register(
+    "pipeline_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN lang = 'en' THEN '80' ELSE '40' END
+    """,
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language sampling rates
+    (50 % of 'en', 25 % of everything else — the downsample-the-head /
+    keep-the-tail move every corpus-mixing pipeline makes) implemented as a
+    hash threshold per stratum, NOT `df.sample()` — rand()-based sampling
+    changes membership under retries, repartitioning, and engine swaps,
+    which silently breaks train-data reproducibility. md5 is bit-identical
+    across engines, so the driver verifies the exact sample membership,
+    not just its size.
+
+    Scale: expression-only filter on a narrow scan — no shuffle, no state;
+    the predicate pushes down to the parquet scan's row-group filter for
+    the lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    thresh = F.when(F.col("lang") == "en", "80").otherwise("40")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thresh
+    ).select("doc_id", "lang")
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
+        FROM documents),
+    placed AS (
+        SELECT lang, n_toks,
+               CAST(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - n_toks AS offset_toks,
+               doc_id
+        FROM toks)
+    SELECT lang,
+           CAST(offset_toks // 2048 AS BIGINT)  AS chunk_id,
+           count(*)                             AS n_docs,
+           CAST(sum(n_toks) AS BIGINT)          AS chunk_tokens,
+           min(doc_id)                          AS first_doc,
+           max(doc_id)                          AS last_doc
+    FROM placed
+    GROUP BY lang, offset_toks // 2048
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per language, documents are laid
+    end-to-end in doc_id order and cut into 2048-token training chunks —
+    chunk_id = floor(running-token-offset / seq_len), the GPT-style packing
+    every pretraining pipeline runs between cleaning and tokenizer output.
+    Emits per-chunk occupancy (how many docs feed each chunk, how many
+    tokens land in it) — the packing manifest a trainer shards by.
+
+    Scale: one window sum per language partition (single shuffle on lang —
+    at 100 TB partition by (lang, day-bucket) so no single stratum
+    serializes; the chunk function only needs the running offset, which a
+    bucketed rollup can carry across buckets as a per-bucket base offset),
+    then a map-side-combinable aggregate on the SAME partitioning —
+    Catalyst reuses one Exchange for both."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), "\\s+")).cast("bigint").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.withColumn(
+        "offset_toks", F.sum("n_toks").over(w) - F.col("n_toks")
+    )
+    return placed.groupBy(
+        "lang", (F.floor(F.col("offset_toks") / 2048)).cast("bigint").alias("chunk_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("chunk_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )

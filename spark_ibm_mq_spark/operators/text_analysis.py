@@ -134,9 +134,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT source,
            count(*)                                                    AS n_docs,
-           sum(len(string_split_regex(trim(text), '\\s+')))            AS ws_tokens,
-           sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')))     AS bpe_ish_tokens,
-           sum(length(text))                                           AS total_chars
+           CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)        AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT) AS bpe_ish_tokens,
+           CAST(sum(length(text)) AS BIGINT)                                       AS total_chars
     FROM documents
     GROUP BY source
     """,
@@ -209,4 +209,60 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             bag.alias("bag_fingerprint"),
         )
         .filter(F.col("min_bigram_hash").isNotNull())
+    )
+
+
+@register(
+    "text_ngram_profile",
+    oracle="""
+    WITH chars AS (
+        SELECT lang,
+               substr(lower(trim(text)), i.i, 3) AS tri
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, length(trim(text)) - 1)) AS i) i
+        WHERE length(trim(text)) >= 3),
+    counts AS (
+        SELECT lang, tri, count(*) AS n
+        FROM chars
+        WHERE tri NOT LIKE '% %'
+        GROUP BY lang, tri),
+    ranked AS (
+        SELECT lang, tri, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri) AS rk
+        FROM counts)
+    SELECT lang, tri, n, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-trigram profile (top-5 by frequency): the
+    feature table a statistical language-ID model trains on (Cavnar-Trenkle
+    n-gram ranking). Trigrams that span a space are dropped so the profile
+    captures intra-word shape.
+
+    Scale shape: trigram generation is a per-row expression (sequence →
+    transform → explode) — the explode multiplies rows ~length× but stays
+    inside the scan stage with no shuffle; the (lang, tri) count is one
+    map-side-combinable aggregate (the combine collapses the blow-up to
+    |langs|×|alphabet|³ partials before the exchange), and the top-5 window
+    runs on the already-tiny counts frame repartitioned by lang. Determinism:
+    counts are exact ints, ties broken lexicographically."""
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.trim("text"))
+    docs = d.select("lang", low.alias("lo")).filter(F.length("lo") >= 3)
+    exploded = spread(docs, "lang").select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("lo") - 2),
+                lambda i: F.col("lo").substr(i, F.lit(3)),
+            )
+        ).alias("tri"),
+    ).filter(~F.col("tri").contains(" "))
+    counts = exploded.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "tri")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "tri", "n", F.col("rk").cast("int").alias("rk"))
     )

@@ -191,9 +191,9 @@ def win_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)   AS n_events
     FROM (
         SELECT user_id, ts,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_id
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
         FROM (
             SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

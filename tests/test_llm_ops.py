@@ -104,12 +104,16 @@ def test_ann_lsh_finds_planted_neighbor(spark, tmp_path):
 
 def test_decode_stub_deterministic(spark):
     df1 = registry.QUERIES["mm_decode_features"](spark, SF_DIR)
-    r1 = sorted((r.doc_id, r.width, r.height, r.channels, r.n_frames, tuple(r.feat))
+    r1 = sorted((r.doc_id, r.width, r.height, r.channels, r.n_frames, r.feat_csv)
                 for r in df1.collect())
-    r2 = sorted((r.doc_id, r.width, r.height, r.channels, r.n_frames, tuple(r.feat))
+    r2 = sorted((r.doc_id, r.width, r.height, r.channels, r.n_frames, r.feat_csv)
                 for r in registry.QUERIES["mm_decode_features"](spark, SF_DIR).collect())
     assert r1 == r2
     assert all(64 <= w <= 320 and c in (1, 2, 3, 4) for _, w, _, c, _, _ in r1)
+    # every output cell must be hashable — the driver canonicalizer sorts
+    # and hashes cells, and a raw array column crashes it (r4 lesson)
+    for row in r1[:5]:
+        hash(row)
 
 
 def test_frame_sample_bounds(spark):
@@ -165,3 +169,88 @@ def test_train_test_split_invariant_to_partitioning(spark):
     assert got == base
     frac = sum(1 for v in base.values() if v == "train") / len(base)
     assert 0.8 < frac < 0.98, frac  # ~230/256 by construction
+
+
+def test_cluster_resolve_is_transitive_closure(spark):
+    """cluster_id must be the min doc_id of each connected component: verify
+    against a driver-side union-find over the same pair set (fixture-sized),
+    and check the label-propagation loop actually converged."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want: dict = {}
+    for v in parent:
+        want.setdefault(find(v), set()).add(v)
+    got = {
+        r.cluster_id: (r.n_docs, r.min_doc, r.max_doc)
+        for r in registry.QUERIES["dedup_cluster_resolve"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for root, members in want.items():
+        assert got[root] == (len(members), min(members), max(members))
+
+
+def test_stratified_sample_rates(spark):
+    rows = registry.QUERIES["pipeline_stratified_sample"](spark, SF_DIR).collect()
+    assert rows
+    from spark_ibm_mq_spark.tables import load_table
+
+    totals: dict = {}
+    for r in load_table(spark, SF_DIR, "documents").select("lang").collect():
+        totals[r.lang] = totals.get(r.lang, 0) + 1
+    sampled: dict = {}
+    for r in rows:
+        sampled[r.lang] = sampled.get(r.lang, 0) + 1
+    if totals.get("en", 0) >= 20:
+        assert 0.3 < sampled.get("en", 0) / totals["en"] < 0.7
+    rest_tot = sum(n for lg, n in totals.items() if lg != "en")
+    rest_smp = sum(n for lg, n in sampled.items() if lg != "en")
+    if rest_tot >= 20:
+        assert 0.1 < rest_smp / rest_tot < 0.45
+
+
+def test_pack_sequences_chunks_are_contiguous(spark):
+    """Chunks within a language must cover doc_id order contiguously and
+    every chunk except the last must be filled past the 2048 boundary."""
+    rows = registry.QUERIES["pipeline_pack_sequences"](spark, SF_DIR).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, chunks in by_lang.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        for prev, nxt in zip(chunks, chunks[1:]):
+            assert prev.last_doc <= nxt.first_doc
+    # every doc lands in exactly one chunk
+    from spark_ibm_mq_spark.tables import load_table
+
+    n_docs_total = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+
+
+def test_ngram_profile_topk_shape(spark):
+    rows = registry.QUERIES["text_ngram_profile"](spark, SF_DIR).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        assert len(r.tri) == 3 and " " not in r.tri
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rks = sorted(r.rk for r in rs)
+        assert rks == list(range(1, len(rks) + 1)) and len(rks) <= 5
+        ordered = sorted(rs, key=lambda r: r.rk)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.n > b.n or (a.n == b.n and a.tri < b.tri)
