@@ -9,8 +9,10 @@ reproduce — full value parity for the custom source, not just rows-only.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +22,22 @@ from spark_ibm_mq_spark.registry import register
 from spark_ibm_mq_spark.sources import FakeMQBroker, register_ibmmq
 
 _QUEUE = "EVENTS.Q"
+
+_SCRATCH: list[str] = []
+
+
+def _scratch(prefix: str) -> str:
+    """Per-call scratch dir, removed at interpreter exit. Results are read
+    lazily from these dirs after the query returns, so cleanup must outlive
+    the call — atexit, not try/finally (repeated bench/correctness runs were
+    leaking one broker copy + sink per invocation, ADVICE r4)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH]
+        )
+    _SCRATCH.append(d)
+    return d
 
 _DRAIN_ORACLE = f"""
     {EVENTS_CTE}
@@ -89,7 +107,7 @@ def mq_source_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     IBMMQReceiver.java:131-134); checkpoint/sink dirs are fresh per call."""
     d = _broker_dir_for(sf_dir)
     register_ibmmq(spark)
-    work = tempfile.mkdtemp(prefix="ibmmq_stream_drain_")
+    work = _scratch("ibmmq_stream_drain_")
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
     total = FakeMQBroker(d, _QUEUE).depth()
     reader = (
@@ -135,15 +153,13 @@ def mq_source_destructive_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch construction fires the final commit. Asserts every real message
     ends consumed (acked == puts, only the sentinel left) — the driver row
     therefore witnesses both the row values AND the destructive semantics."""
-    import shutil
-
     src = _broker_dir_for(sf_dir)
-    d = tempfile.mkdtemp(prefix="ibmmq_destructive_")
+    d = _scratch("ibmmq_destructive_")
     shutil.copy(os.path.join(src, f"{_QUEUE}.jsonl"), os.path.join(d, f"{_QUEUE}.jsonl"))
     register_ibmmq(spark)
     broker = FakeMQBroker(d, _QUEUE)
     total = broker.depth()
-    work = tempfile.mkdtemp(prefix="ibmmq_destructive_work_")
+    work = _scratch("ibmmq_destructive_work_")
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
     reader = (
         spark.readStream.format("ibmmq")

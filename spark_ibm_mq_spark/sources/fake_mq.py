@@ -91,7 +91,16 @@ class FakeMQBroker:
     @staticmethod
     def decode_body(rec: dict, encoding: str = "utf-8") -> str:
         if "body_b64" in rec:
-            return base64.b64decode(rec["body_b64"]).decode(encoding)
+            raw = base64.b64decode(rec["body_b64"])
+            if encoding == "utf-16-mq":
+                # IBM MQ CCSID 1200: honor a BOM if present, otherwise
+                # default to BIG-endian — BOM-less MQ UTF-16 payloads are
+                # conventionally BE, whereas Python's bare 'utf-16' would
+                # silently assume LE and mojibake.
+                if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+                    return raw.decode("utf-16")
+                return raw.decode("utf-16-be")
+            return raw.decode(encoding)
         return rec["body"]
 
     def ack(self, upto_pos: int) -> None:

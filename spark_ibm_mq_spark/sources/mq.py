@@ -90,7 +90,9 @@ _CCSID_CODECS: dict[int, str] = {
     819: "latin-1",     # ISO 8859-1
     850: "cp850",       # DOS Latin-1
     1047: "cp1047",     # EBCDIC Latin-1/Open Systems
-    1200: "utf-16",     # UTF-16 (BOM-aware)
+    1200: "utf-16-mq",  # UTF-16: BOM-sniffed, BOM-less defaults to BE
+                        # (pseudo-codec handled in FakeMQBroker.decode_body —
+                        # Python's bare 'utf-16' assumes LE without a BOM)
     1208: "utf-8",      # UTF-8 (MQ default for text)
     1252: "cp1252",     # Windows Latin-1
     5348: "cp1252",     # Windows Latin-1 (euro update)

@@ -66,13 +66,22 @@ def spread(df: DataFrame, *cols: str, force: bool = False) -> DataFrame:
     Width detection deliberately avoids ``df.rdd.getNumPartitions()``: that
     forces physical planning and, under AQE, can eagerly execute upstream
     exchanges. ``inputFiles()`` is driver-side metadata from the logical
-    plan's file index — no job, no planning. A file count ≥ cores means the
-    scan already parallelizes (parquet splits at least per-file); an unknown
-    lineage (no file source ⇒ empty list) is left untouched.
+    plan's file index — no job, no planning. The heuristic applies ONLY to
+    single-leaf-scan lineages (ADVICE r4: summing leaf files across a
+    multi-scan plan, e.g. after a join, says nothing about that plan's
+    width); for one scan, file count is a *lower bound* on partitions
+    (Spark additionally splits big files by maxPartitionBytes), so
+    ``n_files ≥ cores`` ⇒ definitely parallel ⇒ skip. The residual cost —
+    a redundant exchange when ONE huge file would have split wide anyway —
+    is bounded and never hits the fixture (single small files) or a real
+    table layout (many files).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if not force:
         try:
+            jplan = df._jdf.queryExecution().analyzed()
+            if jplan.collectLeaves().size() != 1:
+                return df
             n_files = len(df.inputFiles())
         except Exception:
             return df
