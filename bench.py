@@ -86,19 +86,63 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_query_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": _RUNS,
-                "mq_source_msgs_per_sec": mq_source_throughput(spark),
-            }
-        )
-    )
+    mq_rate = mq_source_throughput(spark)
+
+    # Full per-query map: too large for the driver's 2000-char stdout tail
+    # (every BENCH_r{1..4}.json recorded parsed:null because the ~3.5 KB
+    # JSON line was front-truncated before parsing). Persist the complete
+    # record to a file and keep the printed line under the buffer.
+    full = {
+        "metric": "total_headline_query_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": _RUNS,
+        "mq_source_msgs_per_sec": mq_rate,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # Compact line: headline families first, then remaining queries slowest-
+    # first, greedily while the line stays parseable within a 2000-char tail.
+    headline = [
+        "pricing_summary",
+        *sorted(n for n in timings if n.startswith("tpch_")),
+        *sorted(n for n in timings if n.startswith(("dedup_", "sim_"))),
+        "mq_source_stream_drain",
+        "mq_source_batch_drain",
+        "mq_source_destructive_drain",
+        "stream_tumbling_counts_append",
+        "stream_session_windows_append",
+        "stream_stream_join",
+        "pipeline_clean_corpus",
+        "pipeline_pack_sequences",
+        "text_token_counts",
+        "join_revenue_by_nation",
+        "win_rank_orders",
+        "udf_pandas_net_price",
+    ]
+    rest = sorted((n for n in timings if n not in headline),
+                  key=lambda n: -timings[n])
+    compact = dict(full)
+    compact["n_queries"] = len(timings)
+    compact["full"] = "bench_full.json"
+    compact["queries"] = {}
+    budget = 1900
+
+    def _line() -> str:
+        return json.dumps(compact, separators=(",", ":"))
+
+    for name in [*headline, *rest]:
+        if name not in timings:
+            continue
+        compact["queries"][name] = round(timings[name], 2)
+        if len(_line()) > budget:
+            del compact["queries"][name]
+            break
+    print(_line())
     spark.stop()
 
 
