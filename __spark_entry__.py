@@ -66,8 +66,10 @@ _CHECK_FIRST = [
     "pipeline_stratified_sample",
     "pipeline_pack_sequences",
     "text_ngram_profile",
+    "sim_ann_lsh_signed",
+    "emb_quantize_int8",
+    "pipeline_domain_mix",
     # --- regression guards (green before; cover this round's code edits) ---
-    "datetime_funcs",
     "mq_source_batch_drain",
     "mq_source_stream_drain",
     "mq_source_destructive_drain",
@@ -89,9 +91,7 @@ _CHECK_FIRST = [
     "stream_session_windows_append",
     "set_union_by_name",
     "agg_monthly_orders",
-    "agg_pivot_event_types",
     "join_revenue_by_nation",
-    "join_asof_click_before_purchase",
     "udf_pandas_net_price",
     "udaf_grouped_weighted_avg",
     "sort_within_partitions",

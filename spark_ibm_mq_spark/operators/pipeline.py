@@ -152,6 +152,83 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_domain_mix",
+    oracle="""
+    WITH counts AS (
+        SELECT source, count(*) AS n,
+               1 + (ascii(substr(md5(source), 1, 1)) % 4) AS w
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS t, CAST(sum(w) AS BIGINT) AS sw
+        FROM counts
+    ),
+    th AS (
+        SELECT source,
+               printf('%08x',
+                      CAST(least(floor(least(CAST(1.0 AS DOUBLE),
+                                             CAST(0.4 AS DOUBLE) * t * w / sw / n)
+                                       * 4294967296.0),
+                                 4294967295.0) AS BIGINT)) AS hx
+        FROM counts, tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN th ON th.source = d.source
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.hx
+    """,
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted domain rebalancing: sample the corpus down to a 40 % doc
+    budget whose per-source allocation follows target weights (here an
+    md5-derived 1–4 weight per source standing in for the hand-tuned domain
+    weights every pretraining mix uses), capped at each source's available
+    docs. Membership is a hash threshold on the stable doc_id — exact,
+    engine-independent, reshuffle-proof — so the driver verifies the
+    PRECISE sample, not just its size.
+
+    Cross-engine float care: the per-source rate `0.4·t·w/Σw/n` is the same
+    double op sequence in both engines (DuckDB's bare 0.4 is DECIMAL, hence
+    the explicit CAST AS DOUBLE), and the comparison itself is integer: the
+    rate maps to a 32-bit threshold rendered as 8 hex chars (`printf`) and
+    compared lexicographically against the md5 prefix — both engines emit
+    lowercase hex, so the string order IS the numeric order.
+
+    Scale shape: a tiny per-source aggregate (20 rows), broadcast back onto
+    a narrow scan — document bodies never shuffle; the filter is a codegen
+    expression. At 100 TB the same plan holds: the rate table stays
+    |sources| rows regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "w", F.lit(1) + (F.ascii(F.substring(F.md5("source"), 1, 1)) % 4)
+    )
+    tot = counts.agg(
+        F.sum("n").cast("bigint").alias("t"), F.sum("w").cast("bigint").alias("sw")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(0.4) * F.col("t") * F.col("w") / F.col("sw") / F.col("n"),
+    )
+    th = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.format_string(
+                "%08x",
+                F.least(
+                    F.floor(rate * F.lit(4294967296.0)).cast("double"),
+                    F.lit(4294967295.0),
+                ).cast("bigint"),
+            ).alias("hx"),
+        )
+    )
+    return (
+        d.join(F.broadcast(th), "source")
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < F.col("hx"))
+        .select("doc_id", "source")
+    )
+
+
+@register(
     "pipeline_pack_sequences",
     oracle="""
     WITH toks AS (

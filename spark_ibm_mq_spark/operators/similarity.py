@@ -75,6 +75,20 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[float(x) for x in row] for row in planes]
 
 
+def _plane_cols(planes: list[list[float]]) -> list:
+    """One Column per hyperplane, built from a single SQL string each.
+
+    Building the literal matrix element-by-element (F.array of F.array of
+    F.lit) costs one py4j round-trip per element — 512 driver→JVM calls per
+    plan construction for 8×64 planes, re-paid on every invocation (bench
+    median-of-3 pays it three times). `repr(float)` is shortest-round-trip,
+    so the parsed doubles are bit-identical to the Python values."""
+    return [
+        F.expr("array(" + ", ".join(f"{v!r}D" for v in row) + ")")
+        for row in planes
+    ]
+
+
 @register("sim_ann_lsh")  # rows-only: plane literals impractical as SQL oracle
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: 8 sign bits → bucket id; queries probe
@@ -88,12 +102,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     dim = 64
     n_planes = 8
-    planes = _hyperplanes(dim, n_planes)
-    planes_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    plane_cols = _plane_cols(_hyperplanes(dim, n_planes))
 
     def bucket_of(vec_col):
         bits = [
-            F.when(dot(vec_col, planes_col.getItem(i)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            F.when(dot(vec_col, plane_cols[i]) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
             for i in range(n_planes)
         ]
         return sum(bits)
@@ -265,4 +278,182 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= _TOP_K)
         .select("q_id", "n_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Signed-LSH ANN — ±1 hyperplanes from md5, so the whole index is oracled
+# ---------------------------------------------------------------------------
+
+_SIGNED_N_PLANES = 8
+_SIGNED_DIM = 64
+
+
+def _signed_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """±1 hyperplanes derived from md5 — deterministic WITHOUT an RNG, so
+    the exact same matrix is reproducible in SQL-literal form for the
+    oracle. Sign of component (p, d) = parity of the first hex digit of
+    md5("plane{p}:{d}"). ±1 planes are the classic cheap sign-random
+    projection: E[cos angle preserved] matches Gaussian planes for LSH
+    bucketing purposes while every dot product stays an exact ±sum."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"plane{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+_SIGNED = _signed_planes(_SIGNED_DIM, _SIGNED_N_PLANES)
+_SIGNED_VALUES = ", ".join(
+    f"({1 << p}, [{', '.join('1.0' if v > 0 else '-1.0' for v in row)}]::DOUBLE[])"
+    for p, row in enumerate(_SIGNED)
+)
+_SIGNED_FLIPS = "[" + ", ".join(str(x) for x in [0, *(1 << p for p in range(_SIGNED_N_PLANES))]) + "]"
+
+
+@register(
+    "sim_ann_lsh_signed",
+    oracle=f"""
+    WITH planes AS (SELECT * FROM (VALUES {_SIGNED_VALUES}) t(bit, pv)),
+    bucketed AS (
+        SELECT vec_id, embedding,
+               CAST(sum(CASE WHEN pdot >= 0 THEN bit ELSE 0 END) AS BIGINT) AS bucket
+        FROM (
+            SELECT e.vec_id, e.embedding, pl.bit,
+                   list_aggregate(list_transform(list_zip(e.embedding::DOUBLE[], pl.pv),
+                                  z -> z[1] * z[2]), 'sum') AS pdot
+            FROM embeddings e CROSS JOIN planes pl
+        )
+        GROUP BY vec_id, embedding
+    ),
+    probe AS (
+        SELECT b.vec_id AS q_id, b.embedding AS qe, xor(b.bucket, f.flip) AS bucket
+        FROM bucketed b CROSS JOIN (SELECT unnest({_SIGNED_FLIPS}) AS flip) f
+        WHERE b.vec_id < {_N_QUERIES}
+    )
+    SELECT q_id, n_id, cos_sim, rank FROM (
+        SELECT p.q_id, c.vec_id AS n_id,
+               round({_cos_sql('p.qe', 'c.embedding')}, 4) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY p.q_id
+                   ORDER BY round({_cos_sql('p.qe', 'c.embedding')}, 6) DESC, c.vec_id
+               ) AS rank
+        FROM probe p JOIN bucketed c ON c.bucket = p.bucket
+        WHERE c.vec_id != p.q_id
+    ) WHERE rank <= {_TOP_K}
+    """,
+)
+def sim_ann_lsh_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-oracled LSH ANN: same bucket/multi-probe/rerank shape as
+    `sim_ann_lsh`, but the hyperplanes are md5-derived ±1 vectors baked as
+    literals into BOTH plans, so bucket assignment, probing, and the final
+    top-k are all value-checked against DuckDB (the Gaussian-plane variant
+    stays rows-only and carries its recall column instead).
+
+    Scale shape: bucket is a per-row expression in the scan stage — no
+    corpus shuffle to index; at 100 TB write the corpus once as
+    bucket-partitioned parquet and every query batch joins on bucket with
+    the (tiny) probe list broadcast. Cross-engine determinism: a ±1 dot
+    product is a sequential ±sum fold, bit-identical in Spark's
+    `aggregate` and DuckDB's `list_aggregate`; the sign threshold and the
+    6-decimal-rounded rerank ordering therefore agree."""
+    e = load_table(spark, sf_dir, "embeddings")
+    plane_cols = _plane_cols(_SIGNED)
+
+    def bucket_of(vec_col):
+        bits = [
+            F.when(dot(vec_col, plane_cols[p]) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(_SIGNED_N_PLANES)
+        ]
+        return sum(bits)
+
+    corpus = e.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne")
+    ).withColumn("bucket", bucket_of(F.col("ne")))
+    probes = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+        .withColumn("bucket0", bucket_of(F.col("qe")))
+        .select(
+            "q_id",
+            "qe",
+            F.explode(
+                F.array(
+                    F.col("bucket0"),
+                    *[
+                        F.col("bucket0").bitwiseXOR(F.lit(1 << p))
+                        for p in range(_SIGNED_N_PLANES)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("n_id")
+    )
+    return (
+        F.broadcast(probes)
+        .join(corpus, "bucket")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("cos_raw", cosine_similarity(F.col("qe"), F.col("ne")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "n_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization manifest — the storage-side half of similarity at scale
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           round(amax, 6) AS scale_q,
+           array_to_string(list_transform(ed,
+               v -> CAST(round(v * 127.0 / amax) AS BIGINT)), ',') AS codes_csv
+    FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS ed,
+               list_aggregate(list_transform(embedding::DOUBLE[], v -> abs(v)), 'max') AS amax
+        FROM embeddings
+    )
+    WHERE amax > 0
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector absmax int8 quantization — the 4× storage/bandwidth cut
+    every large ANN index takes before sharding (codes + one scale per
+    vector reconstruct to within 1/254 of absmax). Emitted as a CSV string
+    because raw array cells crash the driver comparator's row sort
+    (CORRECTNESS_r04 `mm_decode_features`); downstream operators would read
+    the arrays from parquet, not this manifest.
+
+    Determinism: abs/max are exact on the float→double-widened values;
+    `v * 127.0 / amax` is the same double op sequence in both engines and
+    both round half-away-from-zero at scale 0. Scale shape: pure per-row
+    expression — one narrow scan, zero shuffles, embarrassingly parallel."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    with_amax = e.select(
+        "vec_id",
+        ed.alias("ed"),
+        F.array_max(F.transform(ed, lambda v: F.abs(v.cast("double")))).alias("amax"),
+    )
+    codes = F.concat_ws(
+        ",",
+        F.transform(
+            "ed",
+            lambda v: F.round(v * F.lit(127.0) / F.col("amax")).cast("bigint").cast("string"),
+        ),
+    )
+    return with_amax.filter(F.col("amax") > 0).select(
+        "vec_id",
+        F.round("amax", 6).alias("scale_q"),
+        codes.alias("codes_csv"),
     )

