@@ -69,6 +69,8 @@ _CHECK_FIRST = [
     "sim_ann_lsh_signed",
     "emb_quantize_int8",
     "pipeline_domain_mix",
+    "scale_bucketed_cell_manifest",
+    "scale_partitioned_scan_pruned",
     # --- regression guards (green before; cover this round's code edits) ---
     "mq_source_batch_drain",
     "mq_source_stream_drain",
@@ -80,7 +82,6 @@ _CHECK_FIRST = [
     "sim_ann_ivf",
     "sim_topk_bruteforce",
     "text_quality_stats",
-    "text_lang_id",
     "text_fingerprint",
     "pricing_summary",
     "tpch_q5_local_supplier_volume",
@@ -90,7 +91,6 @@ _CHECK_FIRST = [
     "stream_tumbling_counts_append",
     "stream_session_windows_append",
     "set_union_by_name",
-    "agg_monthly_orders",
     "join_revenue_by_nation",
     "udf_pandas_net_price",
     "udaf_grouped_weighted_avg",

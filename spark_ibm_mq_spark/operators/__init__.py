@@ -12,6 +12,7 @@ from spark_ibm_mq_spark.operators import (  # noqa: F401
     multimodal,
     pipeline,
     projections,
+    scale_layout,
     similarity,
     sorts_sets,
     streaming_analytics,
@@ -32,6 +33,7 @@ _ALL_MODULES = [
     "multimodal",
     "pipeline",
     "projections",
+    "scale_layout",
     "similarity",
     "sorts_sets",
     "streaming_analytics",

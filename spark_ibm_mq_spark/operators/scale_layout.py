@@ -1,0 +1,222 @@
+"""Physical-layout scale techniques as driver-checked queries.
+
+The dedup/ANN docstrings promise "at 100 TB, write the corpus ONCE as
+cell-bucketed parquet / date-partitioned parquet and amortize it across
+query batches". These two queries RUN that promise at fixture scale: each
+materializes the layout once per (session, fixture), then answers from it —
+the bucketed self-join with zero exchanges, the partitioned scan with
+partition pruning — and both carry full DuckDB value-parity oracles over
+the *logical* result, which is layout-independent by construction.
+
+Scratch layout lives in tmp and is removed at interpreter exit (same
+contract as the MQ drain queries' broker copies, ADVICE r4).
+"""
+
+from __future__ import annotations
+
+import atexit
+import hashlib
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from spark_ibm_mq_spark.functions.vector import dot, l2_norm
+from spark_ibm_mq_spark.operators.dedup import _COS_CELLS, _UNIT_SQL, _dot_sql
+from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
+from spark_ibm_mq_spark.registry import register
+from spark_ibm_mq_spark.tables import load_table
+
+_SCRATCH: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH]
+        )
+    _SCRATCH.append(d)
+    return d
+
+
+def _tag(sf_dir: str) -> str:
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+
+
+# ---------------------------------------------------------------------------
+# Bucketed cell layout: self-join and aggregates with ZERO exchanges
+# ---------------------------------------------------------------------------
+
+_ASSIGN_SQL = f"""
+    unit AS (SELECT vec_id, {_UNIT_SQL} AS u FROM embeddings),
+    cent AS (SELECT vec_id AS cell, u AS cu FROM unit ORDER BY vec_id LIMIT {_COS_CELLS}),
+    assign AS (
+        SELECT vec_id, u, cell FROM (
+            SELECT e.vec_id, e.u, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round({_dot_sql('e.u', 'c.cu')}, 6) DESC, c.cell) AS rn
+            FROM unit e CROSS JOIN cent c
+        ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "scale_bucketed_cell_manifest",
+    oracle=f"""
+    WITH {_ASSIGN_SQL},
+    pairs AS (
+        SELECT a.cell, {_dot_sql('a.u', 'b.u')} AS cos
+        FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT c.cell, c.n_vecs,
+           CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_pairs,
+           round(p.max_cos, 4)                  AS max_cos
+    FROM (SELECT cell, count(*) AS n_vecs FROM assign GROUP BY cell) c
+    LEFT JOIN (SELECT cell,
+                      sum(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS n_dup,
+                      max(cos)                                    AS max_cos
+               FROM pairs GROUP BY cell) p USING (cell)
+    """,
+)
+def scale_bucketed_cell_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-once bucketed layout the cell-blocked dedup/ANN operators
+    promise: nearest-centroid cell assignment is computed ONCE and saved as
+    a parquet table bucketed (and sorted) by cell; the within-cell pair
+    scan, both per-cell aggregates, and the manifest join then all run with
+    ZERO exchanges — every operator's required distribution is satisfied by
+    the bucketing (plan-asserted in tests). At 100 TB this is the
+    difference between shuffling the corpus per batch of queries and
+    reading co-located buckets; re-runs in the same session reuse the
+    table, mirroring the amortized index build.
+
+    Output: per-cell index manifest (population, near-dup pair count at
+    cosine ≥ 0.4, max pair cosine) — the stats a shard planner reads.
+    Determinism: assignment and pair cosines are the same sequential double
+    folds as `dedup_embedding_cosine` (dedup.py); the oracle states the
+    logical result, which is independent of the physical layout."""
+    tbl = f"emb_cells_bkt_{_tag(sf_dir)}"
+    if not spark.catalog.tableExists(tbl):
+        e = load_table(spark, sf_dir, "embeddings")
+        unit = (
+            e.select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+            )
+            .withColumn("nrm", l2_norm(F.col("ed")))
+            .select("vec_id", F.transform("ed", lambda x: x / F.col("nrm")).alias("u"))
+        )
+        cent = F.broadcast(
+            unit.orderBy("vec_id").limit(_COS_CELLS).select(
+                F.col("vec_id").alias("cell"), F.col("u").alias("cu")
+            )
+        )
+        w_assign = Window.partitionBy("vec_id").orderBy(
+            F.round(F.col("c_sim"), 6).desc(), F.col("cell")
+        )
+        assign = (
+            unit.crossJoin(cent)
+            .withColumn("c_sim", dot(F.col("u"), F.col("cu")))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "u", "cell")
+        )
+        (
+            assign.write.bucketBy(8, "cell")
+            .sortBy("cell", "vec_id")
+            .option("path", _scratch_dir("bkt_cells_"))
+            .saveAsTable(tbl)
+        )
+    t = spark.table(tbl)
+    a = t.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"), "cell")
+    b = t.select(
+        F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"), F.col("cell").alias("cell_b")
+    )
+    cos = F.aggregate(
+        F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pair_stats = (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("cell", cos.alias("cos"))
+        .groupBy("cell")
+        .agg(
+            F.sum(F.when(F.col("cos") >= 0.4, 1).otherwise(0)).alias("n_dup"),
+            F.max("cos").alias("mx"),
+        )
+    )
+    vec_counts = t.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        vec_counts.join(pair_stats, "cell", "left")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.round("mx", 4).alias("max_cos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date-partitioned layout: scan that prunes partitions, not filters rows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scale_partitioned_scan_pruned",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT CAST(ts AS DATE) AS event_date,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 4) AS total_value
+    FROM ev
+    WHERE CAST(ts AS DATE) <= (SELECT min(CAST(ts AS DATE)) + 6 FROM ev)
+    GROUP BY 1, 2
+    """,
+)
+def scale_partitioned_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning made literal: events are rewritten ONCE per
+    (session, fixture) as date-partitioned parquet (`event_date=.../`), and
+    the query filters on the partition column with a plan-time literal — so
+    the scan's PartitionFilters prune whole directories and the files for
+    the other ~3 weeks of data are never opened (plan-asserted in tests).
+    At 100 TB date-partitioning is the first layout decision any event
+    table makes; this is the read path it buys.
+
+    The cutoff (min date + 6 days) is resolved driver-side from a
+    min-aggregate job over the tiny date column — one scalar, fetched
+    before planning precisely so the pruning is static rather than a
+    runtime subquery (the same reason a real pipeline templates its date
+    literals into the query). Oracle states the identical logical result
+    over the unpartitioned fixture."""
+    tag = _tag(sf_dir)
+    d = os.path.join(tempfile.gettempdir(), f"events_by_date_{tag}")
+    marker = os.path.join(d, "_LAYOUT_COMPLETE")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.col("ts").cast("date")
+        )
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(d)
+        with open(marker, "w") as f:
+            f.write("ok")
+        if not _SCRATCH:
+            atexit.register(
+                lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH]
+            )
+        _SCRATCH.append(d)
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.date_add(F.min(F.col("ts").cast("date")), 6).alias("c"))
+        .collect()[0]["c"]
+    )
+    part = spark.read.parquet(d).withColumn(
+        "event_date", F.col("event_date").cast("date")
+    )
+    return (
+        part.filter(F.col("event_date") <= F.lit(cutoff))
+        .groupBy("event_date", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )

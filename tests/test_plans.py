@@ -177,3 +177,27 @@ def test_quantize_int8_no_shuffle(spark):
     df = registry.QUERIES["emb_quantize_int8"](spark, SF_DIR)
     plan = executed_plan(df)
     assert "Exchange" not in plan, plan[:800]  # pure per-row expression pass
+
+
+def test_bucketed_cell_manifest_zero_exchanges(spark):
+    """The whole point of the bucketed layout: self-join, both aggregates,
+    and the manifest join all satisfied by bucketing — no shuffle anywhere
+    (broadcast of the tiny pair-stats side is allowed)."""
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["scale_bucketed_cell_manifest"](spark, SF_DIR)
+    df.collect()
+    plan = executed_plan(df)
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["scale_partitioned_scan_pruned"](spark, SF_DIR)
+    plan = executed_plan(df)
+    # the filter must reach PartitionFilters (directory pruning), not be a
+    # post-scan row filter
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "event_date" in seg, seg
