@@ -71,6 +71,7 @@ _CHECK_FIRST = [
     "pipeline_domain_mix",
     "scale_bucketed_cell_manifest",
     "scale_partitioned_scan_pruned",
+    "scale_salted_agg",
     # --- regression guards (green before; cover this round's code edits) ---
     "mq_source_batch_drain",
     "mq_source_stream_drain",
@@ -81,7 +82,6 @@ _CHECK_FIRST = [
     "dedup_embedding_cosine",
     "sim_ann_ivf",
     "sim_topk_bruteforce",
-    "text_quality_stats",
     "text_fingerprint",
     "pricing_summary",
     "tpch_q5_local_supplier_volume",

@@ -160,6 +160,44 @@ def scale_bucketed_cell_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Salted two-phase aggregation: the hot-key spread, value-identical
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scale_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                 AS n,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def scale_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting as a first-class operator, not just a test: `l_returnflag`
+    has a 3-value domain, so an unsalted aggregation over a 100 TB lineitem
+    lands ALL rows on 3 reducers no matter how many executors exist — the
+    canonical low-cardinality/hot-key shuffle. Salt = `pmod(xxhash64(key),
+    16)` fans each flag across 16 partial groups (48 reducers carry the
+    combine), and the second phase folds 48 tiny partials. The oracle is
+    the PLAIN aggregation — proving the rewrite is value-identical is the
+    entire point (partial sums reassociate double addition; the query's
+    round(.,4) convention absorbs that, same as every sum in the suite)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("l_quantity").alias("ps"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("ps"), 4).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Date-partitioned layout: scan that prunes partitions, not filters rows
 # ---------------------------------------------------------------------------
 
