@@ -72,6 +72,7 @@ _CHECK_FIRST = [
     "scale_bucketed_cell_manifest",
     "scale_partitioned_scan_pruned",
     "scale_salted_agg",
+    "mq_scd2_history",
     # --- regression guards (green before; cover this round's code edits) ---
     "mq_source_batch_drain",
     "mq_source_stream_drain",
@@ -87,7 +88,6 @@ _CHECK_FIRST = [
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customers",
     "win_rank_orders",
-    "win_running_totals",
     "stream_tumbling_counts_append",
     "stream_session_windows_append",
     "set_union_by_name",

@@ -203,3 +203,41 @@ def mq_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gap") >= 500)
     )
+
+
+@register(
+    "mq_scd2_history",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT user_id,
+           event_type AS state,
+           ts         AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+               AS is_current,
+           event_id   AS change_seq
+    FROM ev
+    """,
+)
+def mq_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build — the other half of the replication contract: where
+    `mq_latest_wins` keeps only the newest row per key (README.md:59's
+    DB2QREP pattern), a warehouse consumer turns the SAME ordered change
+    stream into slowly-changing-dimension rows with validity intervals:
+    [valid_from, valid_to) = this change's put time until the next change
+    for the key, open-ended (is_current) for the newest. One window over
+    the reference's total order (put_ts, seq_no → ts, event_id;
+    IBMMQReceiver.java:259) — a single shuffle on the replication key, and
+    at 100 TB the interval build stays one pass because `lead` needs no
+    second join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.col("event_id").alias("change_seq"),
+    )
