@@ -73,6 +73,7 @@ _CHECK_FIRST = [
     "scale_partitioned_scan_pruned",
     "scale_salted_agg",
     "mq_scd2_history",
+    "stream_seq_gap_monitor",
     # --- regression guards (green before; cover this round's code edits) ---
     "mq_source_batch_drain",
     "mq_source_stream_drain",
@@ -93,7 +94,6 @@ _CHECK_FIRST = [
     "set_union_by_name",
     "join_revenue_by_nation",
     "udf_pandas_net_price",
-    "udaf_grouped_weighted_avg",
     "sort_within_partitions",
 ]
 

@@ -413,3 +413,35 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (c.c_ts <= p.p_ts),
     ).select("p_id", "c_id", "user_id")
     return _run_to_memory(joined, "append")
+
+
+@register(
+    "stream_seq_gap_monitor",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT user_id, prev_id, event_id, gap FROM (
+        SELECT user_id,
+               lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id,
+               event_id,
+               event_id - lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+        FROM ev
+    ) WHERE gap >= 500
+    """,
+)
+def stream_seq_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arbitrary-stateful operator (reference R5 generalized:
+    lastTs/lastSeqNo carry-over, IBMMQReceiver.java:216-217,266-267) as a
+    REAL streaming run with a full value oracle: per-user last-seen
+    event_id carried in GroupState across micro-batches, one row per
+    detected id gap ≥ 500. The fixture replays as a single availableNow
+    batch, so the stateful scan order (ids sorted within batch per user)
+    equals the batch lag() order and the output is engine-deterministic —
+    restart/multi-batch state carry-over is exercised separately in
+    tests/test_streaming.py. State: one bigint per user, shuffle on
+    user_id only; at 100 TB this is the bounded-state monitor shape
+    (state size = |keys|, not |events|)."""
+    from spark_ibm_mq_spark.streaming.stateful import seq_gap_monitor
+
+    ev = events_file_stream(spark, sf_dir).select("user_id", "event_id")
+    out = _run_to_memory(seq_gap_monitor(ev), "append")
+    return out.select("user_id", "prev_id", "event_id", "gap")
