@@ -98,39 +98,7 @@ def scale_bucketed_cell_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: assignment and pair cosines are the same sequential double
     folds as `dedup_embedding_cosine` (dedup.py); the oracle states the
     logical result, which is independent of the physical layout."""
-    tbl = f"emb_cells_bkt_{_tag(sf_dir)}"
-    if not spark.catalog.tableExists(tbl):
-        e = load_table(spark, sf_dir, "embeddings")
-        unit = (
-            e.select(
-                "vec_id",
-                F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
-            )
-            .withColumn("nrm", l2_norm(F.col("ed")))
-            .select("vec_id", F.transform("ed", lambda x: x / F.col("nrm")).alias("u"))
-        )
-        cent = F.broadcast(
-            unit.orderBy("vec_id").limit(_COS_CELLS).select(
-                F.col("vec_id").alias("cell"), F.col("u").alias("cu")
-            )
-        )
-        w_assign = Window.partitionBy("vec_id").orderBy(
-            F.round(F.col("c_sim"), 6).desc(), F.col("cell")
-        )
-        assign = (
-            unit.crossJoin(cent)
-            .withColumn("c_sim", dot(F.col("u"), F.col("cu")))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "u", "cell")
-        )
-        (
-            assign.write.bucketBy(8, "cell")
-            .sortBy("cell", "vec_id")
-            .option("path", _scratch_dir("bkt_cells_"))
-            .saveAsTable(tbl)
-        )
-    t = spark.table(tbl)
+    t = _cell_table(spark, sf_dir)
     a = t.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"), "cell")
     b = t.select(
         F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"), F.col("cell").alias("cell_b")
@@ -157,6 +125,57 @@ def scale_bucketed_cell_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mx", 4).alias("max_cos"),
         )
     )
+
+
+def _cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid cell assignment (same folds as dedup_embedding_cosine)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    unit = (
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+        )
+        .withColumn("nrm", l2_norm(F.col("ed")))
+        .select("vec_id", F.transform("ed", lambda x: x / F.col("nrm")).alias("u"))
+    )
+    cent = F.broadcast(
+        unit.orderBy("vec_id").limit(_COS_CELLS).select(
+            F.col("vec_id").alias("cell"), F.col("u").alias("cu")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("c_sim"), 6).desc(), F.col("cell")
+    )
+    return (
+        unit.crossJoin(cent)
+        .withColumn("c_sim", dot(F.col("u"), F.col("cu")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "u", "cell")
+    )
+
+
+def _cell_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cell-assignment frame, served from the bucketed table (written
+    once per session). If the environment can't host a catalog table (e.g.
+    a read-only working directory for the warehouse dir), fall back to the
+    logical frame repartitioned by cell — values identical, only the
+    zero-exchange physical property is lost (the plan test runs where
+    bucketing works)."""
+    tbl = f"emb_cells_bkt_{_tag(sf_dir)}"
+    if spark.catalog.tableExists(tbl):
+        return spark.table(tbl)
+    assign = _cell_assignment(spark, sf_dir)
+    try:
+        (
+            assign.write.bucketBy(8, "cell")
+            .sortBy("cell", "vec_id")
+            .option("path", _scratch_dir("bkt_cells_"))
+            .saveAsTable(tbl)
+        )
+        return spark.table(tbl)
+    except Exception:
+        return assign.repartition(8, "cell")
 
 
 # ---------------------------------------------------------------------------
