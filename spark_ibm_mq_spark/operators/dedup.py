@@ -610,32 +610,29 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     this loop is the two-phase special case of. The oracle states the same
     fixpoint as a recursive CTE (min reachable id), which DuckDB can run at
     fixture scale."""
-    # Materialize the pair generation ONCE at full session parallelism
-    # (otherwise every round re-runs the Jaccard join — and the narrowed
-    # shuffle width below must not apply to this corpus-scale join).
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # One materialization: the corpus-scale Jaccard join executes at full
+    # session width (the conf narrows only AFTER this checkpoint runs) and
+    # the explicit repartition(8) leaves the edge list on the handful of
+    # partitions the iteration wants — the label graph is orders of
+    # magnitude smaller than the corpus, so per-round cost is task
+    # scheduling, not data. A 100 TB graph raises this dial (or leaves it
+    # to AQE); the loop shape is unchanged.
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .repartition(8, "src")
+        .localCheckpoint()
     )
-    # The label graph is orders of magnitude smaller than the corpus (only
-    # near-dup members appear), so the iteration runs on a handful of
-    # partitions: per-round overhead is task scheduling, not data. Scoped
-    # like streaming's _run_to_memory; a 100 TB graph raises this dial (or
-    # leaves it to AQE) — the loop shape is unchanged.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        edges = (
-            pairs.union(pairs.select("doc_b", "doc_a"))
-            .toDF("src", "dst")
-            .repartition(8, "src")
-            .localCheckpoint()
-        )
         labels = (
             edges.select(F.col("src").alias("v")).distinct()
             .withColumn("label", F.col("v"))
             .localCheckpoint()
         )
-        for _ in range(32):
+        for rnd in range(32):
             nbr = (
                 edges.join(labels, edges.src == labels.v)
                 .groupBy(F.col("dst").alias("nv"))
@@ -646,14 +643,24 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(nbr, F.col("v") == F.col("nv"), "left")
                 .select("v", "old", F.least("old", "nbr_min").alias("mid"))
             )
-            lref = labels.select(F.col("v").alias("rv"), F.col("label").alias("rlabel"))
-            new_labels = (
-                l1.join(lref, l1.mid == lref.rv, "left")
-                .select(
-                    "v", "old", F.least("mid", F.coalesce("rlabel", "mid")).alias("label")
+            if rnd == 0:
+                # pointer jump is a no-op while labels are still identity
+                new_labels = l1.select(
+                    "v", "old", F.col("mid").alias("label")
+                ).localCheckpoint()
+            else:
+                lref = labels.select(
+                    F.col("v").alias("rv"), F.col("label").alias("rlabel")
                 )
-                .localCheckpoint()
-            )
+                new_labels = (
+                    l1.join(lref, l1.mid == lref.rv, "left")
+                    .select(
+                        "v",
+                        "old",
+                        F.least("mid", F.coalesce("rlabel", "mid")).alias("label"),
+                    )
+                    .localCheckpoint()
+                )
             changed = new_labels.filter(F.col("label") != F.col("old")).count()
             labels = new_labels.drop("old")
             if changed == 0:
