@@ -110,7 +110,7 @@ def main() -> None:
     headline = [
         "pricing_summary",
         *sorted(n for n in timings if n.startswith("tpch_")),
-        *sorted(n for n in timings if n.startswith(("dedup_", "sim_"))),
+        *sorted(n for n in timings if n.startswith(("dedup_", "sim_", "scale_"))),
         "mq_source_stream_drain",
         "mq_source_batch_drain",
         "mq_source_destructive_drain",
