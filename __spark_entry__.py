@@ -74,6 +74,7 @@ _CHECK_FIRST = [
     "scale_salted_agg",
     "mq_scd2_history",
     "stream_seq_gap_monitor",
+    "pipeline_pretrain_manifest",
     # --- regression guards (green before; cover this round's code edits) ---
     "mq_source_batch_drain",
     "mq_source_stream_drain",
@@ -94,7 +95,6 @@ _CHECK_FIRST = [
     "set_union_by_name",
     "join_revenue_by_nation",
     "udf_pandas_net_price",
-    "sort_within_partitions",
 ]
 
 

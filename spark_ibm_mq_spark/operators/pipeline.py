@@ -288,3 +288,88 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "pipeline_pretrain_manifest",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, text,
+               len(string_split_regex(trim(text), '\\s+')) AS n_toks
+        FROM documents
+    ),
+    gated AS (
+        SELECT * FROM toks WHERE n_toks BETWEEN 10 AND 5000
+    ),
+    deduped AS (
+        SELECT lang, min(doc_id) AS keep_id, any_value(n_toks) AS n_toks
+        FROM gated GROUP BY sha256(text), lang
+    ),
+    split AS (
+        SELECT lang, keep_id, n_toks,
+               CASE WHEN substr(md5(CAST(keep_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM deduped
+    ),
+    placed AS (
+        SELECT lang, split, n_toks, keep_id,
+               CAST(sum(n_toks) OVER (PARTITION BY lang, split ORDER BY keep_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_toks AS off
+        FROM split
+    )
+    SELECT lang, split,
+           CAST(off // 2048 AS BIGINT) AS chunk_id,
+           count(*)                    AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS chunk_tokens,
+           min(keep_id)                AS first_doc
+    FROM placed GROUP BY 1, 2, 3
+    """,
+)
+def pipeline_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining-data program as ONE DataFrame chain:
+    length gate → exact content dedup (keep lowest doc_id per sha256×lang)
+    → deterministic md5 train/test split → per-(lang, split) 2048-token
+    sequence packing → chunk manifest. Each stage exists standalone in this
+    package; the point of the composite is that the WHOLE pipeline stays a
+    single declarative plan Catalyst can see through — the gate is a
+    codegen filter on the scan, bodies leave the wire after the sha256
+    groupBy (only hashes/counts shuffle), and the split column costs no
+    extra pass because it's an expression over the dedup key.
+
+    Shuffles: one on the 32-byte hash, one on (lang, split) reused by the
+    packing window AND the final aggregate (same partitioning) — at 100 TB
+    neither moves document text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split(F.trim("text"), "\\s+")).alias("n_toks"),
+    )
+    gated = toks.filter(F.col("n_toks").between(10, 5000))
+    deduped = gated.groupBy(F.sha2("text", 256).alias("h"), "lang").agg(
+        F.min("doc_id").alias("keep_id"), F.any_value("n_toks").alias("n_toks")
+    )
+    split = deduped.withColumn(
+        "split",
+        F.when(
+            F.substring(F.md5(F.col("keep_id").cast("string")), 1, 2) < "e6", "train"
+        ).otherwise("test"),
+    )
+    w = (
+        Window.partitionBy("lang", "split")
+        .orderBy("keep_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = split.withColumn(
+        "off", F.sum("n_toks").over(w).cast("bigint") - F.col("n_toks")
+    )
+    return placed.groupBy(
+        "lang",
+        "split",
+        F.floor(F.col("off") / 2048).cast("bigint").alias("chunk_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("chunk_tokens"),
+        F.min("keep_id").alias("first_doc"),
+    )
