@@ -75,6 +75,11 @@ _CHECK_FIRST = [
     "mq_scd2_history",
     "stream_seq_gap_monitor",
     "pipeline_pretrain_manifest",
+    "pipeline_decontaminate",
+    "pipeline_corpus_shuffle",
+    "text_repetition_filter",
+    "text_vocab_build",
+    "text_tfidf_top_terms",
     # --- regression guards (green before; cover this round's code edits) ---
     "mq_source_batch_drain",
     "mq_source_stream_drain",
@@ -85,14 +90,10 @@ _CHECK_FIRST = [
     "dedup_embedding_cosine",
     "sim_ann_ivf",
     "sim_topk_bruteforce",
-    "text_fingerprint",
     "pricing_summary",
-    "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customers",
-    "win_rank_orders",
     "stream_tumbling_counts_append",
     "stream_session_windows_append",
-    "set_union_by_name",
     "join_revenue_by_nation",
     "udf_pandas_net_price",
 ]

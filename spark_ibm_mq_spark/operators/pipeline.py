@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from spark_ibm_mq_spark.functions.text import STOPWORDS_EN, tokens
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import load_table
+from spark_ibm_mq_spark.tables import load_table, spread
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
 
@@ -372,4 +372,133 @@ def pipeline_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("chunk_tokens"),
         F.min("keep_id").alias("first_doc"),
+    )
+
+
+# 4-token shingles for eval-set decontamination; 4 is small enough to fire on
+# the short synthetic fixture docs while keeping the funnel selective (real
+# pipelines use 8-13-gram overlap, same plan shape)
+_DECON_N = 4
+
+_DECON_GRAMS_CTE = """
+    toks AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 3, 0) + 1),
+                   i -> list_aggregate(t[i:i+3], 'string_agg', ' ')))) AS g
+        FROM toks
+    )
+"""
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH {_DECON_GRAMS_CTE},
+    eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+    hits AS (
+        SELECT gr.doc_id, gr.lang, count(*) AS n_shared
+        FROM grams gr JOIN eval_g e ON gr.g = e.g
+        WHERE gr.doc_id % 20 <> 0
+        GROUP BY gr.doc_id, gr.lang
+    ),
+    train AS (SELECT doc_id, lang FROM documents WHERE doc_id % 20 <> 0)
+    SELECT tr.doc_id, tr.lang,
+           CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+           CASE WHEN coalesce(h.n_shared, 0) = 0 THEN 1 ELSE 0 END AS is_clean
+    FROM train tr LEFT JOIN hits h ON tr.doc_id = h.doc_id AND tr.lang = h.lang
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any
+    4-token shingle with the held-out eval slice (doc_id % 20 = 0 stands in
+    for the benchmark set). The shape is the standard n-gram-overlap
+    decontamination pass every pretraining pipeline runs before training.
+
+    Scale shape: shingle generation is a per-row expression (sequence →
+    transform → explode) inside the scan stage; the overlap test is an
+    equi-join on the shingle string — NOT a cross join — so it shuffles on
+    the shingle key and AQE can split hot shingles. At 100 TB the eval side
+    is tiny (a benchmark suite), so the gram join broadcasts; here both
+    sides flow through the same hash join. Only (doc_id, lang, gram) tuples
+    shuffle — never document bodies — and the per-doc hit count collapses
+    map-side before the final left join back onto the narrow train frame."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    grams_arr = F.when(
+        F.size(toks) >= _DECON_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (_DECON_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, _DECON_N)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = spread(d, "doc_id").select(
+        "doc_id", "lang", F.explode(grams_arr).alias("g")
+    )
+    is_eval = F.col("doc_id") % 20 == 0
+    eval_g = grams.filter(is_eval).select("g").distinct()
+    hits = (
+        grams.filter(~is_eval)
+        .join(eval_g, "g")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    train = d.filter(~is_eval).select("doc_id", "lang")
+    n_shared = F.coalesce("n_shared", F.lit(0)).cast("bigint")
+    return train.join(hits, ["doc_id", "lang"], "left").select(
+        "doc_id",
+        "lang",
+        n_shared.alias("n_shared"),
+        F.when(n_shared == 0, 1).otherwise(0).alias("is_clean"),
+    )
+
+
+@register(
+    "pipeline_corpus_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) % 8
+                AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+                    PARTITION BY (strpos('0123456789abcdef', substr(k, 1, 1)) - 1) % 8
+                    ORDER BY k)
+                AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def pipeline_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded corpus shuffle into training shards: every doc
+    gets a reproducible pseudo-random key md5(seed ‖ doc_id), a shard from
+    the key's first hex digit (uniform 16 → 8 fold), and a position within
+    the shard by key order — the (shard, pos) manifest a dataloader streams
+    in "shuffled" order without any engine-side rand().
+
+    Scale shape: this is the scale-correct alternative to a global
+    ORDER BY rand() — shard assignment is a pure expression (no exchange),
+    and the within-shard position is ONE hash exchange on shard + an
+    in-partition sort, instead of a global range exchange over the corpus.
+    Only (doc_id, key) pairs shuffle, never bodies; shards are hash-balanced
+    by construction so there is no skew to salt."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    keyed = d.select("doc_id", k.alias("k"))
+    shard = (
+        F.expr("locate(substring(k, 1, 1), '0123456789abcdef')") - 1
+    ) % 8
+    w = Window.partitionBy("shard").orderBy("k")
+    return (
+        keyed.withColumn("shard", shard.cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("k")
     )

@@ -266,3 +266,179 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("lang", "tri", "n", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id, lang,
+               len(t) AS n_tokens,
+               round(1.0 - len(list_distinct(t)) * 1.0 / greatest(len(t), 1), 4)
+                   AS dup_ratio,
+               round(list_max(list_transform(list_distinct(t),
+                     u -> len(list_filter(t, x -> x = u)))) * 1.0
+                     / greatest(len(t), 1), 4) AS top_share
+        FROM toks
+    )
+    SELECT doc_id, lang, n_tokens, dup_ratio, top_share,
+           CASE WHEN dup_ratio <= 0.55 AND top_share <= 0.12 THEN 1 ELSE 0 END
+               AS keep
+    FROM stats
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition gate (the Gopher-style boilerplate
+    filter a pretraining pipeline runs alongside the length/stopword gate):
+    duplicate-token ratio (1 − distinct/total) and top-token share (most
+    frequent token's fraction), thresholded on the ROUNDED values so the
+    keep flag can't flip on a sub-ulp cross-engine difference.
+
+    Scale shape: pure per-row expressions over one narrow scan — the
+    token multiset never leaves the row, no explode, no shuffle, whole
+    result streams out of the scan stage. The per-doc O(distinct·total)
+    token-count loop is a codegen'd higher-order function, not Python;
+    document length bounds it (docs are KB-scale), not corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    n_dist = F.size(F.array_distinct(toks))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+        )
+    )
+    dup_ratio = F.round(F.lit(1.0) - n_dist / F.greatest(n, F.lit(1)), 4)
+    top_share = F.round(top / F.greatest(n, F.lit(1)), 4)
+    return d.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        dup_ratio.alias("dup_ratio"),
+        top_share.alias("top_share"),
+        F.when((dup_ratio <= 0.55) & (top_share <= 0.12), 1)
+        .otherwise(0)
+        .alias("keep"),
+    )
+
+
+@register(
+    "text_vocab_build",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    counts AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t)
+    SELECT t AS token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, t) AS INTEGER) AS vocab_id
+    FROM counts
+    ORDER BY vocab_id
+    LIMIT 64
+    """,
+)
+def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide vocabulary build: token frequencies ranked into stable
+    vocab ids (count desc, token asc tie-break), truncated to the head of
+    the distribution — the precursor pass of tokenizer training and the
+    tool for spotting corpus-dominating boilerplate tokens. All-integer,
+    so the oracle is exact with zero float care.
+
+    Scale shape: explode stays inside the scan stage; the (token, count)
+    aggregate is map-side-combinable, collapsing the token blow-up to
+    |vocab| partials before the one exchange; the global rank then runs on
+    the tiny counts frame (|vocab| rows, not corpus rows) and the LIMIT
+    cuts it to a constant. At 100 TB this is the canonical word-count —
+    the only thing that ever shuffles is the distinct-token partials."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select(
+        F.explode(tokens("text")).alias("t")
+    )
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    # top-64 via TakeOrderedAndProject FIRST (scales: per-partition heads +
+    # tiny merge, no global sort), then rank the 64 survivors — the global
+    # single-partition window only ever sees a constant-size frame
+    top = counts.orderBy(F.col("n").desc(), "t").limit(64)
+    w = Window.orderBy(F.col("n").desc(), "t")
+    return (
+        top.withColumn("vocab_id", F.row_number().over(w).cast("int"))
+        .select(F.col("t").alias("token"), "n", "vocab_id")
+        .orderBy("vocab_id")
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, t
+    ),
+    df AS (
+        SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY t
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.t, tf.tf, df.df,
+               round(tf.tf * n.n_docs / df.df, 4) AS score
+        FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, t, tf, df, score,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY CAST(tf AS DOUBLE) / df DESC, t) AS rk
+        FROM scored
+    )
+    SELECT doc_id, t AS top_term, tf, df, score
+    FROM ranked WHERE rk = 1
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-distinctive term per document by tf·idf — the per-doc keyword
+    signal quality/topic pipelines use. Determinism note: the idf factor is
+    the LINEAR surrogate n_docs/df rather than ln(n_docs/df) — +, ×, / are
+    IEEE exactly-rounded (bit-identical in Spark and DuckDB) while ln is
+    not reproducibility-guaranteed across engines, and since ln is monotone
+    the per-doc argmax is IDENTICAL under either idf; swapping ln back in
+    is a one-expression change where exactness isn't contractual. The rank
+    key tf/df is one exact-rounded division; ties break on the term.
+
+    Scale shape: two map-side-combinable aggregates off one explode — (doc,
+    term) tf and term df — joined on the term key (shuffle carries counts,
+    never text bodies); n_docs is a scalar broadcast. The per-doc argmax is
+    a window over the tf frame, partitioned on doc_id — the same exchange
+    the tf aggregate already produced, so AQE reuses the partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    # scalar n_docs as a broadcast 1-row frame, not an eager .count() action
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = tf.join(df, "t").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "t",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 4).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), "t"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("t").alias("top_term"), "tf", "df", "score")
+    )
