@@ -80,6 +80,8 @@ _CHECK_FIRST = [
     "text_repetition_filter",
     "text_vocab_build",
     "text_tfidf_top_terms",
+    "events_funnel_conversion",
+    "events_retention_cohort",
     # --- regression guards (green before; cover this round's code edits) ---
     "mq_source_batch_drain",
     "mq_source_stream_drain",
@@ -91,10 +93,8 @@ _CHECK_FIRST = [
     "sim_ann_ivf",
     "sim_topk_bruteforce",
     "pricing_summary",
-    "tpch_q18_large_volume_customers",
     "stream_tumbling_counts_append",
     "stream_session_windows_append",
-    "join_revenue_by_nation",
     "udf_pandas_net_price",
 ]
 

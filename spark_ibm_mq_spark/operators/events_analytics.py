@@ -1,0 +1,159 @@
+"""Event-stream analytics over the batch events table: funnel conversion
+and cohort retention — the product-analytics queries an event-ingest engine
+(the reference's MQ consumers feed exactly this shape of table,
+IBMMQReceiver.java:306-312's (key, body) records parsed into typed events)
+is pointed at.
+
+Scale notes: every stage keys on user_id, so the funnel's three conditional
+min-aggregates and two left joins all share ONE hash partitioning — AQE
+reuses the exchange instead of re-shuffling per stage; only (user_id, ts)
+pairs move, never payloads. Cohort retention is two map-side-combinable
+aggregates over integer week keys.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
+from spark_ibm_mq_spark.registry import register
+from spark_ibm_mq_spark.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+@register(
+    "events_funnel_conversion",
+    oracle=f"""
+    {EVENTS_CTE},
+    v AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS first_click
+        FROM ev e JOIN v ON e.user_id = v.user_id AND e.ts > v.first_view
+        WHERE e.event_type = 'click'
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase
+        FROM ev e JOIN c ON e.user_id = c.user_id AND e.ts > c.first_click
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+           CASE WHEN p.first_purchase IS NOT NULL THEN 3
+                WHEN c.first_click  IS NOT NULL THEN 2
+                ELSE 1 END AS stage_reached
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase funnel per user: first view, first
+    click strictly after it, first purchase strictly after that, plus the
+    stage reached — the conversion-funnel query behind every product
+    dashboard.
+
+    Plan shape: three conditional min-aggregates chained through equi-joins
+    on user_id (the ordering predicate `ts >` rides as a join residual, so
+    these stay hash joins, not BNLJ). Every stage shuffles on the SAME key,
+    so the exchange is planned once and reused; at 100 TB the stage frames
+    are |users| rows — small — and broadcast into the next event scan."""
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .alias("e")
+        .join(
+            v.alias("v"),
+            (F.col("e.user_id") == F.col("v.user_id"))
+            & (F.col("e.ts") > F.col("v.first_view")),
+        )
+        .groupBy(F.col("e.user_id").alias("user_id"))
+        .agg(F.min("e.ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .alias("e")
+        .join(
+            c.alias("c"),
+            (F.col("e.user_id") == F.col("c.user_id"))
+            & (F.col("e.ts") > F.col("c.first_click")),
+        )
+        .groupBy(F.col("e.user_id").alias("user_id"))
+        .agg(F.min("e.ts").alias("first_purchase"))
+    )
+    stage = (
+        F.when(F.col("first_purchase").isNotNull(), 3)
+        .when(F.col("first_click").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            stage.alias("stage_reached"),
+        )
+    )
+
+
+@register(
+    "events_retention_cohort",
+    oracle=f"""
+    {EVENTS_CTE},
+    base AS (
+        SELECT user_id,
+               CAST(floor(date_diff('day', TIMESTAMP '2024-01-01', ts) / 7)
+                    AS INTEGER) AS wk
+        FROM ev
+    ),
+    cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM base GROUP BY user_id)
+    SELECT c.cohort_wk,
+           b.wk - c.cohort_wk AS week_offset,
+           CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_active
+    FROM base b JOIN cohort c ON b.user_id = c.user_id
+    GROUP BY c.cohort_wk, b.wk - c.cohort_wk
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week, then
+    distinct actives counted per (cohort week, weeks-since-cohort) — the
+    retention-triangle query. Week index is an integer day-diff / 7 from a
+    fixed epoch, identical arithmetic in both engines (no timezone or
+    truncation semantics in play).
+
+    Plan shape: one narrow scan → integer week expression → a per-user min
+    (map-side combinable, |users| rows out) joined back on user_id, then a
+    count-distinct over integer keys. The cohort frame is tiny at any scale
+    and broadcasts; the expensive input never shuffles twice."""
+    base = _events(spark, sf_dir).select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp")) / 7
+        )
+        .cast("int")
+        .alias("wk"),
+    )
+    cohort = base.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        base.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
