@@ -82,6 +82,7 @@ _CHECK_FIRST = [
     "text_tfidf_top_terms",
     "events_funnel_conversion",
     "events_retention_cohort",
+    "join_interval_bucketed",
     # --- regression guards (green before; cover this round's code edits) ---
     "mq_source_batch_drain",
     "mq_source_stream_drain",
@@ -91,7 +92,6 @@ _CHECK_FIRST = [
     "dedup_minhash_lsh_md5",
     "dedup_embedding_cosine",
     "sim_ann_ivf",
-    "sim_topk_bruteforce",
     "pricing_summary",
     "stream_tumbling_counts_append",
     "stream_session_windows_append",

@@ -157,3 +157,61 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "join_interval_bucketed",
+    oracle=f"""
+    {EVENTS_CTE},
+    err AS (
+        SELECT event_id AS err_id, ts AS t0, ts + INTERVAL 10 MINUTE AS t1
+        FROM ev WHERE event_type = 'error'
+    ),
+    clk AS (SELECT event_id AS clk_id, ts FROM ev WHERE event_type = 'click')
+    SELECT e.err_id, CAST(count(c.clk_id) AS BIGINT) AS n_clicks
+    FROM err e LEFT JOIN clk c ON c.ts >= e.t0 AND c.ts < e.t1
+    GROUP BY e.err_id
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via time-bucketing — clicks counted inside each
+    error's [ts, ts+10 min) incident window. The oracle states the plain
+    theta join; the Spark plan is the BUCKETIZED range join: both sides get
+    a coarse 10-min bucket key (intervals explode into the ≤2 buckets they
+    touch), the join is an EQUI-join on the bucket with the range predicate
+    as a residual filter, and a left join back onto the interval frame
+    restores the zero-match rows.
+
+    This is the range-join pattern that survives 100 TB where a BNLJ
+    (`join_price_bands` demonstrates that shape) cannot: candidates are
+    bounded by bucket co-residency (events/bucket × ~2), the shuffle keys
+    are uniform integers, and AQE can split any hot bucket. Each matching
+    pair meets exactly once — a point-side row has ONE bucket, and the
+    interval side lists each covered bucket once — so no post-join dedup
+    is needed."""
+    ev = _events(spark, sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t1"),
+    )
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / 600)  # noqa: E731
+    err_b = err.withColumn("bucket", F.explode(F.sequence(bucket("t0"), bucket("t1"))))
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("clk_id"),
+        F.col("ts").alias("c_ts"),
+        bucket("ts").alias("bucket"),
+    )
+    hits = (
+        err_b.join(
+            clk,
+            (err_b["bucket"] == clk["bucket"])
+            & (F.col("c_ts") >= F.col("t0"))
+            & (F.col("c_ts") < F.col("t1")),
+        )
+        .groupBy("err_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    return err.select("err_id").join(hits, "err_id", "left").select(
+        "err_id", F.coalesce("n_clicks", F.lit(0)).cast("bigint").alias("n_clicks")
+    )
