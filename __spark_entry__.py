@@ -83,12 +83,12 @@ _CHECK_FIRST = [
     "events_funnel_conversion",
     "events_retention_cohort",
     "join_interval_bucketed",
+    "events_transition_matrix",
     # --- regression guards (green before; cover this round's code edits) ---
     "mq_source_batch_drain",
     "mq_source_stream_drain",
     "mq_source_destructive_drain",
     "mq_source_multi_queue_union",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh_md5",
     "dedup_embedding_cosine",
     "sim_ann_ivf",

@@ -215,3 +215,45 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return err.select("err_id").join(hits, "err_id", "left").select(
         "err_id", F.coalesce("n_clicks", F.lit(0)).cast("bigint").alias("n_clicks")
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle=f"""
+    {EVENTS_CTE},
+    seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM ev
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the Markov/path-analysis
+    matrix behind journey dashboards): order each user's stream by (ts,
+    event_id) — the event_id tiebreak makes simultaneous rows
+    deterministic — lag one step, count (prev, next) pairs.
+
+    Plan shape: one shuffle on user_id for the lag window, then a tiny
+    |types|² aggregate with map-side combine. The window partitions by
+    user — thousands of small partitions, never a global sort — so the
+    plan is skew-safe at any user count."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
