@@ -84,6 +84,7 @@ _CHECK_FIRST = [
     "events_retention_cohort",
     "join_interval_bucketed",
     "events_transition_matrix",
+    "scale_zorder_manifest",
     # --- regression guards (green before; cover this round's code edits) ---
     "mq_source_batch_drain",
     "mq_source_stream_drain",
@@ -91,7 +92,6 @@ _CHECK_FIRST = [
     "mq_source_multi_queue_union",
     "dedup_minhash_lsh_md5",
     "dedup_embedding_cosine",
-    "sim_ann_ivf",
     "pricing_summary",
     "stream_tumbling_counts_append",
     "stream_session_windows_append",
