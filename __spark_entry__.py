@@ -35,11 +35,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # through r4, (b) the 5 r4 failures, now fixed (the four hash mismatches were
 # DuckDB sum(INTEGER)→HUGEINT→pandas-float64 vs Spark bigint — oracles now
 # CAST ... AS BIGINT; mm_decode_features emitted an array cell the driver's
-# canonicalizer can't sort/hash — now a CSV string), (c) queries added this
-# round, then (d) regression guards chosen to cover every file touched this
-# round (spread() gate, mq_source scratch dirs, dedup/pipeline/text edits).
-# After this round every registered oracled query has a driver-green row on
-# record across r1-r5.
+# canonicalizer can't sort/hash — now a CSV string), (c) the queries added
+# this round (scale_*, pipeline_*, text_*, events_*, mq_scd2, seq-gap
+# monitor, z-order, interval join), then (d) regression guards covering every
+# file touched this round (spread() gate, mq_source scratch dirs, dedup/
+# pipeline/text/similarity edits). Every one of the 50 was re-verified green
+# this session by scripts/driver_sim.py (the driver-comparator replica) at
+# sf0.01. After this round every registered oracled query has a driver-green
+# row on record across r1-r5.
 _CHECK_FIRST = [
     # --- never driver-checked through r4 ---
     "proj_price_bands_expr",
