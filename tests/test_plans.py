@@ -201,3 +201,44 @@ def test_partitioned_scan_prunes_directories(spark):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:200]
     assert "event_date" in seg, seg
+
+
+def test_interval_join_bucketized_no_bnlj(spark):
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["join_interval_bucketed"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoop" not in plan
+    assert not has_cartesian(df)
+
+
+def test_corpus_shuffle_single_exchange(spark):
+    from spark_ibm_mq_spark.plans import num_exchanges
+
+    df = registry.QUERIES["pipeline_corpus_shuffle"](spark, SF_DIR)
+    # one hash exchange on the shard key; no global range sort
+    assert num_exchanges(df) == 1
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    assert "rangepartitioning" not in executed_plan(df).lower()
+
+
+def test_repetition_filter_zero_shuffle(spark):
+    from spark_ibm_mq_spark.plans import num_exchanges
+
+    df = registry.QUERIES["text_repetition_filter"](spark, SF_DIR)
+    assert num_exchanges(df) == 0
+
+
+def test_zorder_manifest_narrow_scan_single_agg_exchange(spark):
+    from spark_ibm_mq_spark.plans import num_exchanges
+
+    df = registry.QUERIES["scale_zorder_manifest"](spark, SF_DIR)
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"o_custkey", "o_orderdate"}, cols
+    assert num_exchanges(df) <= 1
+
+
+def test_decontaminate_equi_join_no_cross(spark):
+    df = registry.QUERIES["pipeline_decontaminate"](spark, SF_DIR)
+    assert not has_cartesian(df)
