@@ -88,11 +88,11 @@ _CHECK_FIRST = [
     "join_interval_bucketed",
     "events_transition_matrix",
     "scale_zorder_manifest",
+    "win_value_functions",
     # --- regression guards (green before; cover this round's code edits) ---
     "mq_source_batch_drain",
     "mq_source_stream_drain",
     "mq_source_destructive_drain",
-    "mq_source_multi_queue_union",
     "dedup_minhash_lsh_md5",
     "dedup_embedding_cosine",
     "pricing_summary",

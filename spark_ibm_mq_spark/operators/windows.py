@@ -234,3 +234,49 @@ def win_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "win_value_functions",
+    oracle="""
+    SELECT c.c_custkey,
+           o.o_orderkey,
+           first_value(o.o_orderdate) OVER w                        AS first_date,
+           last_value(o.o_orderdate)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND UNBOUNDED FOLLOWING) AS last_date,
+           nth_value(o.o_orderdate, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING) AS second_date,
+           round(cume_dist() OVER (PARTITION BY c.c_custkey
+                                   ORDER BY o.o_totalprice), 4)     AS price_cume
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey <= 100
+    WINDOW w AS (PARTITION BY c.c_custkey ORDER BY o.o_orderdate, o.o_orderkey)
+    """,
+)
+def win_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions (SURVEY §2.2 Window rows): first_value /
+    last_value / nth_value over a fully-tiebroken frame plus cume_dist.
+    last/nth use the UNBOUNDED FOLLOWING frame — the default running frame
+    would return the current row for last_value, the classic trap. The
+    (date, orderkey) tie-break makes all three value picks deterministic;
+    cume_dist ties on raw price are tie-stable by definition (same value →
+    same cumulative fraction), so no float-boundary risk after round(4).
+
+    Scale: one exchange on c_custkey shared by ALL four windows (same
+    partition spec), small per-customer partitions — no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    by_date = Window.partitionBy("c_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = by_date.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    by_price = Window.partitionBy("c_custkey").orderBy("o_totalprice")
+    return j.select(
+        "c_custkey",
+        "o_orderkey",
+        F.first("o_orderdate").over(by_date).alias("first_date"),
+        F.last("o_orderdate").over(full).alias("last_date"),
+        F.nth_value("o_orderdate", 2).over(full).alias("second_date"),
+        F.round(F.cume_dist().over(by_price), 4).alias("price_cume"),
+    )
