@@ -89,8 +89,8 @@ _CHECK_FIRST = [
     "events_transition_matrix",
     "scale_zorder_manifest",
     "win_value_functions",
+    "emb_centroid_per_label",
     # --- regression guards (green before; cover this round's code edits) ---
-    "mq_source_batch_drain",
     "mq_source_stream_drain",
     "mq_source_destructive_drain",
     "dedup_minhash_lsh_md5",

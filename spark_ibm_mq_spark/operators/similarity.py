@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from spark_ibm_mq_spark.functions.vector import cosine_similarity, dot
 from spark_ibm_mq_spark.operators.dedup import _COS_SQL
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import load_table
+from spark_ibm_mq_spark.tables import load_table, spread
 
 _TOP_K = 5
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -456,4 +456,52 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("amax", 6).alias("scale_q"),
         codes.alias("codes_csv"),
+    )
+
+
+@register(
+    "emb_centroid_per_label",
+    oracle="""
+    WITH exploded AS (
+        SELECT label, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings, LATERAL unnest(range(1, len(embedding)+1)) AS t(i)
+    ),
+    means AS (
+        SELECT label, pos, printf('%.6f', avg(x)) AS m
+        FROM exploded GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS dim,
+           string_agg(m, ',' ORDER BY pos) AS centroid_csv
+    FROM means GROUP BY label
+    """,
+)
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids) — the training step of
+    IVF coarse quantizers and the k-means update every embedding-clustering
+    pipeline iterates. Emitted as a fixed-format CSV string: the driver's
+    canonicalizer can't hash array cells (r4 lesson), and printf('%.6f')
+    renders identically in Spark and DuckDB where a raw double→string cast
+    can disagree on scientific notation.
+
+    Scale shape: posexplode stays in the scan stage; the (label, pos) mean
+    is ONE map-side-combinable aggregate whose output is |labels|×dim rows
+    regardless of corpus size; centroid reassembly (collect_list + sort by
+    pos) runs on that tiny frame. The corpus shuffles only aggregate
+    partials — never whole vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = spread(e, "vec_id").select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    means = ex.groupBy("label", "pos").agg(
+        F.format_string("%.6f", F.avg(F.col("x").cast("double"))).alias("m")
+    )
+    centroid = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ),
+        ",",
+    )
+    return means.groupBy("label").agg(
+        F.count(F.lit(1)).alias("dim"), centroid.alias("centroid_csv")
     )
