@@ -610,14 +610,20 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     this loop is the two-phase special case of. The oracle states the same
     fixpoint as a recursive CTE (min reachable id), which DuckDB can run at
     fixture scale."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # One materialization: the corpus-scale Jaccard join executes at full
-    # session width (the conf narrows only AFTER this checkpoint runs) and
-    # the explicit repartition(8) leaves the edge list on the handful of
-    # partitions the iteration wants — the label graph is orders of
-    # magnitude smaller than the corpus, so per-round cost is task
-    # scheduling, not data. A 100 TB graph raises this dial (or leaves it
-    # to AQE); the loop shape is unchanged.
+    # Checkpoint the pair list BEFORE the symmetrizing union: Spark does
+    # not share common subtrees across union branches, so without this the
+    # corpus-scale Jaccard join executes twice (once per direction). With
+    # it, the expensive join runs exactly once at full session width (the
+    # conf narrows only AFTER these checkpoints run); the union + the
+    # repartition(8) then operate on the materialized 2|E|-row edge list —
+    # the label graph is orders of magnitude smaller than the corpus, so
+    # per-round cost is task scheduling, not data. A 100 TB graph raises
+    # this dial (or leaves it to AQE); the loop shape is unchanged.
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
         .toDF("src", "dst")
