@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from spark_ibm_mq_spark.functions.vector import dot, l2_norm
 from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import load_table, spread
+from spark_ibm_mq_spark.tables import load_table, size_gated_broadcast, spread
 
 # distinct whitespace tokens per doc — shared by the Jaccard/MinHash queries
 _TOKS_SQL = (
@@ -127,13 +127,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("ta", "tb"))
     jac = inter / (F.col("size_a") + F.col("size_b") - inter)
-    # broadcast the un-exploded side: the size key has only ~|size range|
-    # distinct values, so a shuffle join on it skews badly no matter the
-    # partition count — a map-side join sidesteps the skew entirely. Past
-    # broadcastable corpus size: bucket both sides by size and let AQE
-    # split the hot buckets.
+    # prefer broadcasting the un-exploded side: the size key has only
+    # ~|size range| distinct values, so a shuffle join on it skews badly no
+    # matter the partition count — a map-side join sidesteps the skew
+    # entirely. The pin is SIZE-GATED (Catalyst estimate vs
+    # autoBroadcastJoinThreshold): past broadcastable corpus size the join
+    # falls back to a shuffle join on the size key with AQE skew-splitting
+    # the hot buckets, instead of OOMing on a forced broadcast.
     return (
-        F.broadcast(a)
+        size_gated_broadcast(a)
         .join(b, (F.col("size_a") == F.col("probe")) & (F.col("doc_a") < F.col("doc_b")))
         .filter(jac >= 0.95)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
@@ -236,11 +238,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc features broadcast: the candidate-pair side is the big side
     # (∝ collisions), the feature side is ∝ corpus and sits on the AQE
     # broadcast threshold here — pin it so the plan never flips to a
-    # sort-merge that sorts the pair list twice. At corpus sizes past
-    # broadcastability this becomes a shuffle join keyed on doc id.
+    # sort-merge that sorts the pair list twice. The pin is SIZE-GATED:
+    # when Catalyst's estimate says the feature frame no longer fits under
+    # autoBroadcastJoinThreshold, the join reverts to a shuffle join keyed
+    # on doc id — the documented at-scale shape — instead of a forced OOM.
     return (
-        cand.join(F.broadcast(fa), "doc_a")
-        .join(F.broadcast(fb), "doc_b")
+        cand.join(size_gated_broadcast(fa), "doc_a")
+        .join(size_gated_broadcast(fb), "doc_b")
         .withColumn("est_jaccard", F.round(est, 4))
         # signature-estimate prune BEFORE the O(|ta|·|tb|) exact intersect:
         # the 16-element agreement check is ~100× cheaper, and band
@@ -380,9 +384,10 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / float(_N_MINHASH)
     inter = F.size(F.array_intersect("ta", "tb"))
     jac = inter / (F.size("ta") + F.size("tb") - inter)
+    # same size-gated pin rationale as dedup_minhash_lsh (the xxhash64 twin)
     return (
-        cand.join(F.broadcast(fa), "doc_a")
-        .join(F.broadcast(fb), "doc_b")
+        cand.join(size_gated_broadcast(fa), "doc_a")
+        .join(size_gated_broadcast(fb), "doc_b")
         .withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= 0.5)
         .withColumn("jaccard", F.round(jac, 4))
@@ -613,66 +618,83 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Checkpoint the pair list BEFORE the symmetrizing union: Spark does
     # not share common subtrees across union branches, so without this the
     # corpus-scale Jaccard join executes twice (once per direction). With
-    # it, the expensive join runs exactly once at full session width (the
-    # conf narrows only AFTER these checkpoints run); the union + the
-    # repartition(8) then operate on the materialized 2|E|-row edge list —
-    # the label graph is orders of magnitude smaller than the corpus, so
-    # per-round cost is task scheduling, not data. A 100 TB graph raises
-    # this dial (or leaves it to AQE); the loop shape is unchanged.
+    # it, the expensive join runs exactly once at full session width; the
+    # union + repartition then operate on the materialized 2|E|-row edge
+    # list — the label graph is orders of magnitude smaller than the
+    # corpus, so per-round cost is task scheduling, not data.
     pairs = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
+    # Loop width is DERIVED from the materialized edge count (pairs is
+    # already checkpointed, so count() is a metadata-cheap action), not a
+    # hardcoded dial: ~1M edges per partition, clamped to the session
+    # parallelism. The fixture graph lands on a handful of partitions (low
+    # scheduling overhead, the r5 motivation for the old hardcoded 8); a
+    # 100 TB edge list widens automatically. Per-round shuffles inside the
+    # loop run at the session's shuffle.partitions and are coalesced by AQE
+    # — no session-global conf mutation (the old `shuffle.partitions=8`
+    # toggle was not thread-safe for concurrent queries on one session).
+    n_edges = 2 * pairs.count()
+    width = max(1, min(
+        spark.sparkContext.defaultParallelism, -(-n_edges // 1_000_000)
+    ))
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
         .toDF("src", "dst")
-        .repartition(8, "src")
+        .repartition(width, "src")
         .localCheckpoint()
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        labels = (
-            edges.select(F.col("src").alias("v")).distinct()
-            .withColumn("label", F.col("v"))
-            .localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint()
+    )
+    changed = 0
+    for rnd in range(32):
+        nbr = (
+            edges.join(labels, edges.src == labels.v)
+            .groupBy(F.col("dst").alias("nv"))
+            .agg(F.min("label").alias("nbr_min"))
         )
-        for rnd in range(32):
-            nbr = (
-                edges.join(labels, edges.src == labels.v)
-                .groupBy(F.col("dst").alias("nv"))
-                .agg(F.min("label").alias("nbr_min"))
+        l1 = (
+            labels.withColumnRenamed("label", "old")
+            .join(nbr, F.col("v") == F.col("nv"), "left")
+            .select("v", "old", F.least("old", "nbr_min").alias("mid"))
+        )
+        if rnd == 0:
+            # pointer jump is a no-op while labels are still identity
+            new_labels = l1.select(
+                "v", "old", F.col("mid").alias("label")
+            ).localCheckpoint()
+        else:
+            lref = labels.select(
+                F.col("v").alias("rv"), F.col("label").alias("rlabel")
             )
-            l1 = (
-                labels.withColumnRenamed("label", "old")
-                .join(nbr, F.col("v") == F.col("nv"), "left")
-                .select("v", "old", F.least("old", "nbr_min").alias("mid"))
+            new_labels = (
+                l1.join(lref, l1.mid == lref.rv, "left")
+                .select(
+                    "v",
+                    "old",
+                    F.least("mid", F.coalesce("rlabel", "mid")).alias("label"),
+                )
+                .localCheckpoint()
             )
-            if rnd == 0:
-                # pointer jump is a no-op while labels are still identity
-                new_labels = l1.select(
-                    "v", "old", F.col("mid").alias("label")
-                ).localCheckpoint()
-            else:
-                lref = labels.select(
-                    F.col("v").alias("rv"), F.col("label").alias("rlabel")
-                )
-                new_labels = (
-                    l1.join(lref, l1.mid == lref.rv, "left")
-                    .select(
-                        "v",
-                        "old",
-                        F.least("mid", F.coalesce("rlabel", "mid")).alias("label"),
-                    )
-                    .localCheckpoint()
-                )
-            changed = new_labels.filter(F.col("label") != F.col("old")).count()
-            labels = new_labels.drop("old")
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        labels = new_labels.drop("old")
+        if changed == 0:
+            break
+    else:
+        # Fail LOUDLY on a cap hit: the oracle states the true min-reachable
+        # fixpoint, so silently returning unconverged labels would surface
+        # as an inscrutable value mismatch. With pointer jumping the round
+        # count is O(log diameter) — 32 rounds covers diameters ≳ 2^32, so
+        # reaching here means a logic regression, not a big graph.
+        raise RuntimeError(
+            f"dedup_cluster_resolve failed to converge in 32 rounds "
+            f"({changed} labels still changing)"
+        )
     return labels.groupBy(F.col("label").cast("bigint").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("v").cast("bigint").alias("min_doc"),

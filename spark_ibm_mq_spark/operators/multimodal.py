@@ -68,7 +68,14 @@ def _real_decode(payload: bytes):  # pragma: no cover - no media libs here
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int, list[float]]:
     """Deterministic stand-in for image decode: metadata and a tiny feature
-    vector derived from payload bytes only — stable across runs/processes."""
+    vector derived from payload bytes only — stable across runs/processes.
+
+    Every derived value is chosen to be EXACTLY SQL-expressible (integer
+    byte arithmetic on the sha256 hex digest; feature doubles are byte/256,
+    a power-of-two denominator so the doubles are exact), which is what lets
+    `mm_decode_features`/`mm_frame_sample` carry full value-parity oracles
+    instead of rows-only checks even though the decode itself runs in
+    Python behind mapInPandas."""
     import hashlib
 
     h = hashlib.sha256(payload).digest()
@@ -76,7 +83,7 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int, list[float]]:
     height = 64 + h[1]
     channels = 1 + (h[2] % 4)
     n_frames = 1 + (h[3] % 8)
-    feat = [round(b / 255.0, 6) for b in h[4:12]]
+    feat = [b / 256.0 for b in h[4:12]]
     return width, height, channels, n_frames, feat
 
 
@@ -104,29 +111,91 @@ def _decode_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["channels"].append(c)
                 out["n_frames"].append(nf)
                 out["feat"].append(feat)
-                out["feat_csv"].append(",".join(f"{v:.6f}" for v in feat))
+                # integer byte CSV: engine-exact on both sides (no float
+                # formatting convention to align between Python and SQL)
+                out["feat_csv"].append(",".join(str(int(v * 256)) for v in feat))
             yield pd.DataFrame(out)
 
     return d.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
 
 
-@register("mm_decode_features")  # rows-only: decode is a stubbed media op
+def _digest_byte_sql(i: int) -> str:
+    """DuckDB expression for byte ``i`` (0-indexed) of ``h``, a lowercase
+    sha256 hex digest column — two hex-digit lookups, pure integer math.
+    Mirrors ``hashlib.sha256(payload).digest()[i]`` in `_fake_decode`."""
+    hi = f"strpos('0123456789abcdef', substr(h, {2 * i + 1}, 1)) - 1"
+    lo = f"strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1"
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+# SQL twin of _fake_decode over documents: sha256 hex digest → byte
+# arithmetic. sha256(text) is byte-identical to sha256(encode(text,'utf-8'))
+# because DuckDB stores VARCHAR as UTF-8 (mm_binary_meta already relies on
+# this equivalence, driver-green since r3).
+_DECODE_ORACLE_CTE = f"""
+    WITH hx AS (SELECT doc_id, sha256(text) AS h FROM documents),
+    dec AS (
+        SELECT doc_id,
+               CAST(64 + {_digest_byte_sql(0)} AS INTEGER) AS width,
+               CAST(64 + {_digest_byte_sql(1)} AS INTEGER) AS height,
+               CAST(1 + ({_digest_byte_sql(2)} % 4) AS INTEGER) AS channels,
+               CAST(1 + ({_digest_byte_sql(3)} % 8) AS INTEGER) AS n_frames,
+               concat_ws(',', {", ".join(f"CAST({_digest_byte_sql(i)} AS VARCHAR)" for i in range(4, 12))}) AS feat_csv
+        FROM hx
+    )
+"""
+
+
+@register(
+    "mm_decode_features",
+    oracle=f"""
+    {_DECODE_ORACLE_CTE}
+    SELECT doc_id, width, height, channels, n_frames, feat_csv FROM dec
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over binary payloads via mapInPandas. The
     decoder is the deterministic fake (see module docstring); swapping in
     `_real_decode` changes no Spark plumbing. The feature vector is emitted
-    as a scalar CSV string (`feat_csv`) — the driver's canonicalizer sorts
-    and hashes every output cell, and raw array cells are unhashable there
-    (r4 lesson); the array form stays available via `_decode_df`."""
+    as a scalar CSV string (`feat_csv`) of integer bytes — the driver's
+    canonicalizer sorts and hashes every output cell, and raw array cells
+    are unhashable there (r4 lesson); the array form stays available via
+    `_decode_df`. The oracle replays the fake decoder's sha256-digest byte
+    arithmetic in pure SQL, so this is a FULL value-parity row (closing the
+    r5 verdict's last rows-only pair) — and it doubles as an end-to-end
+    check that the mapInPandas plumbing delivers every payload byte
+    unmodified."""
     return _decode_df(spark, sf_dir).drop("feat")
 
 
-@register("mm_frame_sample")  # rows-only: builds on the stubbed decode
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    {_DECODE_ORACLE_CTE},
+    strided AS (
+        SELECT doc_id, n_frames,
+               CAST(greatest(ceil(n_frames / 3.0), 1) AS INTEGER) AS stride
+        FROM dec
+    ),
+    frames AS (
+        SELECT doc_id, n_frames, stride,
+               unnest(generate_series(0, n_frames - 1, stride)) AS frame_no
+        FROM strided
+    )
+    SELECT doc_id, n_frames,
+           CAST(frame_no // stride AS INTEGER) AS sample_idx,
+           CAST(frame_no AS INTEGER) AS frame_no
+    FROM frames
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling plan over decoded media: explode a deterministic
     frame index per payload (every ceil(n_frames/3)-th frame), the shape a
     video pipeline uses before per-frame featurization. Pure DataFrame ops
-    on top of the decode output — no extra Python pass."""
+    on top of the decode output — no extra Python pass. Oracled end-to-end:
+    the SQL twin re-derives n_frames from the digest byte and re-creates
+    the stride walk with generate_series (sample_idx = frame_no // stride
+    exactly, since emitted frames are multiples of the stride)."""
     decoded = _decode_df(spark, sf_dir)
     stride = F.greatest(F.ceil(F.col("n_frames") / 3).cast("int"), F.lit(1))
     frames = F.sequence(F.lit(0), F.col("n_frames") - 1, stride)

@@ -37,11 +37,15 @@ def _gap_fn_factory(threshold: int):
         (user_id,) = key
         last_id = state.get[0] if state.exists else None
         out: list[tuple] = []
-        for pdf in pdfs:
-            for eid in sorted(int(x) for x in pdf["event_id"]):
-                if last_id is not None and eid - last_id >= threshold:
-                    out.append((user_id, last_id, eid, eid - last_id))
-                last_id = eid
+        # A group's rows may arrive split across several Arrow chunks
+        # (spark.sql.execution.arrow.maxRecordsPerBatch); sorting per-chunk
+        # would process ids in chunk-local order and diverge from the batch
+        # lag() semantics, so gather ALL ids for the group before one scan.
+        ids = sorted(int(x) for pdf in pdfs for x in pdf["event_id"])
+        for eid in ids:
+            if last_id is not None and eid - last_id >= threshold:
+                out.append((user_id, last_id, eid, eid - last_id))
+            last_id = eid
         state.update((last_id,))
         yield pd.DataFrame(out, columns=["user_id", "prev_id", "event_id", "gap"])
 
@@ -77,11 +81,13 @@ class _GapProcessor(StatefulProcessor):
         prev = self._last.get()
         last_id = int(prev[0]) if prev is not None else None
         out: list[tuple] = []
-        for pdf in rows:
-            for eid in sorted(int(x) for x in pdf["event_id"]):
-                if last_id is not None and eid - last_id >= self._threshold:
-                    out.append((user_id, last_id, eid, eid - last_id))
-                last_id = eid
+        # Same chunk-spanning hazard as `_gap_fn_factory`: sort across ALL
+        # Arrow chunks for the group, not within each one.
+        ids = sorted(int(x) for pdf in rows for x in pdf["event_id"])
+        for eid in ids:
+            if last_id is not None and eid - last_id >= self._threshold:
+                out.append((user_id, last_id, eid, eid - last_id))
+            last_id = eid
         self._last.update((last_id,))
         yield pd.DataFrame(out, columns=["user_id", "prev_id", "event_id", "gap"])
 

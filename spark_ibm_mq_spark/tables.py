@@ -48,6 +48,50 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def _parse_byte_conf(value: str) -> int:
+    """Parse a Spark byte-size conf value ("10485760", "10MB", "1g", "-1")."""
+    s = value.strip().lower()
+    for suffix, mult in (
+        ("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2), ("kb", 1024),
+        ("t", 1024**4), ("g", 1024**3), ("m", 1024**2), ("k", 1024), ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(s[: -len(suffix)]) * mult
+    return int(s)
+
+
+def size_gated_broadcast(df: DataFrame) -> DataFrame:
+    """Broadcast ``df`` only while Catalyst's own size estimate says it fits
+    under ``spark.sql.autoBroadcastJoinThreshold`` — otherwise return it
+    un-hinted so the join falls back to a shuffle join on its equi keys
+    (which AQE can skew-split).
+
+    This is the size-aware replacement for the unconditional
+    ``F.broadcast(...)`` pins the dedup funnels used to carry: those pinned
+    corpus-proportional frames (token arrays / minhash signatures per doc),
+    which is the right plan while the corpus broadcasts but an executor OOM
+    the moment it doesn't. Here the CODE makes the scale decision, per run:
+    the estimate comes from ``optimizedPlan().stats().sizeInBytes`` — the
+    same statistic Spark's own auto-broadcast planning consults — which is
+    driver-side planning only (no job; file-index size propagated through
+    project/filter by Catalyst's size visitor). Estimation failure or a
+    disabled threshold (``-1``) means NO pin — the conservative choice,
+    since a wrong broadcast kills the job while a wrong shuffle only slows
+    it.
+    """
+    spark = df.sparkSession
+    try:
+        threshold = _parse_byte_conf(
+            str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+        )
+        if threshold <= 0:
+            return df
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df
+    return F.broadcast(df) if est <= threshold else df
+
+
 def spread(df: DataFrame, *cols: str, force: bool = False) -> DataFrame:
     """Repartition an under-partitioned input up to the session parallelism.
 

@@ -44,6 +44,51 @@ def test_jaccard_is_equi_join_not_cross(spark):
     assert not has_cartesian(df)
 
 
+def test_dedup_broadcast_pins_are_size_gated(spark):
+    """The dedup funnels' corpus-side broadcast pins must be decided by
+    CODE, not comments: under the normal threshold the small fixture side
+    broadcasts; when the threshold is forced below the side's size estimate
+    the same builder emits a shuffle-join plan (the 100 TB shape) instead
+    of a forced broadcast that would OOM."""
+    # raw builders, not registry.QUERIES: the registry wrapper routes through
+    # tune_for_oracle, which re-pins the threshold this test manipulates
+    from spark_ibm_mq_spark.operators.dedup import (
+        dedup_minhash_lsh_md5,
+        dedup_ngram_jaccard,
+    )
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(10 * 1024 * 1024))
+        for fn in (dedup_ngram_jaccard, dedup_minhash_lsh_md5):
+            assert num_broadcast_joins(fn(spark, SF_DIR)) >= 1, fn.__name__
+        spark.conf.set(key, "1")
+        for fn in (dedup_ngram_jaccard, dedup_minhash_lsh_md5):
+            df = fn(spark, SF_DIR)
+            assert num_broadcast_joins(df) == 0, fn.__name__
+            assert not has_cartesian(df), fn.__name__
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_dedup_jaccard_same_rows_with_and_without_broadcast(spark):
+    """The size-gate changes the physical join strategy only — the result
+    set must be identical either way."""
+    from spark_ibm_mq_spark.operators.dedup import dedup_ngram_jaccard
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(10 * 1024 * 1024))
+        with_bc = sorted(map(tuple, dedup_ngram_jaccard(spark, SF_DIR).collect()))
+        spark.conf.set(key, "1")
+        without_bc = sorted(map(tuple, dedup_ngram_jaccard(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set(key, prev)
+    assert with_bc == without_bc and len(with_bc) > 0
+
+
 def test_filter_pushdown_in_predicates_query(spark):
     df = registry.QUERIES["filter_predicates"](spark, SF_DIR)
     filters = pushed_filters(df)

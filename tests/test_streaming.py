@@ -63,6 +63,34 @@ def test_seq_gap_monitor_matches_batch_lag(spark):
     assert got and got == expected, f"stateful={len(got)} batch={len(expected)}"
 
 
+def test_seq_gap_monitor_chunk_spanning_group(spark, tmp_path):
+    """A group whose rows span several Arrow record batches must be
+    gap-scanned once over ALL its ids, not per chunk (ADVICE r5): with
+    per-chunk sorting these deliberately interleaved ids would emit phantom
+    gaps (e.g. 3→1000) and miss real ones."""
+    ids = [1000, 1, 2, 3, 600, 4, 5, 6, 7, 8, 2000, 9, 10, 11, 12]
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(7, i) for i in ids], "user_id bigint, event_id bigint"
+    ).coalesce(1).write.parquet(str(src))
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "4")  # force the 15-row group across 4 chunks
+        stream = (
+            spark.readStream.schema("user_id bigint, event_id bigint")
+            .parquet(str(src))
+        )
+        _drain_to_memory(seq_gap_monitor(stream, threshold=50), "gapsink_chunks")
+    finally:
+        spark.conf.set(key, prev)
+    got = {
+        (r.prev_id, r.event_id, r.gap)
+        for r in spark.sql("select * from gapsink_chunks").collect()
+    }
+    assert got == {(12, 600, 588), (600, 1000, 400), (1000, 2000, 1000)}, got
+
+
 def test_seq_gap_monitor_tws_plan_constructs(spark):
     """Analysis-time coverage that runs everywhere: the TWS plan builds
     against the streaming source and resolves to the declared output schema
