@@ -485,7 +485,7 @@ _COS_CELLS = 8  # coarse cells; centroid c = (unit) embedding of vec_id c
         SELECT vec_id, u, cell FROM (
             SELECT e.vec_id, e.u, c.cell,
                    row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY round({_dot_sql('e.u', 'c.cu')}, 6) DESC, c.cell) AS rn
+                       ORDER BY floor(({_dot_sql('e.u', 'c.cu')}) * 1000000) DESC, c.cell) AS rn
             FROM unit e CROSS JOIN cent c
         ) WHERE rn = 1
     )
@@ -535,7 +535,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines): a 1-ulp Spark/DuckDB divergence in the raw double must not
     # be able to flip a vector's cell
     w_assign = Window.partitionBy("vec_id").orderBy(
-        F.round(F.col("c_sim"), 6).desc(), F.col("cell")
+        F.floor(F.col("c_sim") * 1e6).desc(), F.col("cell")
     )
     # the trailing cell-keyed spread is the join-side exchange: both sides
     # of the self-join below reuse it (ReuseExchange), so the normalize +

@@ -42,8 +42,20 @@ def _scratch_dir(prefix: str) -> str:
     return d
 
 
-def _tag(sf_dir: str) -> str:
-    return hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+def _tag(sf_dir: str, table: str) -> str:
+    """Cache key for a derived layout: fixture path PLUS a content
+    fingerprint (size + mtime) of the source parquet. Path alone is not
+    enough (ADVICE r5): a crashed run leaves the derived copy behind
+    (cleanup is atexit-only), and if the fixture at the same path is later
+    regenerated with different data, a path-keyed marker would silently
+    serve stale results while the oracle reads the fresh fixture."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{sf_dir}|{table}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        stamp = f"{sf_dir}|{table}"
+    return hashlib.md5(stamp.encode()).hexdigest()[:12]
 
 
 # ---------------------------------------------------------------------------
@@ -57,7 +69,7 @@ _ASSIGN_SQL = f"""
         SELECT vec_id, u, cell FROM (
             SELECT e.vec_id, e.u, c.cell,
                    row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY round({_dot_sql('e.u', 'c.cu')}, 6) DESC, c.cell) AS rn
+                       ORDER BY floor(({_dot_sql('e.u', 'c.cu')}) * 1000000) DESC, c.cell) AS rn
             FROM unit e CROSS JOIN cent c
         ) WHERE rn = 1
     )
@@ -144,7 +156,7 @@ def _cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
-        F.round(F.col("c_sim"), 6).desc(), F.col("cell")
+        F.floor(F.col("c_sim") * 1e6).desc(), F.col("cell")
     )
     return (
         unit.crossJoin(cent)
@@ -162,7 +174,7 @@ def _cell_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical frame repartitioned by cell — values identical, only the
     zero-exchange physical property is lost (the plan test runs where
     bucketing works)."""
-    tbl = f"emb_cells_bkt_{_tag(sf_dir)}"
+    tbl = f"emb_cells_bkt_{_tag(sf_dir, 'embeddings')}"
     if spark.catalog.tableExists(tbl):
         return spark.table(tbl)
     assign = _cell_assignment(spark, sf_dir)
@@ -249,7 +261,7 @@ def scale_partitioned_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
     runtime subquery (the same reason a real pipeline templates its date
     literals into the query). Oracle states the identical logical result
     over the unpartitioned fixture."""
-    tag = _tag(sf_dir)
+    tag = _tag(sf_dir, "events")
     d = os.path.join(tempfile.gettempdir(), f"events_by_date_{tag}")
     marker = os.path.join(d, "_LAYOUT_COMPLETE")
     if not os.path.exists(marker):

@@ -32,7 +32,7 @@ _N_QUERIES = 5  # vec_id < 5 are the query vectors
         SELECT a.vec_id AS q_id, b.vec_id AS n_id,
                round({_COS_SQL}, 4) AS cos_sim,
                row_number() OVER (PARTITION BY a.vec_id
-                                  ORDER BY round({_COS_SQL}, 6) DESC, b.vec_id) AS rank
+                                  ORDER BY floor(({_COS_SQL}) * 1000000) DESC, b.vec_id) AS rank
         FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
         WHERE a.vec_id < {_N_QUERIES}
     ) WHERE rank <= {_TOP_K}
@@ -53,7 +53,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank on the cosine rounded to 6 decimals (oracle matches): raw-double
     # ordering lets a 1-ulp engine divergence reshuffle the top-k boundary
     w = Window.partitionBy("q_id").orderBy(
-        F.round(F.col("cos_raw"), 6).desc(), F.col("n_id")
+        F.floor(F.col("cos_raw") * 1e6).desc(), F.col("n_id")
     )
     return (
         q.join(n, F.col("n_id") != F.col("q_id"))
@@ -193,7 +193,7 @@ def _cos_sql(x: str, y: str) -> str:
             SELECT e.vec_id, c.cell, e.embedding AS ne,
                    row_number() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY round({_cos_sql('e.embedding', 'c.ce')}, 6) DESC, c.cell
+                       ORDER BY floor(({_cos_sql('e.embedding', 'c.ce')}) * 1000000) DESC, c.cell
                    ) AS rn
             FROM embeddings e CROSS JOIN cent c
         ) WHERE rn = 1
@@ -203,7 +203,7 @@ def _cos_sql(x: str, y: str) -> str:
             SELECT q.vec_id AS q_id, q.embedding AS qe, c.cell,
                    row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY round({_cos_sql('q.embedding', 'c.ce')}, 6) DESC, c.cell
+                       ORDER BY floor(({_cos_sql('q.embedding', 'c.ce')}) * 1000000) DESC, c.cell
                    ) AS rn
             FROM embeddings q CROSS JOIN cent c
             WHERE q.vec_id % {_IVF_QUERY_MOD} = 0
@@ -214,7 +214,7 @@ def _cos_sql(x: str, y: str) -> str:
                round({_cos_sql('p.qe', 'a.ne')}, 4) AS cos_sim,
                row_number() OVER (
                    PARTITION BY p.q_id
-                   ORDER BY round({_cos_sql('p.qe', 'a.ne')}, 6) DESC, a.n_id
+                   ORDER BY floor(({_cos_sql('p.qe', 'a.ne')}) * 1000000) DESC, a.n_id
                ) AS rank
         FROM probe p JOIN assign a ON a.cell = p.cell
         WHERE a.n_id != p.q_id
@@ -245,7 +245,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inverted index: nearest centroid per vector; ordering on the cosine
     # ROUNDED to 6 decimals so a 1-ulp engine divergence can't flip a cell
     w_assign = Window.partitionBy("vec_id").orderBy(
-        F.round(F.col("c_sim"), 6).desc(), F.col("cell")
+        F.floor(F.col("c_sim") * 1e6).desc(), F.col("cell")
     )
     assign = (
         e.crossJoin(cent)
@@ -256,7 +256,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # probe list: nprobe nearest cells per query vector
     w_probe = Window.partitionBy("q_id").orderBy(
-        F.round(F.col("c_sim"), 6).desc(), F.col("cell")
+        F.floor(F.col("c_sim") * 1e6).desc(), F.col("cell")
     )
     probe = (
         e.filter(F.col("vec_id") % _IVF_QUERY_MOD == 0)
@@ -268,7 +268,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "qe", "cell")
     )
     w_rank = Window.partitionBy("q_id").orderBy(
-        F.round(F.col("cos_raw"), 6).desc(), F.col("n_id")
+        F.floor(F.col("cos_raw") * 1e6).desc(), F.col("n_id")
     )
     return (
         F.broadcast(probe)
@@ -340,7 +340,7 @@ _SIGNED_FLIPS = "[" + ", ".join(str(x) for x in [0, *(1 << p for p in range(_SIG
                round({_cos_sql('p.qe', 'c.embedding')}, 4) AS cos_sim,
                row_number() OVER (
                    PARTITION BY p.q_id
-                   ORDER BY round({_cos_sql('p.qe', 'c.embedding')}, 6) DESC, c.vec_id
+                   ORDER BY floor(({_cos_sql('p.qe', 'c.embedding')}) * 1000000) DESC, c.vec_id
                ) AS rank
         FROM probe p JOIN bucketed c ON c.bucket = p.bucket
         WHERE c.vec_id != p.q_id
@@ -393,7 +393,7 @@ def sim_ann_lsh_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("q_id").orderBy(
-        F.round(F.col("cos_raw"), 6).desc(), F.col("n_id")
+        F.floor(F.col("cos_raw") * 1e6).desc(), F.col("n_id")
     )
     return (
         F.broadcast(probes)
@@ -467,7 +467,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings, LATERAL unnest(range(1, len(embedding)+1)) AS t(i)
     ),
     means AS (
-        SELECT label, pos, printf('%.6f', avg(x)) AS m
+        SELECT label, pos, printf('%.4f', round(avg(x), 4)) AS m
         FROM exploded GROUP BY label, pos
     )
     SELECT label,
@@ -480,9 +480,13 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (class centroids) — the training step of
     IVF coarse quantizers and the k-means update every embedding-clustering
     pipeline iterates. Emitted as a fixed-format CSV string: the driver's
-    canonicalizer can't hash array cells (r4 lesson), and printf('%.6f')
-    renders identically in Spark and DuckDB where a raw double→string cast
-    can disagree on scientific notation.
+    canonicalizer can't hash array cells (r4 lesson), and printf renders
+    identically in Spark and DuckDB where a raw double→string cast can
+    disagree on scientific notation. Each mean is round(avg, 4)-ed BEFORE
+    formatting (ADVICE r5): the rounded double sits ~1e-17 off the 4-decimal
+    grid, so '%.4f' never lands on a formatting halfway point where Java
+    HALF_UP and C round-half-even disagree — same round(,4) convention as
+    the rest of the suite, absorbing partial-sum-order ulp drift.
 
     Scale shape: posexplode stays in the scan stage; the (label, pos) mean
     is ONE map-side-combinable aggregate whose output is |labels|×dim rows
@@ -494,7 +498,7 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode("embedding").alias("pos", "x")
     )
     means = ex.groupBy("label", "pos").agg(
-        F.format_string("%.6f", F.avg(F.col("x").cast("double"))).alias("m")
+        F.format_string("%.4f", F.round(F.avg(F.col("x").cast("double")), 4)).alias("m")
     )
     centroid = F.array_join(
         F.transform(

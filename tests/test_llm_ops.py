@@ -329,3 +329,20 @@ def test_domain_mix_respects_budget_and_caps(spark):
     assert 0.25 * total <= len(rows) <= 0.55 * total
     for s, k in kept.items():
         assert k <= totals[s]
+    # the promised weight-allocation ordering (ADVICE r5): group sources by
+    # their md5 weight class (same derivation as the operator: w = 1 +
+    # ascii(first md5 hex char) % 4) and check the mean kept-fraction rises
+    # with the class — higher-weight domains get a larger share of the mix
+    import hashlib
+
+    by_class: dict = {}
+    for s, n in totals.items():
+        w = 1 + (ord(hashlib.md5(s.encode()).hexdigest()[0]) % 4)
+        by_class.setdefault(w, []).append(kept.get(s, 0) / n)
+    means = [
+        sum(fr) / len(fr) for _, fr in sorted(by_class.items())
+    ]
+    assert len(means) >= 2, "fixture has a single weight class; test is vacuous"
+    assert all(a < b for a, b in zip(means, means[1:])), (
+        f"kept-fraction not ordered by weight class: {means}"
+    )
