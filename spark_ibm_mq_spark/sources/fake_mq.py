@@ -88,6 +88,36 @@ class FakeMQBroker:
                 out.append(json.loads(line))
         return out
 
+    def put_ms_index(self, from_pos: int) -> list[int]:
+        """Metadata-only scan: the put_ms of every message from ``from_pos``
+        on, WITHOUT body decode or full JSON parse — used by the batch
+        reader to plan put_ms-boundary splits driver-side. put()/put_all()
+        always write ``put_ms`` as the first field, so a string slice
+        suffices; any line that doesn't match falls back to json.loads."""
+        if self.connection_broken():
+            raise ConnectionError(f"fake MQ: connection to {self.queue} is down")
+        out: list[int] = []
+        qfile = self._f("jsonl")
+        if not os.path.exists(qfile):
+            return out
+        with open(qfile, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                if i < from_pos:
+                    continue
+                j0 = line.find('"put_ms":')
+                if j0 >= 0:
+                    j0 += 9
+                    j1 = line.find(",", j0)
+                    if j1 < 0:
+                        j1 = line.find("}", j0)
+                    try:
+                        out.append(int(line[j0:j1].strip()))
+                        continue
+                    except ValueError:
+                        pass
+                out.append(int(json.loads(line)["put_ms"]))
+        return out
+
     @staticmethod
     def decode_body(rec: dict, encoding: str = "utf-8") -> str:
         if "body_b64" in rec:

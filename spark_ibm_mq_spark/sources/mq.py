@@ -23,11 +23,14 @@ Unlike the reference, the source emits TYPED columns
 (key, value, put_ts, seq_no, queue) instead of a stringly JSON envelope —
 the envelope projection is a `select`, not a parse (SURVEY.md §1.2).
 
-Scale / ordering: one reader instance per queue, mirroring the reference's
-one-receiver-per-queue ordering contract (README.md:60-65). The
+Scale / ordering: one STREAM reader instance per queue, mirroring the
+reference's one-receiver-per-queue ordering contract (README.md:60-65). The
 SimpleDataSourceStreamReader runs driver-side — correct for a serial
-protocol like MQ; parallelism comes from unioning per-queue streams, and
-everything downstream of the source is fully distributed.
+protocol like MQ; streaming parallelism comes from unioning per-queue
+streams, and everything downstream of the source is fully distributed. The
+BATCH path reads a bounded snapshot and does fan out: the seq-repair chain
+resets at put_ms boundaries, so MQBatchReader splits the snapshot at
+timestamp changes into independent executor-side slices (plan_splits).
 
 Deterministic replay: the synthesized-seq state (last_ms, last_seq) is part
 of the offset JSON, so a replayed batch mints identical keys (SURVEY.md §7
@@ -151,28 +154,99 @@ def _fetch_with_reconnect(opts: _Options, broker: FakeMQBroker, from_pos: int, l
             time.sleep(opts.reconnect_wait_s)
 
 
+class MQSplit(InputPartition):
+    """One put_ms-aligned slice of the browse snapshot."""
+
+    def __init__(self, from_pos: int, count: int) -> None:
+        self.from_pos = from_pos
+        self.count = count
+
+
+def plan_splits(put_ms: list[int], target_rows: int, max_splits: int) -> list[tuple[int, int]]:
+    """Split a browse snapshot into (offset, count) slices that each start
+    at a put_ms BOUNDARY (the first message of a run of equal timestamps).
+
+    The seq-collision repair (repair_seq) consults the previous message
+    only when ``last_ms == put_ms`` — and last_ms is always the previous
+    message's put_ms — so the synthesized-seq chain RESETS at every
+    timestamp change. A reader seeded with (last_ms=0, last_seq=0) at a
+    boundary therefore mints byte-identical keys to the serial scan; the
+    split is exactness-preserving, not approximate. A snapshot whose
+    messages all share one put_ms degenerates to a single slice (correct:
+    that chain really is serial)."""
+    n = len(put_ms)
+    if n == 0:
+        return []
+    target = max(1, target_rows)
+    points = [0]
+    i = target
+    while i < n and len(points) < max_splits:
+        j = i
+        while j < n and put_ms[j] == put_ms[j - 1]:
+            j += 1  # slide right to the next timestamp change
+        if j >= n:
+            break
+        points.append(j)
+        i = j + target
+    return [
+        (p, (points[k + 1] if k + 1 < len(points) else n) - p)
+        for k, p in enumerate(points)
+    ]
+
+
 class MQBatchReader(DataSourceReader):
     """Batch path: a browse snapshot of the queue (drain-without-consume),
-    the R3 cursor scan as a bounded relation. Single partition — the queue
-    protocol is serial; downstream ops repartition as needed."""
+    the R3 cursor scan as a bounded relation.
+
+    Unlike the streaming reader (driver-side by protocol — a live MQ browse
+    cursor is serial), a bounded SNAPSHOT can be read in parallel: the only
+    cross-message state is the seq-repair chain, which resets at put_ms
+    boundaries (see plan_splits), so partitions() cuts the snapshot at
+    timestamp changes and each executor reads its slice independently with
+    freshly-seeded state. Planning costs one driver-side metadata scan of
+    put_ms values (no body decode/JSON parse); the expensive work — JSON
+    parse, CCSID decode, key mint, Arrow assembly — fans out across the
+    cluster. `batchSplitRows` tunes slice size (default 10k rows),
+    `maxBatchPartitions` caps the fan-out."""
 
     def __init__(self, options: dict) -> None:
         self.opts = _Options(options)
+        self._split_rows = int(options.get("batchsplitrows", "10000"))
+        self._max_splits = int(options.get("maxbatchpartitions", "64"))
 
     def partitions(self):
-        return [InputPartition(0)]
+        opts = self.opts
+        broker = opts.broker()
+        start = broker.acked()
+        attempts = 0
+        while True:
+            try:
+                ms = broker.put_ms_index(start)
+                break
+            except ConnectionError:
+                attempts += 1
+                if attempts > opts.max_reconnects:
+                    raise
+                time.sleep(opts.reconnect_wait_s)
+        splits = plan_splits(ms, self._split_rows, self._max_splits)
+        if not splits:
+            return [MQSplit(start, 0)]
+        return [MQSplit(start + off, cnt) for off, cnt in splits]
 
-    def read(self, partition):
+    def read(self, partition: MQSplit):
         """Emits pyarrow RecordBatches (Spark 4 arrow path for Python data
         sources): no per-row Python tuples or datetime objects — the
         timestamp column is built from the int64 millis directly. ~2× the
-        row-tuple path on the 50k-message bench."""
+        row-tuple path on the 50k-message bench. Seq state seeds to zero:
+        the slice starts at a put_ms boundary, where the repair chain has
+        no carry-over by construction."""
         import pyarrow as pa
 
         opts = self.opts
         broker = opts.broker()
-        start = broker.acked()
-        msgs = _fetch_with_reconnect(opts, broker, start, None)
+        if partition.count <= 0:
+            return
+        msgs = _fetch_with_reconnect(opts, broker, partition.from_pos, partition.count)
         last_ms, last_seq = 0, 0
         schema = pa.schema(
             [

@@ -90,6 +90,56 @@ def test_batch_browse_snapshot(spark, broker):
     assert broker.depth() == 3  # browse is non-destructive
 
 
+def test_plan_splits_respects_put_ms_boundaries():
+    from spark_ibm_mq_spark.sources.mq import plan_splits
+
+    # runs of equal put_ms must never be cut: target 2 would cut inside the
+    # 3-run at index 2..4, so the split slides right to the boundary at 5
+    ms = [1, 1, 2, 2, 2, 3, 3, 4]
+    splits = plan_splits(ms, target_rows=2, max_splits=64)
+    assert splits == [(0, 2), (2, 3), (5, 2), (7, 1)]
+    for off, _cnt in splits[1:]:
+        assert ms[off] != ms[off - 1]
+    assert sum(c for _, c in splits) == len(ms)
+    # single-timestamp snapshot degenerates to one serial slice
+    assert plan_splits([9, 9, 9, 9], 1, 64) == [(0, 4)]
+    assert plan_splits([], 10, 64) == []
+    # max_splits caps fan-out
+    assert len(plan_splits(list(range(100)), 1, 4)) == 4
+
+
+def test_batch_read_parallel_splits_match_serial(spark, broker):
+    """The put_ms-boundary-split batch read must mint byte-identical keys
+    to the serial scan — including synthesized seqs inside collision runs
+    that a naive row-count split would sever — and actually fan out."""
+    msgs = []
+    for t in range(50):  # 50 timestamps × 4-message collision runs
+        msgs.extend((10_000 + t, 1, f"m{t}:{i}") for i in range(4))
+    broker.put_all(msgs)
+    register_ibmmq(spark)
+
+    def load(**extra):
+        r = (
+            spark.read.format("ibmmq")
+            .option("path", broker.path)
+            .option("queue", broker.queue)
+        )
+        for k, v in extra.items():
+            r = r.option(k, v)
+        return r.load()
+
+    serial = load(batchSplitRows=str(10**9))
+    assert serial.rdd.getNumPartitions() == 1
+    split = load(batchSplitRows="10")
+    assert split.rdd.getNumPartitions() > 1
+    rows_serial = sorted(map(tuple, serial.collect()))
+    rows_split = sorted(map(tuple, split.collect()))
+    assert rows_split == rows_serial and len(rows_split) == 200
+    # collision repair produced seqs 1..4 within each timestamp run
+    seqs = sorted(r.seq_no for r in split.collect() if r.key.startswith("10000_"))
+    assert seqs == [1, 2, 3, 4]
+
+
 def test_batch_encoding_ccsid(spark, broker):
     broker.put(1000, 1, "café".encode("latin-1"))
     register_ibmmq(spark)
