@@ -31,74 +31,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries() in
-# dict order.  Round-5 window: (a) the 13 queries that never had a driver row
-# through r4, (b) the 5 r4 failures, now fixed (the four hash mismatches were
-# DuckDB sum(INTEGER)→HUGEINT→pandas-float64 vs Spark bigint — oracles now
-# CAST ... AS BIGINT; mm_decode_features emitted an array cell the driver's
-# canonicalizer can't sort/hash — now a CSV string), (c) the queries added
-# this round (scale_*, pipeline_*, text_*, events_*, mq_scd2, seq-gap
-# monitor, z-order, interval join), then (d) regression guards covering every
-# file touched this round (spread() gate, mq_source scratch dirs, dedup/
-# pipeline/text/similarity edits). Every one of the 50 was re-verified green
-# this session by scripts/driver_sim.py (the driver-comparator replica) at
-# sf0.01. After this round every registered oracled query has a driver-green
-# row on record across r1-r5.
+# dict order.  Round-6 window: (a) every query whose behavior changed this
+# round — the newly-oracled multimodal pair (mm_decode_features was
+# rows-only through r5, its fake-decoder features are now replayed in SQL),
+# the size-gated dedup funnels + re-written cluster resolve, the integer
+# floor(cos*1e6) rank keys across similarity/embedding queries, the
+# parallelized MQ batch reader, and the chunk-ordering fix in the stateful
+# gap monitor; then (b) regression rotation — the r1–r3-vintage rows whose
+# latest driver check predates three rounds of refactors (scalar-function
+# families, agg families, joins, MQ envelope ops; VERDICT r5 item 5). All
+# 50 re-verified green this session via scripts/driver_sim.py at sf0.01.
 _CHECK_FIRST = [
-    # --- never driver-checked through r4 ---
-    "proj_price_bands_expr",
-    "mm_frame_sample",
-    "stream_sliding_counts_append",
-    "stream_static_join_windows_append",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_by_linestatus",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_waiting_suppliers",
-    "udtf_key_explode_decorator",
-    # --- r4 failures, fixed this round ---
-    "win_sessionize_events",
-    "text_token_counts",
-    "pipeline_clean_corpus",
-    "pipeline_train_test_split",
+    # --- (a) touched this round ---
     "mm_decode_features",
-    # --- new this round ---
+    "mm_frame_sample",
+    "mm_binary_meta",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_md5",
     "dedup_cluster_resolve",
-    "pipeline_stratified_sample",
-    "pipeline_pack_sequences",
-    "text_ngram_profile",
+    "dedup_embedding_cosine",
+    "sim_topk_bruteforce",
+    "sim_ann_ivf",
     "sim_ann_lsh_signed",
+    "sim_ann_lsh",
+    "emb_centroid_per_label",
     "emb_quantize_int8",
-    "pipeline_domain_mix",
     "scale_bucketed_cell_manifest",
     "scale_partitioned_scan_pruned",
-    "scale_salted_agg",
-    "mq_scd2_history",
     "stream_seq_gap_monitor",
-    "pipeline_pretrain_manifest",
-    "pipeline_decontaminate",
-    "pipeline_corpus_shuffle",
-    "text_repetition_filter",
-    "text_vocab_build",
-    "text_tfidf_top_terms",
-    "events_funnel_conversion",
-    "events_retention_cohort",
-    "join_interval_bucketed",
-    "events_transition_matrix",
-    "scale_zorder_manifest",
-    "win_value_functions",
-    "emb_centroid_per_label",
-    # --- regression guards (green before; cover this round's code edits) ---
-    "mq_source_stream_drain",
+    "mq_source_batch_drain",
     "mq_source_destructive_drain",
-    "dedup_minhash_lsh_md5",
-    "dedup_embedding_cosine",
-    "pricing_summary",
-    "stream_tumbling_counts_append",
-    "stream_session_windows_append",
-    "udf_pandas_net_price",
+    "mq_source_multi_queue_union",
+    # --- (b) r1–r3-vintage regression rotation ---
+    "string_funcs",
+    "json_funcs",
+    "datetime_funcs",
+    "math_funcs",
+    "array_funcs",
+    "map_funcs",
+    "hash_funcs",
+    "proj_compute",
+    "conditional_case",
+    "filter_predicates",
+    "agg_monthly_orders",
+    "agg_stats",
+    "agg_percentiles",
+    "agg_skew_kurtosis",
+    "agg_rollup_flags",
+    "agg_cube_orders",
+    "agg_grouping_sets_sql",
+    "agg_latest_order_per_cust",
+    "agg_collect_event_types",
+    "agg_pivot_event_types",
+    "dedup_exact_events",
+    "dedup_exact_docs_hash",
+    "join_revenue_by_nation",
+    "join_left_order_counts",
+    "join_asof_click_before_purchase",
+    "mq_envelope_build",
+    "mq_key_decompose",
+    "mq_seq_repair",
+    "mq_gap_detect",
+    "mq_latest_wins",
 ]
 
 

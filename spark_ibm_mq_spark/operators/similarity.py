@@ -467,7 +467,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings, LATERAL unnest(range(1, len(embedding)+1)) AS t(i)
     ),
     means AS (
-        SELECT label, pos, printf('%.4f', round(avg(x), 4)) AS m
+        SELECT label, pos, printf('%.4f', round(avg(x), 4) + 0.0) AS m
         FROM exploded GROUP BY label, pos
     )
     SELECT label,
@@ -497,8 +497,13 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = spread(e, "vec_id").select(
         "label", F.posexplode("embedding").alias("pos", "x")
     )
+    # `+ 0.0` normalizes IEEE negative zero (−0.0 + 0.0 = +0.0): a tiny
+    # negative mean rounds to −0.0, which DuckDB's printf renders "-0.0000"
+    # while Spark's round canonicalizes to +0.0 → "0.0000"
     means = ex.groupBy("label", "pos").agg(
-        F.format_string("%.4f", F.round(F.avg(F.col("x").cast("double")), 4)).alias("m")
+        F.format_string(
+            "%.4f", F.round(F.avg(F.col("x").cast("double")), 4) + F.lit(0.0)
+        ).alias("m")
     )
     centroid = F.array_join(
         F.transform(
