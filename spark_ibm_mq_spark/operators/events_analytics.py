@@ -257,3 +257,56 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    {EVENTS_CTE},
+    r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM ev
+    ),
+    p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, n_users, row_number() OVER (ORDER BY n_users DESC, path) AS path_rank
+    FROM (SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY path)
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: each user's first three event types (by ts, event_id
+    tie-break) concatenated into an entry path, counted across users and
+    ranked — the "how do sessions start" query of product analytics, and
+    the sequence-prefix histogram a behavioral-cloning data pipeline
+    extracts before training.
+
+    Plan shape: one shuffle on user_id for the row_number window (shared
+    with every other per-user stage in this module), then a groupBy on the
+    path string whose cardinality is |event_types|^3 — at most a few
+    hundred groups regardless of corpus size, so the final rank window
+    over that tiny frame is safe as a single partition."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+    paths = first3.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    rank_w = W.orderBy(F.col("n_users").desc(), "path")
+    return counted.select(
+        "path", "n_users", F.row_number().over(rank_w).alias("path_rank")
+    )

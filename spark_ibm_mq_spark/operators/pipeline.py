@@ -502,3 +502,103 @@ def pipeline_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .drop("k")
     )
+
+
+_CHUNK = 32
+_STRIDE = 24
+
+
+@register(
+    "pipeline_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks, n, unnest(range(0, greatest(n - 1, 0) + 1, {_STRIDE})) AS start
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id,
+               start // {_STRIDE} AS chunk_idx,
+               start AS chunk_start,
+               list_slice(toks, start + 1, start + {_CHUNK}) AS chunk
+        FROM s
+    )
+    SELECT doc_id, chunk_idx, chunk_start,
+           CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM c WHERE len(chunk) > 0
+    """,
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — 32-token chunks at stride 24
+    (8-token overlap), the context-window packing precursor every
+    pretraining pipeline runs (RAG indexers run the same op before
+    embedding). Emits a per-chunk md5 fingerprint rather than the text so
+    the manifest stays narrow; the trailing partial chunk is kept, empty
+    chunks are dropped.
+
+    Plan shape: tokenize → sequence → posexplode all fuse into the scan
+    stage (one codegen pass, zero shuffles); output is ~n_tokens/stride
+    rows per doc with only (ids, 32-byte hash) columns, so chunking 100 TB
+    is embarrassingly parallel and the bodies never leave the scan."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = d.select("doc_id", tokens("text").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(_STRIDE)
+    )
+    s = t.select("doc_id", "toks", F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, F.lit(_CHUNK))
+    c = s.select(
+        "doc_id",
+        (F.col("start") / _STRIDE).cast("bigint").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("chunk_start"),
+        chunk.alias("chunk"),
+    )
+    return c.filter(F.size("chunk") > 0).select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        F.size("chunk").cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@register(
+    "pipeline_pii_scrub",
+    oracle=f"""
+    SELECT event_id,
+           regexp_replace(regexp_replace(props, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '[0-9]', '#', 'g') AS props_scrubbed,
+           CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+                AS BIGINT) AS n_digits_masked
+    FROM events
+    """,
+)
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / sensitive-token scrubbing over raw event payloads: masks
+    email-shaped substrings and every digit (numeric IDs, phone fragments)
+    before the payloads can enter a training corpus, and counts masked
+    digits per event for audit. The regexes stay in the RE2 ∩ Java-regex
+    common subset (character classes + bounded repetition, no backrefs) so
+    both engines execute the identical pattern.
+
+    Plan shape: pure per-row expressions in the scan stage — zero
+    shuffles, codegen end to end, trivially parallel at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    digits_gone = F.regexp_replace("props", "[0-9]", "")
+    return spread(ev, "event_id").select(
+        "event_id",
+        F.regexp_replace(
+            F.regexp_replace("props", _EMAIL_RE, "<EMAIL>"), "[0-9]", "#"
+        ).alias("props_scrubbed"),
+        (F.length("props") - F.length(digits_gone))
+        .cast("bigint")
+        .alias("n_digits_masked"),
+    )

@@ -514,3 +514,156 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return means.groupBy("label").agg(
         F.count(F.lit(1)).alias("dim"), centroid.alias("centroid_csv")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation — recall@k of the oracled LSH funnel vs exact
+# ---------------------------------------------------------------------------
+
+from spark_ibm_mq_spark.registry import ORACLE as _ORACLE
+
+
+@register(
+    "sim_ann_recall_eval",
+    oracle=f"""
+    WITH exact AS ({_ORACLE['sim_topk_bruteforce']}),
+         ann   AS ({_ORACLE['sim_ann_lsh_signed']})
+    SELECT a.q_id,
+           CAST(count(*) AS BIGINT)       AS n_ann,
+           CAST(count(e.n_id) AS BIGINT)  AS n_hits,
+           round(count(e.n_id) * 1.0 / {_TOP_K}, 4) AS recall_at_k
+    FROM ann a
+    LEFT JOIN exact e ON e.q_id = a.q_id AND e.n_id = a.n_id
+    GROUP BY a.q_id
+    """,
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation harness: joins the signed-LSH ANN result against
+    the exact brute-force top-k per query and reports hits / recall — the
+    index-quality gate every ANN deployment runs before trusting an
+    approximate index, here with BOTH sides value-oracled (the oracle
+    composes the two registered SQL definitions as CTEs, so any drift in
+    either funnel surfaces as a hash mismatch).
+
+    Plan shape: both inputs end at a per-query top-k (|Q|·k rows); the
+    evaluation join and groupBy run on those tiny frames — the corpus-side
+    cost is exactly the two underlying funnels, unchanged. At 100 TB the
+    eval is run on a sampled query set, which is what _N_QUERIES models."""
+    exact = sim_topk_bruteforce(spark, sf_dir).select(
+        "q_id", "n_id", F.lit(1).alias("hit")
+    )
+    ann = sim_ann_lsh_signed(spark, sf_dir)
+    joined = ann.join(exact, ["q_id", "n_id"], "left")
+    return joined.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_ann"),
+        F.count("hit").alias("n_hits"),
+        F.round(F.count("hit") / F.lit(_TOP_K), 4).alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — the code-book compression half of IVF-PQ
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4          # subspaces
+_PQ_SUBDIM = 16    # dims per subspace (4 × 16 = 64 = embedding dim)
+_PQ_K = 8          # centroids per subspace: sub-vectors of vec_id < 8
+
+
+@register(
+    "emb_pq_codes",
+    oracle=f"""
+    WITH sub AS (
+        SELECT vec_id, m.m,
+               list_slice(embedding::DOUBLE[], m.m * {_PQ_SUBDIM} + 1,
+                          m.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sv
+        FROM embeddings, (SELECT unnest(range(0, {_PQ_M})) AS m) m
+    ),
+    cent AS (
+        SELECT vec_id AS cent_id, m, sv AS cv FROM sub WHERE vec_id < {_PQ_K}
+    ),
+    d AS (
+        SELECT s.vec_id, s.m, c.cent_id,
+               list_aggregate(list_transform(list_zip(s.sv, c.cv),
+                              z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS dist2
+        FROM sub s JOIN cent c ON c.m = s.m
+    ),
+    r AS (
+        SELECT vec_id, m, cent_id, dist2,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY floor(dist2 * 1000000), cent_id) AS rk
+        FROM d
+    )
+    SELECT vec_id,
+           string_agg(CAST(cent_id AS VARCHAR), ',' ORDER BY m) AS code_csv,
+           string_agg(printf('%.4f', round(dist2, 4) + 0.0), ',' ORDER BY m) AS err_csv
+    FROM r WHERE rk = 1 GROUP BY vec_id
+    """,
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split each 64-dim vector into 4×16-dim
+    subspaces, assign each sub-vector to its nearest of 8 per-subspace
+    centroids (L2; centroids = the sub-vectors of the 8 lowest vec_ids, the
+    suite's deterministic stand-in for a trained codebook), and emit the
+    4-byte PQ code per vector plus the per-subspace quantization error —
+    the compression step that turns a 100 TB float index into the ~1.5 TB
+    IVF-PQ index ANN systems actually serve from.
+
+    Determinism: the L2 fold is the same left-to-right double sequence in
+    Spark `aggregate` and DuckDB `list_aggregate`, so `floor(dist2*1e6)` +
+    cent_id is a stable argmin key on both engines; errors are rounded
+    before printf (suite convention) with `+0.0` canonicalizing −0.0.
+
+    Plan shape: subspace explode is a per-row expression in the scan stage
+    (M rows out per vector, only 16-dim slices); the 32-row codebook is
+    broadcast; argmin is a window over M·K=32 rows per vector; reassembly
+    groups M rows back to one. The corpus never shuffles full vectors —
+    only (vec_id, m, 16-dim slice) then (vec_id, code) rows."""
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    pieces = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice(ed, m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sv"),
+                )
+                for m in range(_PQ_M)
+            ]
+        )
+    ).alias("p")
+    sub = e.select("vec_id", pieces).select("vec_id", "p.m", "p.sv")
+    cent = F.broadcast(
+        sub.filter(F.col("vec_id") < _PQ_K).select(
+            F.col("vec_id").alias("cent_id"), F.col("m").alias("cm"),
+            F.col("sv").alias("cv"),
+        )
+    )
+    dist2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.floor(F.col("dist2") * 1e6), "cent_id"
+    )
+    best = (
+        sub.join(cent, F.col("cm") == F.col("m"))
+        .withColumn("dist2", dist2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    by_m = F.array_sort(
+        F.collect_list(F.struct("m", F.col("cent_id").cast("string").alias("c"),
+                                F.col("err").alias("e"))))
+    return (
+        best.withColumn(
+            "err",
+            F.format_string("%.4f", F.round(F.col("dist2"), 4) + F.lit(0.0)),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.array_join(F.transform(by_m, lambda s: s["c"]), ",").alias("code_csv"),
+            F.array_join(F.transform(by_m, lambda s: s["e"]), ",").alias("err_csv"),
+        )
+    )

@@ -287,3 +287,38 @@ def test_zorder_manifest_narrow_scan_single_agg_exchange(spark):
 def test_decontaminate_equi_join_no_cross(spark):
     df = registry.QUERIES["pipeline_decontaminate"](spark, SF_DIR)
     assert not has_cartesian(df)
+
+
+def test_chunk_documents_stays_in_scan_stage(spark):
+    """Chunking is tokenize→sequence→explode→hash: the only Exchange allowed
+    is the fixture-width spread repartition — no shuffle is introduced by
+    the operator itself, and the scan reads only (doc_id, text)."""
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["pipeline_chunk_documents"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("Exchange") <= 1, plan[:800]
+    (cols,) = read_schema_columns(df)
+    assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_pii_scrub_zero_shuffle_narrow_scan(spark):
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["pipeline_pii_scrub"](spark, SF_DIR)
+    plan = executed_plan(df)
+    # one spread repartition max (fixture single-row-group), nothing else
+    assert plan.count("Exchange") <= 1, plan[:800]
+    (cols,) = read_schema_columns(df)
+    assert set(cols) <= {"event_id", "props"}, cols
+
+
+def test_pq_codes_broadcasts_codebook_no_cartesian(spark):
+    df = registry.QUERIES["emb_pq_codes"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    assert num_broadcast_joins(df) >= 1  # 32-row codebook is broadcast
+
+
+def test_ann_recall_eval_no_cartesian_both_funnels(spark):
+    df = registry.QUERIES["sim_ann_recall_eval"](spark, SF_DIR)
+    assert not has_cartesian(df)
