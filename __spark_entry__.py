@@ -31,35 +31,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries() in
-# dict order.  Round-6 window: (a) every query whose behavior changed this
-# round — the newly-oracled multimodal pair (mm_decode_features was
-# rows-only through r5, its fake-decoder features are now replayed in SQL),
-# the size-gated dedup funnels + re-written cluster resolve, the integer
-# floor(cos*1e6) rank keys across similarity/embedding queries, the
-# parallelized MQ batch reader, and the chunk-ordering fix in the stateful
-# gap monitor; then (b) regression rotation — the r1–r3-vintage rows whose
-# latest driver check predates three rounds of refactors (scalar-function
-# families, agg families, joins, MQ envelope ops; VERDICT r5 item 5). All
-# 50 re-verified green this session via scripts/driver_sim.py at sf0.01.
+# dict order.  Round-6 window: (a0) the five operators NEW this round
+# (chunking, PII scrub, ANN recall eval, product quantization, path
+# mining) — first-ever driver rows; (a) every query whose behavior changed
+# this round — the newly-oracled multimodal pair, the size-gated dedup
+# funnels + re-written cluster resolve, the integer floor(cos*1e6) rank
+# keys across similarity/embedding queries, the layout-cache content
+# fingerprint, and the parallelized MQ batch reader; then (b) regression
+# rotation — r1–r3-vintage rows whose latest driver check predates three
+# rounds of refactors (VERDICT r5 item 5).  Displaced to make room, all
+# with green r4/r5 rows and unchanged (or pytest-guarded) behavior:
+# emb_quantize_int8, stream_seq_gap_monitor, conditional_case, and the
+# rows-only sim_ann_lsh / dedup_minhash_lsh whose fully-oracled twins
+# (sim_ann_lsh_signed, dedup_minhash_lsh_md5) stay in the window.  All 50
+# re-verified green this session via scripts/driver_sim.py at sf0.01.
 _CHECK_FIRST = [
+    # --- (a0) NEW this round — first-ever driver rows ---
+    "pipeline_chunk_documents",
+    "pipeline_pii_scrub",
+    "sim_ann_recall_eval",
+    "emb_pq_codes",
+    "events_top_paths",
     # --- (a) touched this round ---
     "mm_decode_features",
     "mm_frame_sample",
     "mm_binary_meta",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "dedup_minhash_lsh_md5",
     "dedup_cluster_resolve",
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",
     "sim_ann_ivf",
     "sim_ann_lsh_signed",
-    "sim_ann_lsh",
     "emb_centroid_per_label",
-    "emb_quantize_int8",
     "scale_bucketed_cell_manifest",
     "scale_partitioned_scan_pruned",
-    "stream_seq_gap_monitor",
     "mq_source_batch_drain",
     "mq_source_destructive_drain",
     "mq_source_multi_queue_union",
@@ -72,7 +78,6 @@ _CHECK_FIRST = [
     "map_funcs",
     "hash_funcs",
     "proj_compute",
-    "conditional_case",
     "filter_predicates",
     "agg_monthly_orders",
     "agg_stats",
