@@ -31,9 +31,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries() in
-# dict order.  Round-6 window: (a0) the five operators NEW this round
+# dict order.  Round-6 window: (a0) the seven operators NEW this round
 # (chunking, PII scrub, ANN recall eval, product quantization, path
-# mining) — first-ever driver rows; (a) every query whose behavior changed
+# mining, value histogram, count-min heavy hitters) — first-ever driver
+# rows; (a) every query whose behavior changed
 # this round — the newly-oracled multimodal pair, the size-gated dedup
 # funnels + re-written cluster resolve, the integer floor(cos*1e6) rank
 # keys across similarity/embedding queries, the layout-cache content
@@ -41,7 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation — r1–r3-vintage rows whose latest driver check predates three
 # rounds of refactors (VERDICT r5 item 5).  Displaced to make room, all
 # with green r4/r5 rows and unchanged (or pytest-guarded) behavior:
-# emb_quantize_int8, stream_seq_gap_monitor, conditional_case, and the
+# emb_quantize_int8, stream_seq_gap_monitor, conditional_case,
+# agg_collect_event_types, agg_pivot_event_types, and the
 # rows-only sim_ann_lsh / dedup_minhash_lsh whose fully-oracled twins
 # (sim_ann_lsh_signed, dedup_minhash_lsh_md5) stay in the window.  All 50
 # re-verified green this session via scripts/driver_sim.py at sf0.01.
@@ -52,6 +54,8 @@ _CHECK_FIRST = [
     "sim_ann_recall_eval",
     "emb_pq_codes",
     "events_top_paths",
+    "agg_value_histogram",
+    "agg_heavy_hitters_cms",
     # --- (a) touched this round ---
     "mm_decode_features",
     "mm_frame_sample",
@@ -87,8 +91,6 @@ _CHECK_FIRST = [
     "agg_cube_orders",
     "agg_grouping_sets_sql",
     "agg_latest_order_per_cust",
-    "agg_collect_event_types",
-    "agg_pivot_event_types",
     "dedup_exact_events",
     "dedup_exact_docs_hash",
     "join_revenue_by_nation",

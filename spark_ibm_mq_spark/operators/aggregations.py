@@ -289,3 +289,144 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_quantity"), 4).alias("qty_skew"),
         F.round(F.kurtosis("l_quantity"), 4).alias("qty_kurt"),
     )
+
+
+@register(
+    "agg_value_histogram",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT CAST(least(floor(value / 25.0), 19) AS BIGINT) AS bucket,
+           round(least(floor(value / 25.0), 19) * 25.0, 4)        AS lo,
+           round((least(floor(value / 25.0), 19) + 1) * 25.0, 4)  AS hi,
+           CAST(count(*) AS BIGINT)      AS n_events,
+           round(sum(value), 4)          AS sum_value,
+           round(avg(value), 4)          AS avg_value
+    FROM ev GROUP BY 1, 2, 3
+    """,
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (20 × 25-unit buckets over [0, 500), top
+    bucket open): the one-pass distribution profile every data-quality
+    dashboard draws. Static bounds keep it single-pass — no min/max
+    pre-scan — and `floor(value/25.0)` is the same IEEE double op in both
+    engines, so bucket edges can't drift.
+
+    Plan shape: one map-side-combinable aggregate over ≤20 integer keys —
+    the shuffle carries 20 partial rows per task regardless of input size."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.least(F.floor(F.col("value") / 25.0), F.lit(19.0)).cast("bigint")
+    return (
+        ev.groupBy(
+            b.alias("bucket"),
+            F.round(b * 25.0, 4).alias("lo"),
+            F.round((b + 1) * 25.0, 4).alias("hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# count-min sketch geometry: d hash rows × w counters. md5-derived buckets
+# are engine-exact (the suite's standard trick), so the whole sketch —
+# counters AND estimates — is value-oracled, unlike the opaque-HLL
+# agg_approx_distinct.
+_CMS_D = 4
+_CMS_W = 256
+
+
+def _cms_bucket_sql(i: int, key: str) -> str:
+    """Bucket of `key` in hash row i — two md5 hex digits → [0, 256).
+    Identical text works in Spark SQL (locate) and DuckDB (strpos swaps
+    argument order), so each engine gets its own renderer below."""
+    k = f"md5(concat('cms{i}:', cast({key} as string)))"
+    d1 = f"(locate(substring({k}, 1, 1), '0123456789abcdef') - 1)"
+    d2 = f"(locate(substring({k}, 2, 1), '0123456789abcdef') - 1)"
+    return f"({d1} * 16 + {d2})"
+
+
+def _cms_bucket_duck(i: int, key: str) -> str:
+    k = f"md5('cms{i}:' || CAST({key} AS VARCHAR))"
+    d1 = f"(strpos('0123456789abcdef', substr({k}, 1, 1)) - 1)"
+    d2 = f"(strpos('0123456789abcdef', substr({k}, 2, 1)) - 1)"
+    return f"({d1} * 16 + {d2})"
+
+
+_CMS_PROBES_DUCK = " UNION ALL ".join(
+    f"SELECT o_custkey, {i} AS i, {_cms_bucket_duck(i, 'o_custkey')} AS b FROM orders"
+    for i in range(_CMS_D)
+)
+
+
+@register(
+    "agg_heavy_hitters_cms",
+    oracle=f"""
+    WITH probes AS ({_CMS_PROBES_DUCK}),
+    counters AS (
+        SELECT i, b, count(*) AS cnt FROM probes GROUP BY i, b
+    ),
+    exact AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS exact_count
+        FROM orders GROUP BY o_custkey
+    ),
+    est AS (
+        SELECT p.o_custkey, CAST(min(c.cnt) AS BIGINT) AS cms_estimate
+        FROM (SELECT DISTINCT o_custkey, i, b FROM probes) p
+        JOIN counters c ON c.i = p.i AND c.b = p.b
+        GROUP BY p.o_custkey
+    )
+    SELECT e.o_custkey, e.exact_count, s.cms_estimate,
+           CAST(s.cms_estimate - e.exact_count AS BIGINT) AS overcount
+    FROM exact e JOIN est s ON s.o_custkey = e.o_custkey
+    WHERE e.exact_count >= 15
+    """,
+)
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection through a count-min sketch (d=4 hash rows ×
+    w=256 counters, md5-derived buckets), reported next to the exact count
+    for every key at or above the hitter threshold — the streaming-sketch
+    operator a 100 TB ingest uses to find hot keys WITHOUT a per-key
+    groupBy, here with the sketch's defining guarantee visible in the
+    output (`overcount >= 0`, since CMS never underestimates).
+
+    Plan shape: the counter build is ONE map-side-combinable aggregate
+    whose world-wide output is at most d×w = 1 024 rows — that 1 024-row
+    frame IS the sketch, mergeable across partitions, executors, or
+    streaming micro-batches by cellwise addition, which is why the same
+    shape runs unchanged as a foreachBatch accumulator. Estimates join the
+    (broadcast) counter frame against each distinct key's d probe cells.
+    The exact count alongside it is the fixture-scale verification twin —
+    at 100 TB one keeps only the sketch side."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    probe_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.expr(_cms_bucket_sql(i, "o_custkey")).cast("int").alias("b"),
+            )
+            for i in range(_CMS_D)
+        ]
+    )
+    probes = o.select("o_custkey", F.explode(probe_structs).alias("p")).select(
+        "o_custkey", "p.i", "p.b"
+    )
+    counters = probes.groupBy("i", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = (
+        probes.dropDuplicates(["o_custkey", "i", "b"])
+        .join(F.broadcast(counters), ["i", "b"])
+        .groupBy("o_custkey")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return (
+        exact.filter(F.col("exact_count") >= 15)
+        .join(est, "o_custkey")
+        .select(
+            "o_custkey",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+        )
+    )

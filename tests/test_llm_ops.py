@@ -441,3 +441,25 @@ def test_top_paths_partition(spark):
     assert [r.path_rank for r in ranked] == list(range(1, len(rows) + 1))
     counts = [r.n_users for r in ranked]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_value_histogram_partitions_all_events(spark):
+    from spark_ibm_mq_spark.tables import load_table
+
+    rows = registry.QUERIES["agg_value_histogram"](spark, SF_DIR).collect()
+    total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    for r in rows:
+        assert 0 <= r.bucket <= 19
+        assert abs((r.hi - r.lo) - 25.0) < 1e-9
+        assert abs(r.lo - r.bucket * 25.0) < 1e-9
+
+
+def test_cms_never_underestimates(spark):
+    """The count-min guarantee: estimate >= exact for every reported key."""
+    rows = registry.QUERIES["agg_heavy_hitters_cms"](spark, SF_DIR).collect()
+    assert rows, "fixture should have keys at/above the hitter threshold"
+    for r in rows:
+        assert r.exact_count >= 15
+        assert r.cms_estimate >= r.exact_count
+        assert r.overcount == r.cms_estimate - r.exact_count

@@ -322,3 +322,9 @@ def test_pq_codes_broadcasts_codebook_no_cartesian(spark):
 def test_ann_recall_eval_no_cartesian_both_funnels(spark):
     df = registry.QUERIES["sim_ann_recall_eval"](spark, SF_DIR)
     assert not has_cartesian(df)
+
+
+def test_cms_counter_frame_broadcast_no_cartesian(spark):
+    df = registry.QUERIES["agg_heavy_hitters_cms"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    assert num_broadcast_joins(df) >= 1  # the d×w counter frame (≤1024 rows)
