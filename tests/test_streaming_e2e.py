@@ -118,3 +118,62 @@ def test_rate_source_smoke(spark):
     rows = spark.sql("select * from ratesink").collect()
     assert rows and all(r.value >= 0 for r in rows)
     assert set(spark.table("ratesink").columns) == {"timestamp", "value"}
+
+
+def test_cms_counters_merge_across_micro_batches(spark, tmp_path):
+    """The count-min counter frame's defining property: per-micro-batch
+    partial sketches merged by cellwise ADDITION equal the one-shot batch
+    sketch — so `agg_heavy_hitters_cms`'s counter build runs unchanged as a
+    foreachBatch accumulator on a stream (the 100 TB ingest shape its
+    docstring claims)."""
+    import pyspark.sql.functions as F
+
+    from spark_ibm_mq_spark.operators.aggregations import _CMS_D, _cms_bucket_sql
+    from spark_ibm_mq_spark.tables import load_table
+
+    src = str(tmp_path / "orders_stream")
+    load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_custkey"
+    ).repartition(4).write.parquet(src)
+
+    def sketch(df):
+        probes = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            F.expr(_cms_bucket_sql(i, "o_custkey")).cast("int").alias("b"),
+                        )
+                        for i in range(_CMS_D)
+                    ]
+                )
+            ).alias("p")
+        ).select("p.i", "p.b")
+        return probes.groupBy("i", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+    merged: dict[tuple[int, int], int] = {}
+    n_batches = 0
+
+    def accumulate(df, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        for r in sketch(df).collect():
+            merged[(r.i, r.b)] = merged.get((r.i, r.b), 0) + r.cnt
+
+    q = (
+        spark.readStream.schema("o_custkey bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(accumulate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert n_batches >= 2, "need multiple micro-batches to prove mergeability"
+    batch = {
+        (r.i, r.b): r.cnt
+        for r in sketch(spark.read.parquet(src)).collect()
+    }
+    assert merged == batch
