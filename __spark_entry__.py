@@ -31,11 +31,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries() in
-# dict order.  Round-6 window: (a0) the seven operators NEW this round
+# dict order.  Round-6 window: (a0) the eight operators NEW this round
 # (chunking, PII scrub, ANN recall eval, product quantization, path
-# mining, value histogram, count-min heavy hitters) — first-ever driver
-# rows; (a) every query whose behavior changed
-# this round — the newly-oracled multimodal pair, the size-gated dedup
+# mining, value histogram, count-min heavy hitters, MQ writeback sink
+# round-trip) — first-ever driver rows; (a) every query whose behavior
+# changed this round — the newly-oracled multimodal pair, the size-gated dedup
 # funnels + re-written cluster resolve, the integer floor(cos*1e6) rank
 # keys across similarity/embedding queries, the layout-cache content
 # fingerprint, and the parallelized MQ batch reader; then (b) regression
@@ -43,8 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # rounds of refactors (VERDICT r5 item 5).  Displaced to make room, all
 # with green r4/r5 rows and unchanged (or pytest-guarded) behavior:
 # emb_quantize_int8, stream_seq_gap_monitor, conditional_case,
-# agg_collect_event_types, agg_pivot_event_types, and the
-# rows-only sim_ann_lsh / dedup_minhash_lsh whose fully-oracled twins
+# agg_collect_event_types, agg_pivot_event_types, agg_latest_order_per_cust,
+# and the rows-only sim_ann_lsh / dedup_minhash_lsh whose fully-oracled twins
 # (sim_ann_lsh_signed, dedup_minhash_lsh_md5) stay in the window.  All 50
 # re-verified green this session via scripts/driver_sim.py at sf0.01.
 _CHECK_FIRST = [
@@ -73,6 +73,7 @@ _CHECK_FIRST = [
     "mq_source_batch_drain",
     "mq_source_destructive_drain",
     "mq_source_multi_queue_union",
+    "mq_sink_roundtrip",
     # --- (b) r1–r3-vintage regression rotation ---
     "string_funcs",
     "json_funcs",
@@ -90,7 +91,6 @@ _CHECK_FIRST = [
     "agg_rollup_flags",
     "agg_cube_orders",
     "agg_grouping_sets_sql",
-    "agg_latest_order_per_cust",
     "dedup_exact_events",
     "dedup_exact_docs_hash",
     "join_revenue_by_nation",

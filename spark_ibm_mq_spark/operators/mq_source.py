@@ -266,3 +266,43 @@ def mq_source_multi_queue_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return q(_MULTI_QUEUES[0]).unionByName(q(_MULTI_QUEUES[1]))
+
+
+@register("mq_sink_roundtrip", oracle=_DRAIN_ORACLE)
+def mq_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUT-side completion of the connector surface: the events fixture is
+    delivered onto a fresh queue through the MQWritebackSink (a streaming
+    foreachBatch query with the WAL pending/committed markers — the
+    reference opens its handle with MQOO_OUTPUT, IBMMQReceiver.java:132-135,
+    but never puts), then read back through the ibmmq batch source. Full
+    value parity against the same SQL envelope oracle as the GET-side
+    drains proves the sink's put path and the reader's key synthesis
+    compose to the identity."""
+    import pyspark.sql.functions as F
+
+    from spark_ibm_mq_spark.streaming.mq_sink import MQWritebackSink
+    from spark_ibm_mq_spark.tables import load_table
+
+    d = _scratch("mq_sink_rt_")
+    src = os.path.join(d, "outbound")
+    load_table(spark, sf_dir, "events").select(
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("put_ms"),
+        F.col("event_id").alias("seq_no"),
+        F.col("props").alias("value"),
+    ).write.parquet(src)
+
+    sink = MQWritebackSink(d, _QUEUE)
+    q = (
+        spark.readStream.schema("put_ms bigint, seq_no bigint, value string")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    register_ibmmq(spark)
+    return (
+        spark.read.format("ibmmq").option("path", d).option("queue", _QUEUE).load()
+    )

@@ -47,3 +47,61 @@ def test_update_output_mode_emits_changed_groups(spark, tmp_path):
     q.awaitTermination()
     rows = {r.k: (r.n, r.s) for r in spark.sql("select * from updsink").collect()}
     assert rows == {0: (10, 135.0), 1: (10, 145.0), 2: (10, 155.0)}
+
+
+def _mk_df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(1_700_000_000_000 + i, i, f'{{"n": {i}}}') for i in range(lo, hi)],
+        "put_ms bigint, seq_no bigint, value string",
+    )
+
+
+def test_mq_sink_writes_ordered_messages(spark, tmp_path):
+    from spark_ibm_mq_spark.sources.fake_mq import FakeMQBroker
+    from spark_ibm_mq_spark.streaming.mq_sink import MQWritebackSink
+
+    sink = MQWritebackSink(str(tmp_path), "OUT.Q")
+    sink(_mk_df(spark, 0, 50), 0)
+    broker = FakeMQBroker(str(tmp_path), "OUT.Q")
+    msgs = broker.messages(0)
+    assert [m["seq_no"] for m in msgs] == list(range(50))
+    assert msgs[7]["body"] == '{"n": 7}'
+
+
+def test_mq_sink_replay_of_committed_batch_is_noop(spark, tmp_path):
+    from spark_ibm_mq_spark.sources.fake_mq import FakeMQBroker
+    from spark_ibm_mq_spark.streaming.mq_sink import MQWritebackSink
+
+    sink = MQWritebackSink(str(tmp_path), "OUT.Q")
+    df = _mk_df(spark, 0, 20)
+    sink(df, 0)
+    sink(df, 0)  # Spark replays batch 0 after recovery
+    sink(_mk_df(spark, 20, 30), 1)
+    broker = FakeMQBroker(str(tmp_path), "OUT.Q")
+    assert [m["seq_no"] for m in broker.messages(0)] == list(range(30))
+
+
+def test_mq_sink_rolls_back_torn_batch(spark, tmp_path):
+    """A crash mid-append leaves a pending marker; the retry must truncate
+    the torn tail (backout) before re-putting, so no message appears twice."""
+    import json
+    import os
+
+    from spark_ibm_mq_spark.sources.fake_mq import FakeMQBroker
+    from spark_ibm_mq_spark.streaming.mq_sink import MQWritebackSink
+
+    sink = MQWritebackSink(str(tmp_path), "OUT.Q")
+    sink(_mk_df(spark, 0, 10), 0)
+    qfile = os.path.join(str(tmp_path), "OUT.Q.jsonl")
+    len_before = os.path.getsize(qfile)
+    # simulate a torn batch 1: pending marker written, append half-finished,
+    # process dies before the committed marker
+    with open(os.path.join(str(tmp_path), "OUT.Q.sink_pending"), "w") as f:
+        json.dump({"batch": 1, "len_before": len_before}, f)
+    with open(qfile, "a") as f:
+        f.write('{"put_ms": 1700000000010, "seq_no": 10, "body": "torn"}\n')
+    sink(_mk_df(spark, 10, 25), 1)  # retry of batch 1
+    broker = FakeMQBroker(str(tmp_path), "OUT.Q")
+    msgs = broker.messages(0)
+    assert [m["seq_no"] for m in msgs] == list(range(25))
+    assert all(m["body"] != "torn" for m in msgs)
