@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from spark_ibm_mq_spark.functions.vector import cosine_similarity, dot
 from spark_ibm_mq_spark.operators.dedup import _COS_SQL
+from spark_ibm_mq_spark.registry import ORACLE as _ORACLE
 from spark_ibm_mq_spark.registry import register
 from spark_ibm_mq_spark.tables import load_table, spread
 
@@ -518,9 +519,9 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # ANN quality evaluation — recall@k of the oracled LSH funnel vs exact
+# (the _ORACLE subscriptions below read entries the @register calls above
+# populated earlier in this module's execution)
 # ---------------------------------------------------------------------------
-
-from spark_ibm_mq_spark.registry import ORACLE as _ORACLE
 
 
 @register(
