@@ -31,10 +31,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries() in
-# dict order.  Round-6 window: (a0) the eight operators NEW this round
+# dict order.  Round-6 window: (a0) the nine operators NEW this round
 # (chunking, PII scrub, ANN recall eval, product quantization, path
 # mining, value histogram, count-min heavy hitters, MQ writeback sink
-# round-trip) — first-ever driver rows; (a) every query whose behavior
+# round-trip, 3-iteration k-means) — first-ever driver rows; (a) every query whose behavior
 # changed this round — the newly-oracled multimodal pair, the size-gated dedup
 # funnels + re-written cluster resolve, the integer floor(cos*1e6) rank
 # keys across similarity/embedding queries, the layout-cache content
@@ -44,6 +44,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # with green r4/r5 rows and unchanged (or pytest-guarded) behavior:
 # emb_quantize_int8, stream_seq_gap_monitor, conditional_case,
 # agg_collect_event_types, agg_pivot_event_types, agg_latest_order_per_cust,
+# mq_source_destructive_drain (streaming read path untouched by the batch
+# splits; exactly-once pytest coverage + r5-green + this session MATCH),
 # and the rows-only sim_ann_lsh / dedup_minhash_lsh whose fully-oracled twins
 # (sim_ann_lsh_signed, dedup_minhash_lsh_md5) stay in the window.  All 50
 # re-verified green this session via scripts/driver_sim.py at sf0.01.
@@ -56,6 +58,7 @@ _CHECK_FIRST = [
     "events_top_paths",
     "agg_value_histogram",
     "agg_heavy_hitters_cms",
+    "emb_kmeans_3iter",
     # --- (a) touched this round ---
     "mm_decode_features",
     "mm_frame_sample",
@@ -71,7 +74,6 @@ _CHECK_FIRST = [
     "scale_bucketed_cell_manifest",
     "scale_partitioned_scan_pruned",
     "mq_source_batch_drain",
-    "mq_source_destructive_drain",
     "mq_source_multi_queue_union",
     "mq_sink_roundtrip",
     # --- (b) r1–r3-vintage regression rotation ---

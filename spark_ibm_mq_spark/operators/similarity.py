@@ -668,3 +668,100 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform(by_m, lambda s: s["e"]), ",").alias("err_csv"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative k-means — Lloyd's algorithm as a fully-lazy DataFrame loop
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+_KM_DIM = 64
+
+_KM_D2 = "list_aggregate(list_transform(list_zip(e.ev, c.cv), z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum')"
+
+
+def _km_iteration_sql(i: int) -> str:
+    """CTEs for one unrolled Lloyd iteration: assign to nearest centroid
+    (integer floor(d2*1e6) + cid rank key), then recompute per-cluster
+    per-dimension means rounded to 6 decimals (the suite's cross-engine
+    float convention, emb_centroid_per_label)."""
+    assign = f"""
+    a{i} AS (
+        SELECT vec_id, ev, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY floor(d2 * 1000000), cid) AS rk
+        FROM (SELECT e.vec_id, e.ev, c.cid, {_KM_D2} AS d2
+              FROM e0 e CROSS JOIN c{i - 1} c)
+    )"""
+    update = f"""
+    m{i} AS (
+        SELECT a.cid, t.i AS pos, round(avg(a.ev[t.i]), 6) AS m
+        FROM a{i} a, LATERAL unnest(range(1, {_KM_DIM} + 1)) t(i)
+        WHERE a.rk = 1 GROUP BY a.cid, t.i
+    ),
+    c{i} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid)"""
+    return assign + ("," + update if i < _KM_ITERS else "")
+
+
+@register(
+    "emb_kmeans_3iter",
+    oracle=f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < {_KM_K}),
+    {",".join(_km_iteration_sql(i) for i in range(1, _KM_ITERS + 1))}
+    SELECT vec_id, cid AS cluster FROM a{_KM_ITERS} WHERE rk = 1
+    """,
+)
+def emb_kmeans_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus — K=8, three iterations,
+    deterministic init (the K lowest vec_ids) — expressed as a fully LAZY
+    DataFrame loop: each iteration is assign (8-row centroid frame
+    broadcast into a cross join, integer-keyed argmin window) → update
+    (per-(cluster, dim) combinable mean, rounded to 6 decimals so both
+    engines feed bit-identical centroids into the next iteration's
+    distances). No driver collect, no materialization between iterations —
+    Catalyst sees one DAG with three join+aggregate layers, and the oracle
+    unrolls the identical three iterations as CTE pairs.
+
+    Scale shape per iteration: the corpus is scanned with a K-row broadcast
+    (no corpus shuffle for assignment beyond the per-vector window, which
+    AQE plans off the same vec_id hash), and the update shuffles only
+    (cluster, dim, partial-sum) triples — K·dim rows world-wide. For many
+    iterations, checkpoint the assignment every ~10 rounds to cut lineage
+    (the dedup_cluster_resolve pattern); at 3 iterations lineage is cheap.
+    Empty clusters drop out of the centroid frame on both engines alike."""
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("ev")
+    )
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("ev").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("ev", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.floor(F.col("d2") * 1e6), "cid")
+    assign = None
+    for it in range(1, _KM_ITERS + 1):
+        assign = (
+            e.crossJoin(F.broadcast(cents))
+            .withColumn("d2", d2)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+        )
+        if it < _KM_ITERS:
+            means = (
+                assign.select("cid", F.posexplode("ev").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.round(F.avg("x"), 6).alias("m"))
+            )
+            cents = means.groupBy("cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+    return assign.select("vec_id", F.col("cid").alias("cluster"))

@@ -463,3 +463,47 @@ def test_cms_never_underestimates(spark):
         assert r.exact_count >= 15
         assert r.cms_estimate >= r.exact_count
         assert r.overcount == r.cms_estimate - r.exact_count
+
+
+def test_kmeans_assignment_properties(spark):
+    """Every vector gets exactly one cluster from the surviving centroid
+    set; the run is deterministic; and iterating must not produce a WORSE
+    clustering than the init assignment (Lloyd monotonicity, measured as
+    mean distance to the assigned centroid)."""
+    import math
+
+    from spark_ibm_mq_spark.tables import load_table
+
+    rows = registry.QUERIES["emb_kmeans_3iter"](spark, SF_DIR).collect()
+    n_vec = load_table(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == n_vec
+    assert len({r.vec_id for r in rows}) == n_vec
+    clusters = {r.cluster for r in rows}
+    assert clusters <= set(range(8)) and len(clusters) >= 2
+    rows2 = registry.QUERIES["emb_kmeans_3iter"](spark, SF_DIR).collect()
+    assert sorted((r.vec_id, r.cluster) for r in rows) == sorted(
+        (r.vec_id, r.cluster) for r in rows2
+    )
+    # Lloyd monotonicity: inertia of the final assignment <= inertia of
+    # assigning every vector to its nearest INITIAL centroid
+    emb = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    def d2(a, b):
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))
+    init_inertia = sum(
+        min(d2(v, emb[c]) for c in range(8)) for v in emb.values()
+    )
+    # final centroids = mean of each cluster's members
+    by_c: dict[int, list] = {}
+    for r in rows:
+        by_c.setdefault(r.cluster, []).append(emb[r.vec_id])
+    final_cents = {
+        c: [sum(float(v[i]) for v in vs) / len(vs) for i in range(64)]
+        for c, vs in by_c.items()
+    }
+    final_inertia = sum(
+        d2(emb[r.vec_id], final_cents[r.cluster]) for r in rows
+    )
+    assert final_inertia <= init_inertia + 1e-6, (final_inertia, init_inertia)

@@ -328,3 +328,17 @@ def test_cms_counter_frame_broadcast_no_cartesian(spark):
     df = registry.QUERIES["agg_heavy_hitters_cms"](spark, SF_DIR)
     assert not has_cartesian(df)
     assert num_broadcast_joins(df) >= 1  # the d×w counter frame (≤1024 rows)
+
+
+def test_kmeans_broadcasts_centroids_every_iteration(spark):
+    """Each Lloyd iteration must broadcast the K-row centroid frame into
+    the corpus scan (BroadcastNestedLoopJoin over the 8-row side), never a
+    CartesianProduct over the corpus."""
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["emb_kmeans_3iter"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert plan.count("BroadcastNestedLoopJoin") == 3, plan.count(
+        "BroadcastNestedLoopJoin"
+    )
