@@ -280,3 +280,49 @@ def win_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderdate", 2).over(full).alias("second_date"),
         F.round(F.cume_dist().over(by_price), 4).alias("price_cume"),
     )
+
+
+@register(
+    "win_range_moving_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, order_day,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY order_day
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 4) AS sum_30d,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY order_day
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
+    FROM (SELECT o_custkey, o_orderkey,
+                 CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS order_day,
+                 o_totalprice
+          FROM orders)
+    """,
+)
+def win_range_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-customer trailing-30-day order
+    value and count — the moving-aggregate shape ROWS frames can't express
+    (a RANGE frame admits every row whose ORDER BY key falls in the value
+    interval, ties included, exactly per the SQL standard in both engines).
+    The order key is the integer epoch-day, so the frame bound arithmetic
+    is exact and engine-identical.
+
+    Plan shape: one hash exchange on o_custkey feeding a partition-local
+    sort — identical cost to the ROWS-frame running totals; the frame
+    bound adds no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_day")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        day.alias("order_day"),
+        "o_totalprice",
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "order_day",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("sum_30d"),
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+    )
