@@ -602,3 +602,59 @@ def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_digits_masked"),
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH base AS (
+        SELECT source, lang, len({_TOKS}) AS n_toks, md5(text) AS h
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT)            AS n_docs,
+           CAST(sum(n_toks) AS BIGINT)         AS total_tokens,
+           CAST(count(DISTINCT h) AS BIGINT)   AS n_unique_docs,
+           round(1.0 - count(DISTINCT h) * 1.0 / count(*), 4) AS dup_ratio,
+           round(avg(n_toks), 4)               AS avg_tokens
+    FROM base
+    GROUP BY ROLLUP (source, lang)
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics — the per-(source, lang) summary table every
+    corpus release ships (doc counts, token totals, exact-dup ratio via
+    content-hash distinct, mean length), with ROLLUP subtotals per source
+    and a grand total, labeled by grouping id.
+
+    Plan shape: one scan computing (source, lang, n_toks, md5) → rollup
+    aggregate. The count(DISTINCT h) expands the rollup into a per-level
+    partial on the 16-byte hash — the only corpus-sized shuffle, keyed on
+    the hash, AQE-coalesced; every other measure is map-side combinable.
+    Output is |sources|×|langs| + |sources| + 1 rows regardless of corpus
+    size."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source", "lang", F.size(tokens("text")).alias("n_toks"),
+        F.md5("text").alias("h"),
+    )
+    return (
+        base.rollup("source", "lang")
+        .agg(
+            (F.grouping("source") * 2 + F.grouping("lang"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.countDistinct("h").alias("n_unique_docs"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("h") / F.count(F.lit(1)), 4
+            ).alias("dup_ratio"),
+            F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+        )
+        .select(
+            "source", "lang", "gid", "n_docs", "total_tokens",
+            "n_unique_docs", "dup_ratio", "avg_tokens",
+        )
+    )
