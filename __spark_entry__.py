@@ -49,8 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # and the rows-only sim_ann_lsh / dedup_minhash_lsh whose fully-oracled twins
 # (sim_ann_lsh_signed, dedup_minhash_lsh_md5) stay in the window.  All 50
 # re-verified green this session via scripts/driver_sim.py at sf0.01.
-# (win_range_moving_sum and pipeline_dataset_card, added after the window
-# filled, carry the same session MATCH and rotate into the r7 window.)
+# (win_range_moving_sum, pipeline_dataset_card, and events_dau_rolling,
+# added after the window filled, carry the same session MATCH and rotate
+# into the r7 window.)
 _CHECK_FIRST = [
     # --- (a0) NEW this round — first-ever driver rows ---
     "pipeline_chunk_documents",

@@ -310,3 +310,50 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.select(
         "path", "n_users", F.row_number().over(rank_w).alias("path_rank")
     )
+
+
+@register(
+    "events_dau_rolling",
+    oracle=f"""
+    {EVENTS_CTE},
+    daily AS (
+        SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day_no,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY 1
+    )
+    SELECT day_no, dau, n_events,
+           round(avg(dau) OVER (ORDER BY day_no
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS dau_7d_avg,
+           CAST(count(*) OVER (ORDER BY day_no
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS days_in_window
+    FROM daily
+    """,
+)
+def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users with a trailing-7-day rolling average — the
+    canonical engagement time series every event pipeline feeds a
+    dashboard. The RANGE frame runs over the integer epoch-day, so gap
+    days genuinely shrink the window (a ROWS frame would silently span
+    them).
+
+    Plan shape: the per-day distinct shuffles (day, user_id) once and
+    combines map-side; the rolling window then runs over |days| rows —
+    a constant-size frame regardless of event volume, safe as a single
+    partition (at decades of days, range-partition by year)."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    day_no = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    daily = ev.groupBy(day_no.alias("day_no")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = W.orderBy("day_no").rangeBetween(-6, W.currentRow)
+    return daily.select(
+        "day_no",
+        "dau",
+        "n_events",
+        F.round(F.avg("dau").over(w), 4).alias("dau_7d_avg"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )
