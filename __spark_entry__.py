@@ -54,6 +54,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # into the r7 window.)
 _CHECK_FIRST = [
     # --- (a0) NEW this round — first-ever driver rows ---
+    "join_bloom_prefilter",
+    "events_anomaly_zscore",
+    "dedup_substr_spans",
+    "stream_stream_left_join",
+    "agg_bitmap_distinct_rollup",
+    "scale_salted_join",
     "pipeline_chunk_documents",
     "pipeline_pii_scrub",
     "sim_ann_recall_eval",
@@ -65,7 +71,6 @@ _CHECK_FIRST = [
     # --- (a) touched this round ---
     "mm_decode_features",
     "mm_frame_sample",
-    "mm_binary_meta",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_md5",
     "dedup_cluster_resolve",
@@ -83,12 +88,7 @@ _CHECK_FIRST = [
     "string_funcs",
     "json_funcs",
     "datetime_funcs",
-    "math_funcs",
-    "array_funcs",
-    "map_funcs",
-    "hash_funcs",
     "proj_compute",
-    "filter_predicates",
     "agg_monthly_orders",
     "agg_stats",
     "agg_percentiles",

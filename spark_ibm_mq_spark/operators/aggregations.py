@@ -430,3 +430,53 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
         )
     )
+
+
+@register(
+    "agg_bitmap_distinct_rollup",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+           count(DISTINCT user_id) AS n_users
+    FROM ev GROUP BY 1
+    UNION ALL
+    SELECT 'ALL' AS day, count(DISTINCT user_id) AS n_users FROM ev
+    """,
+)
+def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts from MERGEABLE bitmaps — the pre-aggregated
+    distinct-count pattern (ClickHouse groupBitmap / Druid; roaring bitmaps
+    relationally): user ids packed into int64 bitmap words per (day, word),
+    daily uniques = popcount of that day's words, and the all-time row is
+    computed by bit_or-MERGING the same per-day word frame — the raw events
+    are scanned exactly once, which is the whole point: a precomputed
+    (day, word) bitmap cube answers distinct-count rollups over ANY day
+    range without rescanning the fact table, something plain
+    count(DISTINCT) can never do (distincts don't add).
+
+    Plan shape: one shuffle on (day, word) with map-side bit_or partials;
+    the daily popcount and the merge-rollup both run over the tiny word
+    frame. Assumes a dense bounded id space (dictionary-encode ids first
+    otherwise — the encode is the same groupBy this query already pays)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    words = (
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.shiftright("user_id", 6).alias("w"),
+            F.expr("shiftleft(1L, cast(user_id % 64 as int))").alias("m"),
+        )
+        .groupBy("day", "w")
+        .agg(F.bit_or("m").alias("bits"))
+        # four consumers (daily + merged rollup) reuse this one exchange
+        .localCheckpoint()
+    )
+    daily = words.groupBy("day").agg(F.sum(F.bit_count("bits")).alias("n_users"))
+    merged = (
+        words.groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
+        .agg(F.sum(F.bit_count("bits")).alias("n_users"))
+        # 'ALL' sentinel instead of a NULL date: the driver canonicalizer
+        # renders a pandas NaT and a plain None differently
+        .select(F.lit("ALL").alias("day"), "n_users")
+    )
+    return daily.select(F.col("day").cast("string"), "n_users").unionByName(merged)

@@ -700,3 +700,68 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").cast("bigint").alias("min_doc"),
         F.max("v").cast("bigint").alias("max_doc"),
     )
+
+
+_SPAN = 8  # tokens per rolling shingle (Lee et al. use 50; 8 fits fixture docs)
+
+
+@register(
+    "dedup_substr_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+7], ' ') AS s
+        FROM toks, LATERAL unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)
+    ),
+    cnt AS (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS c FROM sh)
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+           round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS dup_frac
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def dedup_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (the ExactSubstr dedup of
+    "Deduplicating Training Data Makes Language Models Better" re-expressed
+    relationally): every rolling 8-token shingle of every document, counted
+    across the corpus; a position is "duplicated" when its shingle occurs
+    ≥ 2 times anywhere (another doc OR another position of the same doc).
+    Output: per-doc shingle count, duplicated-shingle count, duplicated
+    fraction — the signal used to trim repeated boilerplate spans from
+    training corpora (suffix-array engines find arbitrary-length repeats;
+    fixed-width rolling shingles are the bounded-memory relational form).
+
+    Plan shape: shingles are generated per-row with transform(sequence)
+    (zero shuffles, stays in codegen), then ONE shuffle on the shingle for
+    the occurrence-count window + ONE (doc_id) shuffle for the final
+    rollup. At 100 TB, key the count on xxhash64(shingle) so the exchange
+    carries 8-byte keys instead of ~50-char strings (collision odds 2⁻⁶⁴
+    per pair are acceptable for a trim heuristic; here the string key keeps
+    the oracle exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), "\\s+")
+    shingles = F.when(
+        F.size(toks) >= _SPAN,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - _SPAN),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _SPAN)),
+        ),
+    )
+    sh = spread(
+        d.select("doc_id", F.explode(shingles).alias("s")), "doc_id"
+    )
+    c = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    dup = (F.col("c") >= 2).cast("int")
+    return (
+        sh.withColumn("c", c)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(dup).cast("bigint").alias("n_dup_shingles"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_frac"),
+        )
+    )

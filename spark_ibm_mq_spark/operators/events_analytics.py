@@ -357,3 +357,50 @@ def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("dau").over(w), 4).alias("dau_7d_avg"),
         F.count(F.lit(1)).over(w).alias("days_in_window"),
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    {EVENTS_CTE},
+    hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               count(*) AS n
+        FROM ev GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, hr, n,
+               round((n - avg(n) OVER (PARTITION BY event_type))
+                     / stddev_samp(n) OVER (PARTITION BY event_type), 4) AS z
+        FROM hourly
+    )
+    SELECT event_type, hr, n, z FROM scored WHERE abs(z) >= 2
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts per type, z-scored
+    against that type's own hourly distribution, keeping |z| ≥ 2 hours —
+    the standard ops-dashboard spike/dip detector.
+
+    Plan shape: one (event_type, hour) groupBy with map-side partial
+    aggregation reduces the raw stream to |types|×|hours| rows; the
+    mean/stddev window then runs per event_type over that tiny frame (a
+    handful of partitions, one per type — at years of history,
+    sub-partition by month and aggregate moments with a second groupBy
+    instead of a window). The |z| threshold compares the ROUNDED z on both
+    engines so a last-ulp stddev divergence cannot flip a boundary row."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type")
+    z = F.round(
+        (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 4
+    )
+    return (
+        hourly.withColumn("z", z)
+        .filter(F.abs("z") >= 2)
+        .select("event_type", "hr", "n", "z")
+    )

@@ -308,3 +308,81 @@ def join_right_outer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(
         o, (c.c_custkey == o.o_custkey) & (c.c_acctbal > 9000), "right"
     ).select("o_orderkey", "o_orderpriority", "c_mktsegment")
+
+
+_BLOOM_BITS = 1 << 16  # 65 536 bits → ≤1 024 packed int64 words (~8 KiB)
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                  AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with a bloom-filter runtime prefilter — the pattern AQE's
+    runtime row-group filtering automates, built explicitly: hash the
+    (filtered) build-side keys into a 64Ki-bit / 2-hash bloom bitmap packed
+    into ≤1 024 int64 words, broadcast the ~8 KiB word table, and knock out
+    non-matching fact rows BEFORE the exact semi join. False positives
+    (bloom says maybe, key absent) are removed by the exact semi join that
+    follows, so the result is identical to the plain semi join — the bloom
+    only shrinks what that join must process.
+
+    Scale shape: at 100 TB the exact semi join shuffles the whole fact
+    table on o_custkey; with the prefilter the fact side is cut to
+    ~selectivity × |orders| rows map-side (two broadcast joins against the
+    word table + a bitmask test, all inside one codegen stage), and only
+    the survivors shuffle. The bitmap is built with one tiny
+    groupBy(word).bit_or aggregation over the dim keys — never collected
+    to the driver."""
+    c = load_table(spark, sf_dir, "customer")
+    o = spread(load_table(spark, sf_dir, "orders"))
+    keys = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    def _bits(col: str):
+        # two independent hash positions per key (xxhash64, seeded by an
+        # extra literal column for h2) — identical inputs on both sides
+        return F.array(
+            F.pmod(F.xxhash64(F.col(col)), F.lit(_BLOOM_BITS)),
+            F.pmod(F.xxhash64(F.col(col), F.lit("h2")), F.lit(_BLOOM_BITS)),
+        )
+
+    words = (
+        keys.select(F.explode(_bits("c_custkey")).alias("bit"))
+        .select(
+            F.shiftright("bit", 6).alias("w"),
+            F.expr("shiftleft(1L, cast(bit % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    probe = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        "o_totalprice",
+        _bits("o_custkey")[0].alias("b1"),
+        _bits("o_custkey")[1].alias("b2"),
+    )
+    w1 = words.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))
+    w2 = words.select(F.col("w").alias("w2"), F.col("bits").alias("bits2"))
+    prefiltered = (
+        probe.join(F.broadcast(w1), F.shiftright("b1", 6) == F.col("w1"))
+        .filter(F.expr("bits1 & shiftleft(1L, cast(b1 % 64 as int))") != 0)
+        .join(F.broadcast(w2), F.shiftright("b2", 6) == F.col("w2"))
+        .filter(F.expr("bits2 & shiftleft(1L, cast(b2 % 64 as int))") != 0)
+    )
+    exact = prefiltered.join(
+        F.broadcast(keys), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )

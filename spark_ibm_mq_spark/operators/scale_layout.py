@@ -356,3 +356,55 @@ def scale_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("y_min"),
         F.max("y").alias("y_max"),
     )
+
+
+@register(
+    "scale_salted_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated shuffle join by SALTING: the build side (customer) is
+    replicated ×8 with an explicit salt column, the probe side (orders)
+    derives its salt from a uniform hash of its own unique key, and the
+    join runs on (c_custkey, salt) — so a pathologically hot customer key,
+    which a plain shuffle join lands on ONE reducer, is spread across 8.
+    Value-identical to the plain join (each probe row meets exactly the one
+    replica matching its salt), verified by the plain-join oracle.
+
+    This is the manual form of what AQE skew-join does adaptively at
+    runtime; the manual salt stays necessary when skew is known AND extreme
+    (AQE splits partitions, not single keys, and only after a stage
+    materializes). Cost: build side ×8 (fine for dims), no extra shuffle —
+    both sides shuffle once on the salted key, same as the plain join."""
+    _SALT = 8
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # hint the shuffled hash join: at fixture scale Catalyst would broadcast
+    # the replicated dim (making the salt moot); the scenario this operator
+    # demonstrates is the build side TOO BIG to broadcast — force the
+    # shuffle path so the salted exchange is the plan that actually runs
+    c_rep = c.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT)]))
+    ).hint("shuffle_hash")
+    o_salted = o.select(
+        "o_custkey",
+        "o_totalprice",
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(_SALT)).cast("int").alias("salt"),
+    )
+    return (
+        o_salted.join(
+            c_rep,
+            (o_salted.o_custkey == c_rep.c_custkey) & (o_salted.salt == c_rep.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )

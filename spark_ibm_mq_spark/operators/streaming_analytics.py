@@ -445,3 +445,67 @@ def stream_seq_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_file_stream(spark, sf_dir).select("user_id", "event_id")
     out = _run_to_memory(seq_gap_monitor(ev), "append")
     return out.select("user_id", "prev_id", "event_id", "gap")
+
+
+@register(
+    "stream_stream_left_join",
+    oracle=f"""
+    {EVENTS_CTE},
+    p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM ev
+          WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts FROM ev
+          WHERE event_type = 'click'),
+    m AS (SELECT p.p_id, c.c_id, p.user_id
+          FROM p JOIN c ON p.user_id = c.c_user
+           AND c.c_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts)
+    SELECT p_id, c_id, user_id FROM m
+    UNION ALL
+    SELECT p.p_id, NULL AS c_id, p.user_id
+    FROM p
+    WHERE p.p_id NOT IN (SELECT p_id FROM m)
+      AND p.p_ts < least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c))
+                   - INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarks: every purchase joined
+    to the clicks of the hour before it; purchases with no such click are
+    emitted with NULL once the watermark proves no matching click can still
+    arrive. The outer-null emission is watermark-gated state eviction — the
+    semantics inner joins can't express (which purchases had no preceding
+    click) — so unmatched purchases younger than the final watermark are
+    withheld, exactly as a production run would withhold them.
+
+    Oracle: matched pairs ∪ unmatched purchases strictly below the final
+    global watermark. Each withWatermark node tracks the max event time of
+    the rows that REACH it — the per-type filters run upstream, so the
+    global watermark is min(max purchase ts, max click ts) − 1 h, not
+    max(all events) − 1 h (an easy off-by-a-few-rows trap; the trailing
+    no-data batch then evicts-and-emits strictly-older left rows). State
+    per side is bounded by watermark + the 1 h range condition, same as
+    the inner twin `stream_stream_join`."""
+    ev1 = events_file_stream(spark, sf_dir)
+    ev2 = events_file_stream(spark, sf_dir)
+    p = (
+        ev1.filter(F.col("event_type") == "purchase")
+        .withColumnRenamed("event_id", "p_id")
+        .withColumnRenamed("ts", "p_ts")
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        ev2.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.c_ts <= p.p_ts),
+        "left_outer",
+    ).select("p_id", "c_id", "user_id")
+    return _run_to_memory(joined, "append")

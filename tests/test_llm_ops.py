@@ -507,3 +507,77 @@ def test_kmeans_assignment_properties(spark):
         d2(emb[r.vec_id], final_cents[r.cluster]) for r in rows
     )
     assert final_inertia <= init_inertia + 1e-6, (final_inertia, init_inertia)
+
+
+def test_substr_spans_bounds_and_coverage(spark):
+    """Every ≥8-token document appears exactly once; duplicated-shingle
+    counts are bounded by the total and dup_frac is their exact ratio."""
+    import pyspark.sql.functions as F
+
+    from spark_ibm_mq_spark.tables import load_table
+
+    pdf = registry.QUERIES["dedup_substr_spans"](spark, SF_DIR).toPandas()
+    assert pdf.doc_id.is_unique
+    assert (pdf.n_dup_shingles <= pdf.n_shingles).all()
+    assert ((pdf.dup_frac >= 0) & (pdf.dup_frac <= 1)).all()
+    n_long = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.size(F.split(F.trim("text"), "\\s+")) >= 8)
+        .count()
+    )
+    assert len(pdf) == n_long
+    # shingle count per doc is n_tokens - 7 exactly
+    toks = {
+        r.doc_id: r.n
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(F.split(F.trim("text"), "\\s+")).alias("n"))
+        .collect()
+    }
+    assert all(row.n_shingles == toks[row.doc_id] - 7 for row in pdf.itertuples())
+
+
+def test_bloom_prefilter_equals_plain_semi_join(spark):
+    """The bloom stage must be pure optimization: after exact false-positive
+    removal the aggregate equals the plain (bloom-less) semi join."""
+    import pyspark.sql.functions as F
+
+    from spark_ibm_mq_spark.tables import load_table
+
+    got = {
+        (r.o_orderpriority, r.n_orders, r.total_price)
+        for r in registry.QUERIES["join_bloom_prefilter"](spark, SF_DIR).collect()
+    }
+    o = load_table(spark, SF_DIR, "orders")
+    keys = (
+        load_table(spark, SF_DIR, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    plain = {
+        (r.o_orderpriority, r.n_orders, r.total_price)
+        for r in o.join(keys, o.o_custkey == keys.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .collect()
+    }
+    assert got == plain
+
+
+def test_anomaly_zscore_threshold_and_direction(spark):
+    """Only |z| ≥ 2 hours survive, and each flagged hour's count actually
+    deviates from its type's mean in the direction of the sign."""
+    pdf = registry.QUERIES["events_anomaly_zscore"](spark, SF_DIR).toPandas()
+    assert (pdf.z.abs() >= 2).all()
+    # recompute per-type hourly mean from the raw fixture
+    import pandas as pd
+
+    ev = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+    ev["hr"] = pd.to_datetime(ev.ts).dt.floor("h")
+    hourly = ev.groupby(["event_type", "hr"]).size().rename("n").reset_index()
+    means = hourly.groupby("event_type").n.mean()
+    for row in pdf.itertuples():
+        mu = means[row.event_type]
+        assert (row.n - mu > 0) == (row.z > 0), row

@@ -342,3 +342,23 @@ def test_kmeans_broadcasts_centroids_every_iteration(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 3, plan.count(
         "BroadcastNestedLoopJoin"
     )
+
+
+def test_bloom_prefilter_broadcast_probes_no_cartesian(spark):
+    """Both bitmap-word probes AND the exact semi join must be broadcast
+    hash joins (the word table is ~1 KiB, the key list a dim) — the fact
+    side must never shuffle before the prefilter."""
+    df = registry.QUERIES["join_bloom_prefilter"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    assert num_broadcast_joins(df) >= 3
+
+
+def test_substr_spans_shingles_stay_in_scan_stage(spark):
+    """Shingle generation is transform(sequence(...)) over the token array —
+    per-row, no explode-then-groupBy token shuffle. Total exchanges: the
+    fixture spread, the shingle-count window, and the per-doc rollup."""
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["dedup_substr_spans"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("Exchange") <= 3, plan[:1200]

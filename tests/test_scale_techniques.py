@@ -49,3 +49,38 @@ def test_salted_aggregation_matches_plain(spark):
     )
     got = {(r.k): (r.n, r.s) for r in salted.collect()}
     assert got == plain
+
+
+def test_salted_join_plan_is_shuffled_hash_on_salted_key(spark):
+    """The registered salted join must actually take the shuffled-hash path
+    (a broadcast would make the salt moot) and carry the salt in the join
+    keys, so one hot customer key spreads over 8 reducers."""
+    import os
+
+    from spark_ibm_mq_spark import registry
+
+    registry.load_all_modules()
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    df = registry.QUERIES["scale_salted_join"](spark, sf)
+    plan = executed_plan(df)
+    assert "ShuffledHashJoin" in plan, plan[:1000]
+    assert "salt" in plan
+
+
+def test_bitmap_distinct_rollup_merges_without_rescan(spark):
+    """The all-time row must come out of the per-day word frame: bit_or of
+    per-day bitmaps = bitmap of the union — exact, unlike HLL merge — and
+    equal to a direct countDistinct over the raw fixture."""
+    import os
+
+    from spark_ibm_mq_spark import registry
+
+    registry.load_all_modules()
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = registry.QUERIES["agg_bitmap_distinct_rollup"](spark, sf).collect()
+    daily = {r.day: r.n_users for r in rows if r.day != "ALL"}
+    total = [r.n_users for r in rows if r.day == "ALL"]
+    assert len(total) == 1
+    ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    assert total[0] == ev.select("user_id").distinct().count()
+    assert max(daily.values()) <= total[0] <= sum(daily.values())
