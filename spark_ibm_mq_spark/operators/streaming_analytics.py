@@ -509,3 +509,97 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("p_id", "c_id", "user_id")
     return _run_to_memory(joined, "append")
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT user_id,
+           max_by(event_id,   epoch_ms(ts) * 100000 + event_id) AS last_event_id,
+           max_by(event_type, epoch_ms(ts) * 100000 + event_id) AS last_event_type,
+           CAST(max(ts) AS TIMESTAMP) AS last_ts,
+           count(*) AS n_events
+    FROM ev GROUP BY user_id
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE/upsert — incremental view maintenance without a
+    table format: the events fixture is re-sharded into 4 files and
+    replayed with maxFilesPerTrigger=1, so the keyed snapshot (latest
+    event + running count per user) is REALLY merged four times, each
+    micro-batch folding its per-key partial into the previous snapshot
+    (new version dir + pointer bump — the same commit model Delta/Iceberg
+    use, minus the manifest). This is the §2.2 foreachBatch sink surface
+    as a value-oracled query: the final snapshot must equal the one-shot
+    batch aggregate over all events.
+
+    Scale shape: each merge is groupBy(user_id) over (snapshot ∪ batch
+    partials) — state lives in the store, not executor memory, and the
+    batch side is pre-aggregated before the union so the shuffle carries
+    one row per touched key. The composite ts⊕event_id ordinal makes
+    keep-latest deterministic under ties and replays."""
+    import os
+
+    from spark_ibm_mq_spark.operators.mq_source import _scratch
+
+    d = _scratch("fb_upsert_")
+    src = os.path.join(d, "src")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.repartition(4).write.parquet(src)
+
+    ordinal = F.unix_millis("ts") * 100000 + F.col("event_id")
+    state = {"v": 0}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("user_id").agg(
+            F.max_by("event_id", ordinal).alias("last_event_id"),
+            F.max_by("event_type", ordinal).alias("last_event_type"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(ordinal).alias("last_ord"),
+        )
+        if state["v"] > 0:
+            prev = batch_df.sparkSession.read.parquet(
+                os.path.join(d, f"snap_v{state['v']}")
+            )
+            agg = (
+                prev.unionByName(agg)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by("last_event_id", "last_ord").alias("last_event_id"),
+                    F.max_by("last_event_type", "last_ord").alias("last_event_type"),
+                    F.max("last_ts").alias("last_ts"),
+                    F.sum("n_events").alias("n_events"),
+                    F.max("last_ord").alias("last_ord"),
+                )
+            )
+        state["v"] += 1
+        agg.write.parquet(os.path.join(d, f"snap_v{state['v']}"))
+
+    q = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["v"] >= 4, f"expected >=4 merge rounds, got {state['v']}"
+    return (
+        spark.read.parquet(os.path.join(d, f"snap_v{state['v']}"))
+        .select(
+            "user_id",
+            "last_event_id",
+            "last_event_type",
+            F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+            "n_events",
+        )
+    )

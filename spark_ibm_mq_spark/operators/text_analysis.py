@@ -442,3 +442,51 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", F.col("t").alias("top_term"), "tf", "df", "score")
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, substr(text, i.i, 1) AS ch, length(text) AS n
+        FROM documents, LATERAL unnest(range(1, length(text) + 1)) AS i(i)
+    ),
+    freq AS (SELECT doc_id, ch, n, count(*) AS c FROM chars GROUP BY 1, 2, 3)
+    SELECT doc_id,
+           n                                            AS n_chars,
+           count(*)                                     AS n_distinct_chars,
+           round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 4) AS char_entropy
+    FROM freq GROUP BY doc_id, n
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap gibberish /
+    encoding-damage / low-diversity detector every corpus quality gate
+    runs (very low entropy → repeated filler; very high → binary spill or
+    wrong charset).
+
+    Plan shape: entirely per-row higher-order expressions — the char
+    histogram is computed INSIDE the row via array ops (distinct chars ×
+    occurrence counts over the split array), so the operator needs no
+    shuffle at any corpus size and stays in the scan stage. The oracle
+    states the same value set-based (explode → group) — same math,
+    different plan, which is the point: Spark never pays the |text|-row
+    explode. The O(|alphabet|·|text|) per-row cost is CPU-heavy, so the
+    single-row-group fixture scan is spread() across cores first (a real
+    multi-split table already is). Entropy in nats, rounded to 4 (both
+    engines sum doubles in different orders)."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    chars = F.split(F.col("text"), "")
+    n = F.length("text")
+    uniq = F.array_distinct(chars)
+    cnt = lambda u: F.size(F.filter(chars, lambda x: x == u))  # noqa: E731
+    p = lambda u: cnt(u).cast("double") / n  # noqa: E731
+    entropy = -F.aggregate(
+        uniq, F.lit(0.0), lambda acc, u: acc + p(u) * F.log(p(u))
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars"),
+        F.size(uniq).cast("bigint").alias("n_distinct_chars"),
+        F.round(entropy, 4).alias("char_entropy"),
+    )

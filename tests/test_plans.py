@@ -362,3 +362,16 @@ def test_substr_spans_shingles_stay_in_scan_stage(spark):
     df = registry.QUERIES["dedup_substr_spans"](spark, SF_DIR)
     plan = executed_plan(df)
     assert plan.count("Exchange") <= 3, plan[:1200]
+
+
+def test_char_entropy_zero_shuffle(spark):
+    """The per-doc char histogram is computed inside the row (higher-order
+    array expressions) — no explode, no aggregation exchange at any corpus
+    size; the only exchange is the fixture spread."""
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["text_char_entropy"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("Exchange") <= 1, plan[:800]
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"doc_id", "text"}, cols
