@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import load_table
+from spark_ibm_mq_spark.tables import durable_checkpoint, load_table
 
 
 @register(
@@ -153,21 +153,26 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_latest_order_per_cust",
     oracle="""
     SELECT o_custkey,
-           max_by(o_orderkey, epoch_ms(o_orderdate) * 100000 + o_orderkey) AS latest_order,
-           min_by(o_orderkey, epoch_ms(o_orderdate) * 100000 + o_orderkey) AS first_order,
+           max_by(o_orderkey, epoch_ms(o_orderdate)::HUGEINT * 9223372036854775808
+                              + o_orderkey) AS latest_order,
+           min_by(o_orderkey, epoch_ms(o_orderdate)::HUGEINT * 9223372036854775808
+                              + o_orderkey) AS first_order,
            round(max(o_totalprice), 4) AS max_price
     FROM orders
     GROUP BY o_custkey
     """,
 )
 def agg_latest_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest/first row per group via max_by/min_by with a unique composite
-    ordinal (ts-millis ⊕ key) — deterministic where bare first()/last() is
-    not. This is the replication 'latest row wins' aggregate (README.md:59)."""
+    """Latest/first row per group via max_by/min_by on a struct(date, key)
+    ordinal — lexicographic struct comparison is a total order with NO
+    arithmetic aliasing at any key scale (a fixed ms*K+key multiplier is one
+    scale step from collisions the moment key >= K, and widening K overflows
+    int64). Deterministic where bare first()/last() is not. The oracle
+    states the identical order as a HUGEINT (128-bit) composite with K=2^63,
+    exact for any bigint key. This is the replication 'latest row wins'
+    aggregate (README.md:59)."""
     o = load_table(spark, sf_dir, "orders")
-    ordinal = (
-        F.unix_millis(F.col("o_orderdate").cast("timestamp")) * 100000 + F.col("o_orderkey")
-    )
+    ordinal = F.struct("o_orderdate", "o_orderkey")
     return o.groupBy("o_custkey").agg(
         F.max_by("o_orderkey", ordinal).alias("latest_order"),
         F.min_by("o_orderkey", ordinal).alias("first_order"),
@@ -456,20 +461,49 @@ def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one shuffle on (day, word) with map-side bit_or partials;
     the daily popcount and the merge-rollup both run over the tiny word
-    frame. Assumes a dense bounded id space (dictionary-encode ids first
-    otherwise — the encode is the same groupBy this query already pays)."""
+    frame. The dense-bounded-id precondition is ASSERTED in code, not
+    prose: ids outside [0, id_cap) raise before any result is returned
+    (dictionary-encode ids first otherwise — the encode is the same
+    groupBy this query already pays)."""
     ev = load_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
-    words = (
+    return _bitmap_rollup(ev)
+
+
+def _bitmap_rollup(ev: DataFrame, id_cap: int = 1 << 31) -> DataFrame:
+    """Core of `agg_bitmap_distinct_rollup` over any (ts, user_id) frame.
+
+    Raises ValueError when the id domain violates the bitmap precondition
+    (negative or >= ``id_cap``): a negative id makes shiftright/shiftleft
+    silently compute garbage words, and a sparse huge domain makes the
+    word frame as big as the fact table — both must fail LOUDLY, not
+    return a wrong popcount. The bounds ride along the same (day, word)
+    shuffle as min/max partials, so the guard costs zero extra scans."""
+    words = durable_checkpoint(
         ev.select(
             F.date_trunc("day", "ts").cast("date").alias("day"),
             F.shiftright("user_id", 6).alias("w"),
             F.expr("shiftleft(1L, cast(user_id % 64 as int))").alias("m"),
+            "user_id",
         )
         .groupBy("day", "w")
-        .agg(F.bit_or("m").alias("bits"))
-        # four consumers (daily + merged rollup) reuse this one exchange
-        .localCheckpoint()
+        .agg(
+            F.bit_or("m").alias("bits"),
+            F.min("user_id").alias("lo"),
+            F.max("user_id").alias("hi"),
+        ),
+        # four consumers (guard + daily + merged rollup) reuse this one
+        # exchange; the guard's first() below materializes the lazy
+        # checkpoint, so the guard is free
+        eager=False,
     )
+    lo, hi = words.agg(F.min("lo"), F.max("hi")).first()
+    if lo is not None and (lo < 0 or hi >= id_cap):
+        raise ValueError(
+            f"agg_bitmap_distinct_rollup: user_id domain [{lo}, {hi}] outside "
+            f"[0, {id_cap}) — bitmap words assume dense bounded non-negative "
+            f"ids; dictionary-encode the id column first"
+        )
+    words = words.drop("lo", "hi")
     daily = words.groupBy("day").agg(F.sum(F.bit_count("bits")).alias("n_users"))
     merged = (
         words.groupBy("w")

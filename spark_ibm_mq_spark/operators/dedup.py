@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from spark_ibm_mq_spark.functions.vector import dot, l2_norm
 from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import load_table, size_gated_broadcast, spread
+from spark_ibm_mq_spark.tables import (
+    durable_checkpoint,
+    load_table,
+    size_gated_broadcast,
+    spread,
+)
 
 # distinct whitespace tokens per doc — shared by the Jaccard/MinHash queries
 _TOKS_SQL = (
@@ -607,8 +612,11 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     137-node chained component converges in 4 rounds, not ~70). Rounds are
     driver-side control flow over distributed joins — no .collect() of
     vertex data; the only driver value is the per-round changed-count.
-    `localCheckpoint` truncates the growing lineage each round (on a real
-    cluster: `checkpoint` to reliable storage, same contract).
+    `durable_checkpoint` truncates the growing lineage each round —
+    reliable `checkpoint` when the session has a checkpoint dir (a real
+    cluster), executor-local otherwise — and every checkpoint here is
+    LAZY (`eager=False`) so the count that follows it materializes the
+    frame and reads the answer in ONE job, not two.
 
     At 100 TB: the same loop with edges bucketed by src and AQE skew splits;
     or graduate to alternating large-star/small-star (Kiveris et al.), which
@@ -622,14 +630,15 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union + repartition then operate on the materialized 2|E|-row edge
     # list — the label graph is orders of magnitude smaller than the
     # corpus, so per-round cost is task scheduling, not data.
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
+    pairs = durable_checkpoint(
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"),
+        eager=False,  # the width-deriving count below materializes it
     )
-    # Loop width is DERIVED from the materialized edge count (pairs is
-    # already checkpointed, so count() is a metadata-cheap action), not a
-    # hardcoded dial: ~1M edges per partition, clamped to the session
+    # Loop width is DERIVED from the edge count — the count() is ALSO the
+    # action that materializes the lazy checkpoint above, so deriving width
+    # costs zero extra jobs (the r6 version paid an eager-checkpoint job
+    # PLUS a count job here). Not a hardcoded dial: ~1M edges per
+    # partition, clamped to the session
     # parallelism. The fixture graph lands on a handful of partitions (low
     # scheduling overhead, the r5 motivation for the old hardcoded 8); a
     # 100 TB edge list widens automatically. Per-round shuffles inside the
@@ -640,16 +649,16 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = max(1, min(
         spark.sparkContext.defaultParallelism, -(-n_edges // 1_000_000)
     ))
-    edges = (
+    edges = durable_checkpoint(
         pairs.union(pairs.select("doc_b", "doc_a"))
         .toDF("src", "dst")
-        .repartition(width, "src")
-        .localCheckpoint()
+        .repartition(width, "src"),
+        eager=False,  # round 0's changed-count job materializes it
     )
-    labels = (
+    labels = durable_checkpoint(
         edges.select(F.col("src").alias("v")).distinct()
-        .withColumn("label", F.col("v"))
-        .localCheckpoint()
+        .withColumn("label", F.col("v")),
+        eager=False,
     )
     changed = 0
     for rnd in range(32):
@@ -665,21 +674,22 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if rnd == 0:
             # pointer jump is a no-op while labels are still identity
-            new_labels = l1.select(
-                "v", "old", F.col("mid").alias("label")
-            ).localCheckpoint()
+            new_labels = durable_checkpoint(
+                l1.select("v", "old", F.col("mid").alias("label")),
+                eager=False,  # the changed-count below materializes it
+            )
         else:
             lref = labels.select(
                 F.col("v").alias("rv"), F.col("label").alias("rlabel")
             )
-            new_labels = (
+            new_labels = durable_checkpoint(
                 l1.join(lref, l1.mid == lref.rv, "left")
                 .select(
                     "v",
                     "old",
                     F.least("mid", F.coalesce("rlabel", "mid")).alias("label"),
-                )
-                .localCheckpoint()
+                ),
+                eager=False,
             )
         changed = new_labels.filter(F.col("label") != F.col("old")).count()
         labels = new_labels.drop("old")

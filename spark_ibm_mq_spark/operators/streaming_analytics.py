@@ -516,8 +516,10 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {EVENTS_CTE}
     SELECT user_id,
-           max_by(event_id,   epoch_ms(ts) * 100000 + event_id) AS last_event_id,
-           max_by(event_type, epoch_ms(ts) * 100000 + event_id) AS last_event_type,
+           max_by(event_id,   epoch_ms(ts)::HUGEINT * 9223372036854775808 + event_id)
+               AS last_event_id,
+           max_by(event_type, epoch_ms(ts)::HUGEINT * 9223372036854775808 + event_id)
+               AS last_event_type,
            CAST(max(ts) AS TIMESTAMP) AS last_ts,
            count(*) AS n_events
     FROM ev GROUP BY user_id
@@ -529,16 +531,22 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed with maxFilesPerTrigger=1, so the keyed snapshot (latest
     event + running count per user) is REALLY merged four times, each
     micro-batch folding its per-key partial into the previous snapshot
-    (new version dir + pointer bump — the same commit model Delta/Iceberg
-    use, minus the manifest). This is the §2.2 foreachBatch sink surface
-    as a value-oracled query: the final snapshot must equal the one-shot
-    batch aggregate over all events.
+    (snapshot dir named by batch_id + a driver-side commit log — the same
+    commit model Delta/Iceberg use, minus the manifest). This is the §2.2
+    foreachBatch sink surface as a value-oracled query: the final snapshot
+    must equal the one-shot batch aggregate over all events.
 
     Scale shape: each merge is groupBy(user_id) over (snapshot ∪ batch
     partials) — state lives in the store, not executor memory, and the
     batch side is pre-aggregated before the union so the shuffle carries
-    one row per touched key. The composite ts⊕event_id ordinal makes
-    keep-latest deterministic under ties and replays."""
+    one row per touched key. Keep-latest orders by struct(ts, event_id) —
+    lexicographic, so no arithmetic-ordinal overflow/aliasing at any id
+    scale (the oracle states the same total order as a HUGEINT composite,
+    which is 128-bit and cannot overflow either). The merge is IDEMPOTENT
+    on batch_id — foreachBatch's contract is at-least-once, so a replayed
+    micro-batch must not fold in twice: snapshots are keyed by batch_id,
+    a replay of a committed batch is skipped, and a replay of an
+    uncommitted one overwrites its own partial output."""
     import os
 
     from spark_ibm_mq_spark.operators.mq_source import _scratch
@@ -550,10 +558,12 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.repartition(4).write.parquet(src)
 
-    ordinal = F.unix_millis("ts") * 100000 + F.col("event_id")
-    state = {"v": 0}
+    ordinal = F.struct("ts", "event_id")
+    applied: dict[int, str] = {}  # batch_id -> committed snapshot path
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:
+            return  # replay of a committed batch: already folded in, skip
         agg = batch_df.groupBy("user_id").agg(
             F.max_by("event_id", ordinal).alias("last_event_id"),
             F.max_by("event_type", ordinal).alias("last_event_type"),
@@ -561,10 +571,9 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.max(ordinal).alias("last_ord"),
         )
-        if state["v"] > 0:
-            prev = batch_df.sparkSession.read.parquet(
-                os.path.join(d, f"snap_v{state['v']}")
-            )
+        prev_ids = [b for b in applied if b < batch_id]
+        if prev_ids:
+            prev = batch_df.sparkSession.read.parquet(applied[max(prev_ids)])
             agg = (
                 prev.unionByName(agg)
                 .groupBy("user_id")
@@ -576,8 +585,10 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.max("last_ord").alias("last_ord"),
                 )
             )
-        state["v"] += 1
-        agg.write.parquet(os.path.join(d, f"snap_v{state['v']}"))
+        path = os.path.join(d, f"snap_b{batch_id}")
+        # overwrite: a replay of an UNcommitted batch redoes its own write
+        agg.write.mode("overwrite").parquet(path)
+        applied[batch_id] = path
 
     q = (
         spark.readStream.schema(
@@ -592,9 +603,9 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    assert state["v"] >= 4, f"expected >=4 merge rounds, got {state['v']}"
+    assert len(applied) >= 4, f"expected >=4 merge rounds, got {len(applied)}"
     return (
-        spark.read.parquet(os.path.join(d, f"snap_v{state['v']}"))
+        spark.read.parquet(applied[max(applied)])
         .select(
             "user_id",
             "last_event_id",

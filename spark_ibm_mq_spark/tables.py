@@ -86,10 +86,68 @@ def size_gated_broadcast(df: DataFrame) -> DataFrame:
         )
         if threshold <= 0:
             return df
-        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         return df
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        # Spark Connect (or any session without the py4j `_jdf` bridge):
+        # fall back to summing the source files' on-disk size — an
+        # OVERestimate of the frame (no filter/projection applied) scaled
+        # by a 4x decompression factor (snappy parquet -> row format), so
+        # the gate stays conservative: a frame admitted here is well under
+        # threshold in memory; estimation failure still means no pin.
+        try:
+            est = 4 * _input_files_bytes(df)
+        except Exception:
+            return df
     return F.broadcast(df) if est <= threshold else df
+
+
+def _input_files_bytes(df: DataFrame) -> int:
+    """Total on-disk bytes of ``df``'s source files (local/file: paths).
+
+    Connect-safe size probe: ``inputFiles()`` is part of the public
+    DataFrame API on both classic and Connect sessions. Raises when the
+    frame has no file-backed lineage or a file cannot be stat'ed — callers
+    treat that as "size unknown"."""
+    import os
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    if not files:
+        raise ValueError("no input files — size unknown")
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            raise ValueError(f"non-local input file {f} — size unknown")
+        total += os.path.getsize(p.path or f)
+    return total
+
+
+def durable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate ``df``'s lineage via RELIABLE ``checkpoint`` when the
+    session has a checkpoint directory configured, else ``localCheckpoint``.
+
+    The scale decision lives in CODE, not comments: iterative plans
+    (connected components' per-round label frames, the bitmap word cube)
+    must cut lineage each round, but executor-LOCAL checkpoints are not
+    fault-tolerant — on a real cluster an executor loss kills the query
+    instead of recomputing. A production session sets
+    ``spark.sparkContext.setCheckpointDir("hdfs://...")`` once and every
+    call here silently upgrades to the durable path; the local[...] test
+    session has no dir and keeps the zero-copy local variant.
+
+    ``eager=False`` defers materialization to the FIRST action on the
+    returned frame — callers that immediately ``count()`` the checkpointed
+    frame fold materialization + count into ONE job instead of two."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    return df.checkpoint(eager) if has_dir else df.localCheckpoint(eager)
 
 
 def spread(df: DataFrame, *cols: str, force: bool = False) -> DataFrame:

