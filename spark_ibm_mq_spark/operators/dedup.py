@@ -775,3 +775,106 @@ def dedup_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_frac"),
         )
     )
+
+
+@register(
+    "dedup_containment_3gram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[u.i:u.i+2], ' ') AS s
+        FROM toks, LATERAL unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a AS doc_id,
+           sa.n AS n_shingles,
+           count(*) AS n_containers,
+           min(doc_b) AS min_container
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i = sa.n AND sb.n > sa.n
+    GROUP BY doc_a, sa.n
+    """,
+)
+def dedup_containment_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment detection: a doc whose entire 3-token shingle
+    set appears inside a strictly larger doc's shingle set is (modulo
+    rolling-window joins at the splice points) a verbatim sub-document —
+    quotes, boilerplate inclusions, and scrape-of-a-scrape cases that
+    symmetric Jaccard MISSES by construction (a 50-token doc inside a
+    5000-token doc has Jaccard ≈ 0.01 but containment = 1.0).
+
+    Candidate generation is the containment form of the prefix filter: if
+    shingles(A) ⊆ shingles(B) then in particular A's globally RAREST
+    shingle is in B, so candidates come from ONE equi-join between each
+    doc's rarest shingle and the inverted shingle index — candidate count
+    is Σ_A df(rarest(A)), which 3-gram rarity keeps near-linear (the
+    unigram variant of this query degenerates: with a 31-word vocabulary
+    every token is common and subset pairs are everywhere). Verification
+    is exact per candidate: one array_intersect against the two shingle
+    arrays (size-gated broadcast, like the Jaccard funnel). At 100 TB,
+    swap the shingle string for xxhash64(s) so the df table and the
+    inverted index carry 8-byte keys."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), "\\s+")
+    shingles = F.array_distinct(
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(3))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    docs = (
+        d.select("doc_id", shingles.alias("sh"))
+        .withColumn("n", F.size("sh"))
+        .filter(F.col("n") >= 1)
+    )
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    df_tbl = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rarest = (
+        ex.join(df_tbl, "s")
+        .groupBy("doc_id")
+        .agg(F.min_by("s", F.struct("df", "s")).alias("rare_s"))
+    )
+    cand = (
+        rarest.select(F.col("doc_id").alias("doc_a"), "rare_s")
+        .join(
+            ex.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("rare_s")),
+            "rare_s",
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    a = size_gated_broadcast(
+        docs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sh").alias("sha"),
+            F.col("n").alias("na"),
+        )
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("shb"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(
+            (F.size(F.array_intersect("sha", "shb")) == F.col("na"))
+            & (F.col("nb") > F.col("na"))
+        )
+        .groupBy(F.col("doc_a").alias("doc_id"), F.col("na").alias("n_shingles"))
+        .agg(
+            F.count(F.lit(1)).alias("n_containers"),
+            F.min("doc_b").alias("min_container"),
+        )
+    )

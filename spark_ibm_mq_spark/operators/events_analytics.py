@@ -14,7 +14,7 @@ aggregates over integer week keys.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
 from spark_ibm_mq_spark.registry import register
@@ -403,4 +403,81 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly.withColumn("z", z)
         .filter(F.abs("z") >= 2)
         .select("event_type", "hr", "n", "z")
+    )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    {EVENTS_CTE},
+    t AS (
+        SELECT *,
+            last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                       IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS touch_type,
+            last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                       IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS touch_ts
+        FROM ev)
+    SELECT coalesce(CASE WHEN touch_ts >= ts - INTERVAL 7 DAY
+                         THEN touch_type END, 'none') AS channel,
+           count(*) AS n_conversions,
+           round(sum(value), 4) AS attributed_value
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to the
+    user's most recent non-purchase touch within a 7-day lookback ('none'
+    when the purchase is cold). The classic marketing-analytics rollup —
+    and the degenerate case every multi-touch model (U-shaped, time-decay)
+    reduces to, so it is the right first operator for the family.
+
+    Spark shape: ONE window pass — `last(..., ignorenulls=True)` over
+    rows(-∞, -1) carries the latest preceding touch (type, ts) along each
+    user's timeline; purchases then filter + two-level aggregate on the
+    tiny channel key. Same user_id shuffle as the rest of this family
+    (shared exchange at 100 TB); no join at all — the as-of pairing that
+    usually costs a range join rides the existing sort. Tie-break is the
+    total (ts, event_id) order, stated identically in both engines."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    touch_type = F.last(
+        F.when(not_purchase, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    touch_ts = F.last(
+        F.when(not_purchase, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.select(
+            "event_id", "ts", "event_type", "value",
+            touch_type.alias("touch_type"),
+            touch_ts.alias("touch_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
+                    F.col("touch_type"),
+                ),
+                F.lit("none"),
+            ).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("value"), 4).alias("attributed_value"),
+        )
     )

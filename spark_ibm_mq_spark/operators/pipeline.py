@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from spark_ibm_mq_spark.functions.text import STOPWORDS_EN, tokens
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import load_table, spread
+from spark_ibm_mq_spark.tables import load_table, size_gated_broadcast, spread
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
 
@@ -656,5 +656,117 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source", "lang", "gid", "n_docs", "total_tokens",
             "n_unique_docs", "dup_ratio", "avg_tokens",
+        )
+    )
+
+
+@register(
+    "pipeline_dedup_incremental",
+    oracle="""
+    WITH incoming AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    base AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    exact AS (
+        SELECT i.doc_id, min(b.doc_id) AS match_doc
+        FROM incoming i JOIN base b ON sha256(i.text) = sha256(b.text)
+        GROUP BY i.doc_id),
+    itoks AS (SELECT doc_id,
+                     unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+              FROM incoming),
+    btoks AS (SELECT doc_id,
+                     unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+              FROM base),
+    isz AS (SELECT doc_id, count(*) AS n FROM itoks GROUP BY 1),
+    bsz AS (SELECT doc_id, count(*) AS n FROM btoks GROUP BY 1),
+    near AS (
+        SELECT x.doc_id, min(x.match_doc) AS match_doc FROM (
+            SELECT i.doc_id, b.doc_id AS match_doc, count(*) AS ix
+            FROM itoks i JOIN btoks b ON i.t = b.t
+            GROUP BY 1, 2) x
+        JOIN isz ON x.doc_id = isz.doc_id
+        JOIN bsz ON x.match_doc = bsz.doc_id
+        WHERE ix * 1.0 / (isz.n + bsz.n - ix) >= 0.95
+        GROUP BY x.doc_id)
+    SELECT i.doc_id,
+           CASE WHEN e.match_doc IS NOT NULL THEN 'exact_dup'
+                WHEN n.match_doc IS NOT NULL THEN 'near_dup'
+                ELSE 'keep' END AS verdict,
+           coalesce(e.match_doc, n.match_doc) AS match_doc
+    FROM incoming i
+    LEFT JOIN exact e ON i.doc_id = e.doc_id
+    LEFT JOIN near n ON i.doc_id = n.doc_id
+    """,
+)
+def pipeline_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the shape every production corpus actually
+    needs: a new crawl batch (here doc_id % 10 = 0 simulates the delta)
+    deduped AGAINST the standing corpus without re-pairing the corpus with
+    itself. Batch-vs-batch pipelines (`dedup_exact_docs_hash`,
+    `dedup_ngram_jaccard`) recompute all O(corpus²) candidates every run;
+    the incremental form pairs only delta × corpus — at 100 TB with a 0.1%
+    daily delta that is a 1000× smaller candidate space, which is the
+    difference between an hourly job and an impossible one.
+
+    Funnel, cheapest test first: (1) exact — equi-join on sha2-256 (delta
+    side shuffles 32-byte keys; on a real lakehouse the corpus hash column
+    is precomputed and bucketed, so only the delta shuffles); (2) near —
+    the same exactness-preserving size-filter as `dedup_ngram_jaccard`
+    (Jaccard ≥ 0.95 ⟹ token counts within ±1) but DIRECTIONAL: incoming
+    probes the base's size buckets, never base×base. Verdicts resolve
+    exact > near > keep, with the smallest matching base doc as evidence."""
+    d = load_table(spark, sf_dir, "documents")
+    incoming = d.filter(F.col("doc_id") % 10 == 0)
+    base = d.filter(F.col("doc_id") % 10 != 0)
+
+    exact = (
+        incoming.select("doc_id", F.sha2("text", 256).alias("h"))
+        .join(
+            base.select(F.sha2("text", 256).alias("h"), F.col("doc_id").alias("b_id")),
+            "h",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("b_id").alias("exact_match"))
+    )
+
+    def _tok_docs(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks"),
+        ).withColumn("n", F.size("toks"))
+
+    i_docs = _tok_docs(incoming).select(
+        F.col("doc_id").alias("i_id"), F.col("toks").alias("ti"), F.col("n").alias("ni")
+    )
+    b_docs = spread(
+        _tok_docs(base).select(
+            F.col("doc_id").alias("b_id"),
+            F.col("toks").alias("tb"),
+            F.col("n").alias("nb"),
+            F.explode(
+                F.array(F.col("n") - 1, F.col("n"), F.col("n") + 1)
+            ).alias("probe"),
+        ),
+        "b_id",
+    )
+    inter = F.size(F.array_intersect("ti", "tb"))
+    jac = inter / (F.col("ni") + F.col("nb") - inter)
+    near = (
+        size_gated_broadcast(i_docs)
+        .join(b_docs, F.col("ni") == F.col("probe"))
+        .filter(jac >= 0.95)
+        .groupBy(F.col("i_id").alias("doc_id"))
+        .agg(F.min("b_id").alias("near_match"))
+    )
+
+    return (
+        incoming.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), "exact_dup")
+            .when(F.col("near_match").isNotNull(), "near_dup")
+            .otherwise("keep")
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("match_doc"),
         )
     )

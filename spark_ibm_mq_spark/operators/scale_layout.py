@@ -408,3 +408,48 @@ def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total_price"),
         )
     )
+
+
+@register(
+    "scale_skew_diagnostics",
+    oracle=f"""
+    {EVENTS_CTE},
+    k AS (SELECT user_id, count(*) AS cnt FROM ev GROUP BY 1)
+    SELECT count(*)                     AS n_keys,
+           CAST(sum(cnt) AS BIGINT)     AS total_rows,
+           max(cnt)                     AS max_cnt,
+           round(quantile_cont(cnt, 0.5), 4)   AS p50_cnt,
+           round(quantile_cont(cnt, 0.99), 4)  AS p99_cnt,
+           round(max(cnt) * count(*) * 1.0 / sum(cnt), 4) AS skew_factor,
+           CAST(least(32, ceil(max(cnt) * count(*) * 1.0 / sum(cnt)))
+                AS BIGINT)              AS salt_factor
+    FROM k
+    """,
+)
+def scale_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report — the MEASUREMENT side of the salting
+    operators in this module (`scale_salted_agg`/`scale_salted_join` fix
+    skew; this query tells you whether you have it and how much salt to
+    use, instead of guessing). One row: key cardinality, hottest-key count,
+    exact p50/p99 of the per-key distribution, skew factor (hottest key vs
+    mean — the straggler multiplier an unsalted shuffle would suffer), and
+    the derived salt factor, capped at 32 (beyond that, salt overhead on
+    the non-skewed keys outweighs the straggler win).
+
+    Plan: two-level aggregate — per-key counts (one shuffle on the
+    diagnosed key, map-side combined to one row per key) then a single-row
+    global summary; the percentile runs over the per-key frame, which is
+    |keys|-sized, not |rows|-sized. Run it over ANY prospective join/agg
+    key before choosing a layout; this instance diagnoses events.user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    skew = F.max("cnt") * F.count(F.lit(1)) / F.sum("cnt")
+    return k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("p50_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
+        F.round(skew, 4).alias("skew_factor"),
+        F.least(F.lit(32), F.ceil(skew)).alias("salt_factor"),
+    )

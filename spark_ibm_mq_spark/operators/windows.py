@@ -326,3 +326,46 @@ def win_range_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(w), 4).alias("sum_30d"),
         F.count(F.lit(1)).over(w).alias("n_30d"),
     )
+
+
+@register(
+    "win_rolling_median",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT event_id, user_id,
+           round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+    FROM ev
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MEDIAN over a trailing 7-row frame per user — the robust
+    de-noising smoother (rolling averages chase spikes; rolling medians
+    don't), here as a window aggregate rather than a groupBy so every event
+    keeps its own smoothed value.
+
+    Scale shape: one shuffle on user_id + per-partition sort — identical to
+    every other window in this family, so at 100 TB it shares the events
+    table's canonical user_id partitioning. Spark's `median` aggregate
+    rejects window FRAMES, so the frame's values come out of a bounded
+    `collect_list` (≤7 doubles of state per row, constant memory) and the
+    exact interpolated median — mean of the two middle elements, matching
+    DuckDB's definition — is computed over the sorted array in whole-stage
+    codegen, no UDF."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round((lo + hi) / 2.0, 4).alias("med7"),
+    )

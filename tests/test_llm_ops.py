@@ -581,3 +581,118 @@ def test_anomaly_zscore_threshold_and_direction(spark):
     for row in pdf.itertuples():
         mu = means[row.event_type]
         assert (row.n - mu > 0) == (row.z > 0), row
+
+
+def test_rolling_median_matches_bruteforce(spark):
+    """Exact check of the collect_list-based windowed median against a
+    per-user pandas recomputation."""
+    import pandas as pd
+
+    registry.load_all_modules()
+    got = {
+        r.event_id: r.med7
+        for r in registry.QUERIES["win_rolling_median"](spark, SF_DIR).collect()
+    }
+    ev = (
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .select("event_id", "ts", "user_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    want = (
+        ev.groupby("user_id")["value"]
+        .rolling(7, min_periods=1)
+        .median()
+        .reset_index(drop=True)
+    )
+    ev = ev.reset_index(drop=True)
+    for eid, med in zip(ev["event_id"], want):
+        assert abs(got[eid] - round(med, 4)) < 1e-9, eid
+
+
+def test_attribution_conserves_purchases(spark):
+    """Every purchase is attributed exactly once (channels partition the
+    purchase set), and no purchase self-attributes."""
+    registry.load_all_modules()
+    rows = registry.QUERIES["events_attribution_last_touch"](
+        spark, SF_DIR
+    ).collect()
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    n_purchases = ev.filter("event_type = 'purchase'").count()
+    assert sum(r.n_conversions for r in rows) == n_purchases
+    assert all(r.channel != "purchase" for r in rows)
+
+
+def test_copurchase_pmi_is_symmetric_support(spark):
+    """Pair support n_co never exceeds either marginal, and PMI of a pair
+    equals ln(n_co * N / (ca * cb)) recomputed from raw data."""
+    import math
+
+    registry.load_all_modules()
+    rows = registry.QUERIES["affinity_copurchase_pmi"](spark, SF_DIR).collect()
+    assert rows, "fixture should contain co-purchased pairs"
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select("l_orderkey").distinct().count()
+    marg = {
+        r.l_partkey: r.c
+        for r in op.groupBy("l_partkey").count().withColumnRenamed("count", "c").collect()
+    }
+    for r in rows[:50]:
+        assert r.n_co >= 2
+        assert r.n_co <= min(marg[r.part_a], marg[r.part_b])
+        want = math.log(r.n_co * n_orders / (marg[r.part_a] * marg[r.part_b]))
+        assert abs(r.pmi - round(want, 4)) < 1e-9
+
+
+def test_containment_pairs_are_real_subsets(spark):
+    """Every reported (doc, container) pair must satisfy strict shingle-set
+    inclusion, re-verified from raw text in Python."""
+    registry.load_all_modules()
+    rows = registry.QUERIES["dedup_containment_3gram"](spark, SF_DIR).collect()
+    assert rows, "fixture should contain contained docs"
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")
+        ).collect()
+    }
+
+    def sh(text):
+        t = text.strip().split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    for r in rows:
+        a, b = sh(docs[r.doc_id]), sh(docs[r.min_container])
+        assert len(a) == r.n_shingles
+        assert a and a <= b and len(b) > len(a), (r.doc_id, r.min_container)
+
+
+def test_incremental_dedup_verdicts(spark):
+    """Keep-verdict docs must have no exact copy in the base set; every
+    exact_dup's match really is byte-identical."""
+    registry.load_all_modules()
+    rows = registry.QUERIES["pipeline_dedup_incremental"](spark, SF_DIR).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")
+        ).collect()
+    }
+    base_texts = {t for i, t in docs.items() if i % 10 != 0}
+    assert {r.doc_id % 10 for r in rows} == {0}
+    for r in rows:
+        if r.verdict == "exact_dup":
+            assert docs[r.doc_id] == docs[r.match_doc]
+        elif r.verdict == "keep":
+            assert docs[r.doc_id] not in base_texts
+            assert r.match_doc is None
+
+
+def test_skew_diagnostics_invariants(spark):
+    registry.load_all_modules()
+    (r,) = registry.QUERIES["scale_skew_diagnostics"](spark, SF_DIR).collect()
+    assert r.n_keys > 0 and r.total_rows >= r.n_keys
+    assert r.max_cnt >= r.p99_cnt >= r.p50_cnt
+    assert r.skew_factor >= 1.0
+    assert 1 <= r.salt_factor <= 32

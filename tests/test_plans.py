@@ -375,3 +375,26 @@ def test_char_entropy_zero_shuffle(spark):
     assert plan.count("Exchange") <= 1, plan[:800]
     (cols,) = read_schema_columns(df)
     assert set(cols) == {"doc_id", "text"}, cols
+
+
+def test_new_pairwise_ops_avoid_cartesian(spark):
+    """Containment, incremental dedup, and co-purchase PMI must generate
+    candidates through equi-joins — no BNLJ/cartesian anywhere."""
+    from spark_ibm_mq_spark.plans import has_cartesian
+
+    for name in (
+        "dedup_containment_3gram",
+        "pipeline_dedup_incremental",
+        "affinity_copurchase_pmi",
+    ):
+        df = registry.QUERIES[name](spark, SF_DIR)
+        assert not has_cartesian(df), name
+
+
+def test_attribution_single_user_shuffle(spark):
+    """The attribution window and the as-of pairing ride ONE user_id
+    exchange; only the tiny channel rollup adds a second."""
+    from spark_ibm_mq_spark.plans import num_exchanges
+
+    df = registry.QUERIES["events_attribution_last_touch"](spark, SF_DIR)
+    assert num_exchanges(df) <= 2, df._jdf.queryExecution().executedPlan().toString()[:800]
