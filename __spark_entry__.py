@@ -45,10 +45,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #      lazy-durable-checkpoint rewrite of cluster resolve;
 # (b)  the 22 remaining r3-vintage rows (VERDICT r6 item 2) — their last
 #      driver check predates three rounds of refactors;
-# (c)  the alphabetically-first 14 r4-vintage rows (distinct/set/sort
-#      families, sim_ann_lsh, five streaming windows) — keeps every
-#      driver row ≤3 rounds old; the rest of the r4 set (tumbling, text_*,
-#      tpch_*, udf/udaf/udtf, win_*) rotates in r8.
+# (a3) the eight operators added late this round (BM25, blocked tf-cosine,
+#      PageRank, cohort LTV, hourly gap-fill, EWMA, compaction plan,
+#      unigram logprob) — first-ever driver rows; new-query rows outrank
+#      freshness rotation (VERDICT r6 ranked never-checked queries as the
+#      top gap);
+# (c)  the alphabetically-first 6 r4-vintage rows (distinct/set families)
+#      — the rest of the r4 set (sorts, sim_ann_lsh, streaming windows,
+#      tumbling, text_*, tpch_*, udf/udaf/udtf, win_*) rotates in r8.
 # Every displaced query keeps per-commit sf0.001 parity coverage in
 # tests/test_oracle_parity.py; all 50 below re-verified green this session
 # via scripts/driver_sim.py at sf0.01.
@@ -93,6 +97,15 @@ _CHECK_FIRST = [
     "scan_csv_nation",
     "scan_jsonl_orders",
     "sql_api_shipping_priority",
+    # --- (a3) added late this round, never driver-checked ---
+    "text_bm25_rank",
+    "sim_tf_cosine_blocked",
+    "graph_pagerank_copurchase",
+    "events_cohort_ltv",
+    "events_hourly_gap_fill",
+    "win_ewma_hourly",
+    "scale_compaction_plan",
+    "text_unigram_logprob",
     # --- (c) oldest r4-vintage rows ---
     "distinct_flag_combos",
     "set_except_all_flags",
@@ -100,14 +113,6 @@ _CHECK_FIRST = [
     "set_intersect_all_flags",
     "set_intersect_nations",
     "set_union_by_name",
-    "sim_ann_lsh",
-    "sort_topn_offset",
-    "sort_within_partitions",
-    "stream_dedup_replayed",
-    "stream_session_windows",
-    "stream_sliding_counts",
-    "stream_static_join_segments",
-    "stream_stream_join",
 ]
 
 

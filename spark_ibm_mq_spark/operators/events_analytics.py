@@ -481,3 +481,180 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("value"), 4).alias("attributed_value"),
         )
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle=f"""
+    {EVENTS_CTE},
+    first_seen AS (
+        SELECT user_id,
+               CAST(floor((CAST(min(ts) AS DATE) - DATE '2024-01-01') / 7.0)
+                    AS BIGINT) AS cohort_week
+        FROM ev GROUP BY user_id
+    ),
+    cohort_size AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+        FROM first_seen GROUP BY 1
+    ),
+    cells AS (
+        SELECT f.cohort_week,
+               CAST(floor((CAST(e.ts AS DATE) - DATE '2024-01-01') / 7.0)
+                    AS BIGINT) - f.cohort_week AS age_weeks,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users,
+               round(sum(CASE WHEN e.event_type = 'purchase'
+                              THEN e.value ELSE 0 END), 4) AS revenue
+        FROM ev e JOIN first_seen f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    )
+    SELECT c.cohort_week, c.age_weeks, s.cohort_users, c.active_users,
+           c.revenue,
+           round(sum(c.revenue) OVER (
+               PARTITION BY c.cohort_week ORDER BY c.age_weeks), 4)
+               AS cum_revenue,
+           round(sum(c.revenue) OVER (
+               PARTITION BY c.cohort_week ORDER BY c.age_weeks)
+               / s.cohort_users, 4) AS ltv_per_user
+    FROM cells c JOIN cohort_size s ON c.cohort_week = s.cohort_week
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users bucketed by first-seen week,
+    each cohort's per-age-week active users and purchase revenue, plus the
+    running cumulative revenue and cumulative LTV per cohort member — the
+    retention-economics rollup every growth dashboard pivots.
+
+    Determinism: the cell revenue is rounded FIRST and the cumulative sum
+    runs over the rounded cells in the window's deterministic age order,
+    so both engines add the identical sequence of doubles — the running
+    totals are bit-identical without needing order-insensitive math.
+
+    Plan shape: first-seen is one min-aggregate on user_id; the cell
+    aggregate joins events back to it on the SAME user_id partitioning
+    (AQE reuses the exchange) and reduces to |cohorts|×|ages| rows —
+    weeks², not events — so the two windows and the cohort-size join run
+    on a frame that fits one partition at any event volume."""
+    ev = _events(spark, sf_dir)
+    week = lambda c: F.floor(  # noqa: E731
+        F.datediff(F.to_date(c), F.lit("2024-01-01")) / 7.0
+    ).cast("bigint")
+    first_seen = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    cohort_size = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    cells = (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (week(F.col("ts")) - F.col("cohort_week")).alias("age_weeks"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                4,
+            ).alias("revenue"),
+        )
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+    cum = F.round(F.sum("revenue").over(w), 4)
+    return (
+        cells.join(cohort_size, "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "cohort_users",
+            "active_users",
+            "revenue",
+            cum.alias("cum_revenue"),
+            F.round(F.sum("revenue").over(w) / F.col("cohort_users"), 4).alias(
+                "ltv_per_user"
+            ),
+        )
+    )
+
+
+@register(
+    "events_hourly_gap_fill",
+    oracle=f"""
+    {EVENTS_CTE},
+    hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(value), 4) AS avg_value
+        FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY 1
+    ),
+    spine AS (
+        SELECT b.event_type, CAST(g.g AS TIMESTAMP) AS hr
+        FROM bounds b, LATERAL unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(g)
+    )
+    SELECT s.event_type, s.hr,
+           coalesce(h.n, 0) AS n,
+           CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS is_gap,
+           last_value(h.avg_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_value_ffill
+    FROM spine s
+    LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr
+    """,
+)
+def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time series per event type: generate the full hour
+    spine between each type's first and last active hour, left-join the
+    observed hourly aggregates, and forward-fill the per-hour mean value
+    across the gaps (gap hours keep n=0 and is_gap=1) — the
+    regularization pass that turns an irregular event stream into the
+    fixed-step series forecasting and anomaly models require.
+
+    Determinism: the fill value is the ROUNDED per-hour mean, so the
+    forward-fill copies identical doubles in both engines; the spine is
+    pure timestamp arithmetic.
+
+    Plan shape: the hourly rollup is one map-side-combinable groupBy;
+    the spine explodes a per-type `sequence(lo, hi, 1 hour)` — |types|
+    input rows, |types|×|hours| output, generated in the engine with no
+    shuffle — and the fill window partitions by event_type over the
+    already-hour-keyed frame. At years of history sub-partition the
+    window by (type, month) and seed each month's first fill from the
+    previous month's closing value."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ffill"),
+        )
+    )

@@ -1,0 +1,260 @@
+"""Corpus retrieval operators: BM25 keyword scoring and blocked all-pairs
+cosine — the search/similarity passes an LLM data pipeline runs to find
+query-relevant or mutually-near documents at corpus scale.
+
+The reference's consumers land message bodies into exactly this documents
+shape (IBMMQReceiver.java:306-312's (key, body) records); these operators
+answer "which documents match this query" (BM25, the inverted-index
+ranking function every search stack uses) and "which documents are
+near-duplicates by vector-space angle" (blocked tf-cosine, the candidate
+generator the dedup family's MinHash/SimHash variants approximate).
+
+Scale notes: both operators are built on the inverted index — the (term →
+posting) explode — so candidate volume is bounded by posting-list
+products, never |docs|². BM25's per-term frames (query-term df, corpus
+stats) are 1-to-3-row broadcasts; the cosine blocker keys candidates on
+each document's single most-distinctive term, so pair volume is
+Σ_block (block size)², tunable by blocking on top-k terms at higher
+corpus scales.
+
+Determinism: every score is a fixed tree of IEEE exactly-rounded ops
+(+ - × / sqrt) over exact integer term frequencies, summed in a FIXED
+textual order — no ln/exp in the value path — so Spark and DuckDB produce
+bit-identical doubles and the driver's value-hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from spark_ibm_mq_spark.functions.text import tokens
+from spark_ibm_mq_spark.registry import register
+from spark_ibm_mq_spark.tables import load_table, spread
+
+# Fixed keyword query for the BM25 instance, in FIXED summation order —
+# the per-term partial scores add left-to-right in exactly this order in
+# both engines, making the total bit-exact (double addition is not
+# associative; a `sum()` aggregate would leave the order to the engine).
+_QUERY_TERMS = ("hash", "merge", "window")
+_K1 = 1.2
+_B = 0.75
+
+
+@register(
+    "text_bm25_rank",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE t IN ('hash', 'merge', 'window') GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok WHERE t IN ('hash', 'merge', 'window') GROUP BY 1
+    ),
+    w AS (
+        SELECT tf.doc_id, tf.t,
+               ((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS w
+        FROM tf
+        JOIN df ON tf.t = df.t
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    ),
+    piv AS (
+        SELECT doc_id,
+               max(CASE WHEN t = 'hash'   THEN w END) AS wh,
+               max(CASE WHEN t = 'merge'  THEN w END) AS wm,
+               max(CASE WHEN t = 'window' THEN w END) AS ww
+        FROM w GROUP BY doc_id
+    )
+    SELECT p.doc_id, dl.dl,
+           round(coalesce(p.wh, 0), 4) AS w_hash,
+           round(coalesce(p.wm, 0), 4) AS w_merge,
+           round(coalesce(p.ww, 0), 4) AS w_window,
+           round(coalesce(p.wh, 0) + coalesce(p.wm, 0) + coalesce(p.ww, 0), 4)
+               AS bm25
+    FROM piv p JOIN dl ON p.doc_id = dl.doc_id
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword relevance of every document against a fixed 3-term
+    query (k1=1.2, b=0.75): per-term weight = idf · tf(k1+1) /
+    (tf + k1(1-b + b·dl/avgdl)), summed over the query terms. The idf
+    factor is the LINEAR surrogate (N-df+0.5)/(df+0.5) rather than its
+    ln — per term the two rank identically (ln is monotone), the linear
+    form keeps every arithmetic step IEEE exactly-rounded so the
+    cross-engine hash is exact, and swapping ln back in is a
+    one-expression change where classic scoring is contractual.
+
+    Plan shape: one explode feeds three map-side-combinable aggregates —
+    per-doc length (dl), per-(doc, query-term) tf (the posting lists,
+    filtered to the 3 query terms BEFORE the shuffle so only matching
+    postings move), and per-term df. df (≤3 rows) and the corpus stats
+    (1 row) ride as broadcasts; the only real shuffles key on doc_id and
+    are reused between tf, dl, and the final pivot. At 100 TB the tf
+    filter is the whole game: the shuffle carries |matching postings|,
+    not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = list(_QUERY_TERMS)
+    tok = spread(d, "doc_id").select("doc_id", F.explode(tokens("text")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtok = tok.filter(F.col("t").isin(terms))
+    tf = qtok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    w = (
+        tf.join(F.broadcast(df), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "t",
+            (
+                ((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+                * (F.col("tf") * F.lit(_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(_K1)
+                    * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("w"),
+        )
+    )
+    piv = w.groupBy("doc_id").agg(
+        F.max(F.when(F.col("t") == "hash", F.col("w"))).alias("wh"),
+        F.max(F.when(F.col("t") == "merge", F.col("w"))).alias("wm"),
+        F.max(F.when(F.col("t") == "window", F.col("w"))).alias("ww"),
+    )
+    wh = F.coalesce(F.col("wh"), F.lit(0.0))
+    wm = F.coalesce(F.col("wm"), F.lit(0.0))
+    ww = F.coalesce(F.col("ww"), F.lit(0.0))
+    return piv.join(dl, "doc_id").select(
+        "doc_id",
+        "dl",
+        F.round(wh, 4).alias("w_hash"),
+        F.round(wm, 4).alias("w_merge"),
+        F.round(ww, 4).alias("w_window"),
+        F.round(wh + wm + ww, 4).alias("bm25"),
+    )
+
+
+@register(
+    "sim_tf_cosine_blocked",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY 1
+    ),
+    ranked AS (
+        SELECT tf.doc_id, tf.t,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.t) AS rk
+        FROM tf JOIN df ON tf.t = df.t
+    ),
+    top AS (SELECT doc_id, t AS top_term FROM ranked WHERE rk = 1),
+    nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.top_term
+        FROM top a JOIN top b
+          ON a.top_term = b.top_term AND a.doc_id < b.doc_id
+    ),
+    dots AS (
+        SELECT c.doc_a, c.doc_b, c.top_term,
+               CAST(sum(ta.tf * tb.tf) AS BIGINT) AS dot
+        FROM cand c
+        JOIN tf ta ON ta.doc_id = c.doc_a
+        JOIN tf tb ON tb.doc_id = c.doc_b AND tb.t = ta.t
+        GROUP BY 1, 2, 3
+    )
+    SELECT d.doc_a, d.doc_b, d.top_term, d.dot,
+           round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos_sim
+    FROM dots d
+    JOIN nrm na ON d.doc_a = na.doc_id
+    JOIN nrm nb ON d.doc_b = nb.doc_id
+    WHERE round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.8
+    """,
+)
+def sim_tf_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked all-pairs document cosine: block documents on their single
+    most-distinctive term (argmax tf/df — the same rank key as
+    `text_tfidf_top_terms`), generate candidate pairs only WITHIN a block,
+    then score each pair with the exact cosine of the raw term-frequency
+    vectors and keep cos ≥ 0.8. Raw-tf vectors (not idf-weighted) keep
+    the dot product and the norms pure 64-bit integer arithmetic — exact
+    in any summation order — so the only roundings are sqrt/× / ÷, each
+    IEEE exact: the score is bit-identical across engines with no
+    rounding escape hatch needed. Idf-weighting the vectors is a
+    one-line change where angle-under-idf is contractual.
+
+    Plan shape: the blocker turns the quadratic all-pairs problem into
+    Σ_block (block size)² — an equi-join on top_term — and the dot
+    products come from joining the two posting frames on (doc, term), so
+    the shuffles carry (doc_id, term, tf) triples, never text. All four
+    aggregates (tf, df, norms, dots) are map-side combinable. At 100 TB:
+    block on the top-2 terms (two blocking keys per doc ≈ LSH banding),
+    cap block width with a frequency ceiling on the blocking term, and
+    dictionary-encode terms to ints so the shuffle key is 8 bytes — the
+    same funnel discipline as `dedup_minhash_lsh`."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select("doc_id", F.explode(tokens("text")).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), "t"
+    )
+    top = (
+        tf.join(F.broadcast(df), "t")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("t").alias("top_term"))
+    )
+    nrm = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    cand = (
+        top.select(F.col("doc_id").alias("doc_a"), "top_term")
+        .join(top.select(F.col("doc_id").alias("doc_b"), "top_term"), "top_term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    ta = tf.select(F.col("doc_id").alias("doc_a"), "t", F.col("tf").alias("tfa"))
+    tb = tf.select(F.col("doc_id").alias("doc_b"), "t", F.col("tf").alias("tfb"))
+    dots = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "t"])
+        .groupBy("doc_a", "doc_b", "top_term")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
+    cos = F.round(
+        F.col("dot") / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b"))), 4
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.8)
+        .select("doc_a", "doc_b", "top_term", "dot", "cos_sim")
+    )

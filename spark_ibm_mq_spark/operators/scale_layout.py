@@ -453,3 +453,76 @@ def scale_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 4).alias("skew_factor"),
         F.least(F.lit(32), F.ceil(skew)).alias("salt_factor"),
     )
+
+
+@register(
+    "scale_compaction_plan",
+    oracle="""
+    WITH files AS (
+        SELECT o_orderdate AS f_date,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) * 128 AS BIGINT) AS bytes
+        FROM orders GROUP BY 1
+    ),
+    laid AS (
+        SELECT *,
+               coalesce(sum(bytes) OVER (
+                   ORDER BY f_date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM files
+    )
+    SELECT CAST(floor(cum_before / 262144.0) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(n_rows) AS BIGINT) AS total_rows,
+           min(f_date) AS date_min,
+           max(f_date) AS date_max,
+           round(sum(bytes) / 262144.0, 4) AS fill_ratio
+    FROM laid
+    GROUP BY 1
+    """,
+)
+def scale_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: model the table's file manifest as one
+    file per order date (rows × 128-byte modeled width), then assign files
+    to target-size output bins (256 KiB here; 256 MiB-1 GiB in
+    production) by EXCLUSIVE running-byte-offset division — contiguous
+    date runs coalesce into one rewrite task each, preserving sort order,
+    the plan every Iceberg/Delta-style `OPTIMIZE`/compaction job computes
+    before rewriting. Output: per-bin file count, bytes, rows, date span,
+    and fill ratio (>1 means a single oversized file passes through
+    untouched — floor of its own offset keeps it alone in its bin).
+
+    All-integer arithmetic; the one division is by 2^18, exact for any
+    sub-2^53 offset, so the plan is bit-identical across engines.
+
+    Plan shape: this is a MANIFEST computation — its input is file
+    metadata (|files| rows, millions at most for a 100 TB table), not
+    data, so the single-partition running-sum window is deliberate and
+    cheap; at extreme manifest sizes, range-partition the window by date
+    prefix and offset each partition by the previous partitions' byte
+    total (two passes, same assignment). The modeled 128 B/row stands in
+    for real per-file sizes; on a live table, read the manifest itself."""
+    o = load_table(spark, sf_dir, "orders")
+    files = o.groupBy(F.col("o_orderdate").alias("f_date")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) * 128).alias("bytes"),
+    )
+    w = Window.orderBy("f_date").rowsBetween(Window.unboundedPreceding, -1)
+    laid = files.withColumn(
+        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    )
+    return (
+        laid.groupBy(
+            F.floor(F.col("cum_before") / F.lit(262144.0)).alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("total_bytes"),
+            F.sum("n_rows").alias("total_rows"),
+            F.min("f_date").alias("date_min"),
+            F.max("f_date").alias("date_max"),
+            F.round(F.sum("bytes") / F.lit(262144.0), 4).alias("fill_ratio"),
+        )
+    )

@@ -490,3 +490,60 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(uniq).cast("bigint").alias("n_distinct_chars"),
         F.round(entropy, 4).alias("char_entropy"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    freq AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM freq)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(ln(freq.c * 1.0 / total.tot)) / count(*), 4)
+               AS avg_logprob
+    FROM tok JOIN freq ON tok.t = freq.t CROSS JOIN total
+    GROUP BY tok.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    unigram model — the cheapest model-based quality score (a crude
+    perplexity): documents of improbable tokens score low, boilerplate of
+    common tokens scores high. This is the two-pass shape of every
+    model-scored filter: PASS 1 aggregates the model (term → count),
+    PASS 2 broadcasts it back over the corpus and scores each document.
+
+    ln follows the `affinity_copurchase_pmi`/`text_char_entropy`
+    precedent: engines' ln agree to ~1 ulp, the per-doc mean averages the
+    drift down, and round(4) absorbs it.
+
+    Plan shape: the model aggregate is map-side-combinable on the term
+    key (|vocab| rows out); the scoring join BROADCASTS the vocab —
+    tokenizer-scale vocabularies (≤a few 100k terms) fit every executor —
+    so scoring is shuffle-free over the exploded tokens, and the per-doc
+    mean reduces on doc_id, the explode's natural key. At open-vocab
+    100 TB scale, hash the long tail into an OOV bucket to keep the
+    model frame bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("tot"))
+    return (
+        tok.join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("c") * F.lit(1.0) / F.col("tot")))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )

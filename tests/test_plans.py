@@ -398,3 +398,55 @@ def test_attribution_single_user_shuffle(spark):
 
     df = registry.QUERIES["events_attribution_last_touch"](spark, SF_DIR)
     assert num_exchanges(df) <= 2, df._jdf.queryExecution().executedPlan().toString()[:800]
+
+
+def test_retrieval_ops_broadcast_small_frames_no_cartesian(spark):
+    """BM25's df/stats frames and the cosine blocker's df frame are tiny
+    broadcasts; candidate generation is equi-join only. The 1-row
+    stats/total frames legitimately arrive via broadcast nested loop
+    (a cross join against one row), so the assertion is on CartesianProduct
+    specifically plus at least one broadcast hash join."""
+    from spark_ibm_mq_spark.plans import num_broadcast_joins
+
+    for name in ("text_bm25_rank", "sim_tf_cosine_blocked", "text_unigram_logprob"):
+        df = registry.QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert num_broadcast_joins(df) >= 1, name
+
+
+def test_pagerank_rounds_share_part_partitioning(spark):
+    """Each PageRank round is equi-join + groupBy on the part key; the
+    vertex-count scalar rides as a 1-row broadcast — no cartesian."""
+    df = registry.QUERIES["graph_pagerank_copurchase"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_spine_no_shuffle_for_sequence(spark):
+    """The hour spine is generated by explode(sequence(...)) — engine-side
+    generation, no extra exchange beyond the rollup + window."""
+    df = registry.QUERIES["events_hourly_gap_fill"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_is_window_not_self_join(spark):
+    """The Spark side of the EWMA must be the frame-bounded window fold,
+    not the oracle's O(16x) band self-join: exactly zero joins in the
+    plan."""
+    df = registry.QUERIES["win_ewma_hourly"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:600]
+    assert "Window" in plan
+
+
+def test_compaction_plan_is_manifest_scale(spark):
+    """Compaction planning reads ONE narrow column set (date only) —
+    manifest math, not data math."""
+    from spark_ibm_mq_spark.plans import read_schema_columns
+
+    df = registry.QUERIES["scale_compaction_plan"](spark, SF_DIR)
+    (cols,) = read_schema_columns(df)
+    assert cols == ["o_orderdate"], cols
