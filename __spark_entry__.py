@@ -45,14 +45,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #      lazy-durable-checkpoint rewrite of cluster resolve;
 # (b)  the 22 remaining r3-vintage rows (VERDICT r6 item 2) — their last
 #      driver check predates three rounds of refactors;
-# (a3) the eight operators added late this round (BM25, blocked tf-cosine,
-#      PageRank, cohort LTV, hourly gap-fill, EWMA, compaction plan,
-#      unigram logprob) — first-ever driver rows; new-query rows outrank
-#      freshness rotation (VERDICT r6 ranked never-checked queries as the
-#      top gap);
-# (c)  the alphabetically-first 6 r4-vintage rows (distinct/set families)
-#      — the rest of the r4 set (sorts, sim_ann_lsh, streaming windows,
-#      tumbling, text_*, tpch_*, udf/udaf/udtf, win_*) rotates in r8.
+# (a3) the thirteen operators added late this round (BM25, blocked
+#      tf-cosine, PageRank, cohort LTV, hourly gap-fill, EWMA, compaction
+#      plan, unigram+bigram logprob, systematic sample, RFM, as-of
+#      tolerance, MQ DLQ split) — first-ever driver rows; new-query rows
+#      outrank freshness rotation (VERDICT r6 ranked never-checked
+#      queries as the top gap);
+# (c)  the alphabetically-first r4-vintage row — the rest of the r4 set
+#      (set/sort families, sim_ann_lsh, streaming windows, tumbling,
+#      text_*, tpch_*, udf/udaf/udtf, win_*) rotates in r8.
 # Every displaced query keeps per-commit sf0.001 parity coverage in
 # tests/test_oracle_parity.py; all 50 below re-verified green this session
 # via scripts/driver_sim.py at sf0.01.
@@ -106,13 +107,13 @@ _CHECK_FIRST = [
     "win_ewma_hourly",
     "scale_compaction_plan",
     "text_unigram_logprob",
-    # --- (c) oldest r4-vintage rows ---
+    "pipeline_systematic_sample",
+    "agg_rfm_segments",
+    "text_bigram_logprob",
+    "join_asof_tolerance",
+    "mq_dlq_split",
+    # --- (c) oldest r4-vintage row ---
     "distinct_flag_combos",
-    "set_except_all_flags",
-    "set_except_nations",
-    "set_intersect_all_flags",
-    "set_intersect_nations",
-    "set_union_by_name",
 ]
 
 

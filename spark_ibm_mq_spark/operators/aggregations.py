@@ -14,7 +14,7 @@ distincts would blow memory.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
 from spark_ibm_mq_spark.registry import register
@@ -514,3 +514,67 @@ def _bitmap_rollup(ev: DataFrame, id_cap: int = 1 << 31) -> DataFrame:
         .select(F.lit("ALL").alias("day"), "n_users")
     )
     return daily.select(F.col("day").cast("string"), "n_users").unionByName(merged)
+
+
+@register(
+    "agg_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(sum(o_totalprice), 4) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    tiled AS (
+        SELECT *,
+               ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_tile,
+               ntile(4) OVER (ORDER BY frequency, o_custkey)  AS f_tile,
+               ntile(4) OVER (ORDER BY monetary, o_custkey)   AS m_tile
+        FROM rfm
+    )
+    SELECT o_custkey, last_order, frequency, monetary,
+           r_tile, f_tile, m_tile,
+           r_tile * 100 + f_tile * 10 + m_tile AS rfm_code
+    FROM tiled
+    """,
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer the recency (last order
+    date), frequency (order count), and monetary (total spend) metrics,
+    each quartiled with ntile(4), composed into the classic 3-digit RFM
+    code (444 = best) — the segmentation every CRM/marketing warehouse
+    derives from the orders fact.
+
+    Determinism: ntile ties are broken by appending o_custkey to every
+    ORDER BY — a total order, so tile boundaries are identical across
+    engines (the `win_rank_orders` discipline); monetary is rounded
+    before tiling so the sort key is the same double both sides.
+
+    Plan shape: one map-side-combinable groupBy on o_custkey, then three
+    global ntile windows over the |customers| rollup — metric-frame
+    scale, not order scale. Global ntile needs a total ordering; at
+    100 TB swap exact ntile for percentile_approx-derived boundaries
+    (one pass, no global sort) or range-partition the window — the
+    quartile semantics survive either."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+    )
+    r_t = F.ntile(4).over(Window.orderBy("last_order", "o_custkey"))
+    f_t = F.ntile(4).over(Window.orderBy("frequency", "o_custkey"))
+    m_t = F.ntile(4).over(Window.orderBy("monetary", "o_custkey"))
+    return rfm.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        r_t.alias("r_tile"),
+        f_t.alias("f_tile"),
+        m_t.alias("m_tile"),
+    ).withColumn(
+        "rfm_code",
+        F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile"),
+    )

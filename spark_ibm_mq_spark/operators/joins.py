@@ -386,3 +386,69 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("total_price"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    {EVENTS_CTE},
+    p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM ev WHERE event_type = 'click'),
+    m AS (
+        SELECT p.event_id AS p_id, c.event_id AS c_id,
+               epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+    )
+    SELECT p.event_id AS p_id, p.user_id AS user_id,
+           CASE WHEN m.gap_ms <= 3600000 THEN m.c_id END AS c_id,
+           CASE WHEN m.gap_ms <= 3600000
+                THEN round(m.gap_ms / 1000.0, 4) END AS gap_s
+    FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON p.event_id = m.p_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH A TOLERANCE BOUND (pandas `merge_asof(tolerance=…)`
+    semantics): latest click ≤ each purchase per user, but only if it
+    happened within the last hour — otherwise the purchase keeps a NULL
+    match instead of silently pairing with a stale click from days ago.
+    This is the variant replication and attribution pipelines actually
+    want: `join_asof_click_before_purchase` answers "what was last", this
+    answers "what was last AND still relevant", and EVERY purchase
+    appears in the output exactly once (left-join semantics), matched or
+    not.
+
+    Same union-interleave merge shape as the unbounded as-of (one
+    user_id shuffle, O(n log n) per user, no pair blowup); the tolerance
+    is a pure filter on the carried struct, applied AFTER the carry so a
+    too-old click nulls the match rather than letting an even older one
+    through. Gap math in integer epoch-millis; the one division is by
+    1000.0, exact to round(4)."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click = F.when(F.col("kind") == 0, F.struct("ts", "event_id"))
+    gap_ms = F.unix_millis(F.col("ts").cast("timestamp")) - F.unix_millis(
+        F.col("last_click.ts").cast("timestamp")
+    )
+    in_tol = F.col("last_click").isNotNull() & (gap_ms <= 3600000)
+    return (
+        merged.withColumn("last_click", F.last(click, ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.when(in_tol, F.col("last_click.event_id")).alias("c_id"),
+            F.when(in_tol, F.round(gap_ms / 1000.0, 4)).alias("gap_s"),
+        )
+    )

@@ -306,3 +306,81 @@ def mq_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.format("ibmmq").option("path", d).option("queue", _QUEUE).load()
     )
+
+
+@register(
+    "mq_dlq_split",
+    oracle=f"""
+    {EVENTS_CTE},
+    parsed AS (
+        SELECT event_id AS seq_no,
+               TRY_CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT) AS k
+        FROM ev
+    ),
+    routed AS (
+        SELECT seq_no,
+               CASE WHEN k IS NULL THEN 'dlq'
+                    WHEN k BETWEEN 0 AND 89 THEN 'main'
+                    ELSE 'dlq' END AS route,
+               CASE WHEN k IS NULL THEN 'parse_error'
+                    WHEN k BETWEEN 0 AND 89 THEN 'ok'
+                    ELSE 'domain_violation' END AS reason
+        FROM parsed
+    )
+    SELECT route, reason, CAST(count(*) AS BIGINT) AS n,
+           min(seq_no) AS min_seq, max(seq_no) AS max_seq
+    FROM routed GROUP BY 1, 2
+    """,
+)
+def mq_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing on the consume path — the R16 consumer-parse
+    behavior (IBMMQReceiver.java:306-312's (key, body) records) extended
+    with the standard poison-message discipline every production MQ
+    consumer needs: each drained message's body is parsed against the
+    envelope contract (JSON with an integer `k`) and VALIDATED
+    (0 ≤ k < 90); contract violations route to the dead-letter queue with
+    a reason code instead of failing the batch or silently passing
+    garbage downstream. Output is the routing audit: per (route, reason)
+    message count and seq_no span. Bodies that fail to parse at all take
+    the `parse_error` branch — the fixture's bodies all parse, so that
+    branch is exercised by `test_dlq_routes_corrupt_bodies` with a
+    deliberately corrupted broker queue.
+
+    Plan shape: parse + validate are row-local expressions over the
+    parallel browse read (no shuffle); the audit rollup reduces to
+    ≤3 rows. In a live deployment the same routed frame feeds two
+    `foreachBatch` putters (main topic + DLQ) via the
+    `mq_sink_roundtrip` machinery — routing is a projection, so the
+    split costs one scan."""
+    return dlq_route(spark, _broker_dir_for(sf_dir))
+
+
+def dlq_route(spark: SparkSession, broker_dir: str) -> DataFrame:
+    """Routing core of `mq_dlq_split` over an arbitrary broker dir —
+    separated so tests can point it at a deliberately poisoned queue."""
+    register_ibmmq(spark)
+    msgs = (
+        spark.read.format("ibmmq")
+        .option("path", broker_dir)
+        .option("queue", _QUEUE)
+        .load()
+    )
+    import pyspark.sql.functions as F
+
+    k = F.from_json(F.col("value"), "k BIGINT")["k"]
+    routed = msgs.select(
+        "seq_no",
+        F.when(k.isNull(), "dlq")
+        .when(k.between(0, 89), "main")
+        .otherwise("dlq")
+        .alias("route"),
+        F.when(k.isNull(), "parse_error")
+        .when(k.between(0, 89), "ok")
+        .otherwise("domain_violation")
+        .alias("reason"),
+    )
+    return routed.groupBy("route", "reason").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("seq_no").alias("min_seq"),
+        F.max("seq_no").alias("max_seq"),
+    )

@@ -770,3 +770,70 @@ def pipeline_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_match", "near_match").alias("match_doc"),
         )
     )
+
+
+@register(
+    "pipeline_systematic_sample",
+    oracle="""
+    WITH laid AS (
+        SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS w,
+               md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               sum(CAST(n_chars AS BIGINT)) OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents
+    ),
+    tot AS (SELECT CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total
+            FROM documents)
+    SELECT doc_id, lang, source, w,
+           CAST((cum * 100) // tot.total AS BIGINT) AS strata_hit
+    FROM laid CROSS JOIN tot
+    WHERE (cum * 100) // tot.total > ((cum - w) * 100) // tot.total
+    """,
+)
+def pipeline_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional systematic sampling of ~100 documents, weighted
+    by character count: lay the corpus out on a byte line in
+    md5-shuffled order, then take one document at every 1/100th of the
+    total — each doc's selection probability is proportional to its
+    length, exactly the doc-level sampling a token-budget-matched
+    training-mix draw needs (long docs carry more tokens, so they must be
+    proportionally likelier). Systematic (one draw per stratum) beats
+    independent Bernoulli draws on variance, and the md5 order makes the
+    draw deterministic and replayable — same corpus, same sample, any
+    cluster (`pipeline_train_test_split` precedent: never
+    `rand()`-dependent).
+
+    Determinism: weights and cumulative offsets are 64-bit integers; the
+    threshold test is pure integer multiply + floor-divide — bit-exact,
+    no floating point anywhere. A doc spanning multiple strata (w >
+    total/100) is emitted once (its strata_hit reports the LAST threshold
+    it covers), so the sample size is ≤100 with equality when no doc
+    exceeds a stratum.
+
+    Plan shape: one running-sum window over the md5 order. The explicit
+    global order is the operator's point, and it runs on (doc_id, lang,
+    source, n_chars) — manifest-width rows, not text. At 100 TB,
+    range-partition the window on the md5 prefix and offset each
+    partition by the preceding partitions' totals (the
+    `scale_compaction_plan` two-pass note); the text column never
+    moves."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    laid = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("w"),
+        F.sum(F.col("n_chars").cast("bigint")).over(w).alias("cum"),
+    )
+    tot = d.agg(F.sum(F.col("n_chars").cast("bigint")).alias("total"))
+    hit = F.expr("(cum * 100) div total")
+    before = F.expr("((cum - w) * 100) div total")
+    return (
+        laid.crossJoin(F.broadcast(tot))
+        .filter(hit > before)
+        .select("doc_id", "lang", "source", "w", hit.alias("strata_hit"))
+    )

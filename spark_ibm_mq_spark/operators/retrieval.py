@@ -98,25 +98,32 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine hash is exact, and swapping ln back in is a
     one-expression change where classic scoring is contractual.
 
-    Plan shape: one explode feeds three map-side-combinable aggregates —
-    per-doc length (dl), per-(doc, query-term) tf (the posting lists,
-    filtered to the 3 query terms BEFORE the shuffle so only matching
-    postings move), and per-term df. df (≤3 rows) and the corpus stats
-    (1 row) ride as broadcasts; the only real shuffles key on doc_id and
-    are reused between tf, dl, and the final pivot. At 100 TB the tf
-    filter is the whole game: the shuffle carries |matching postings|,
-    not the corpus."""
+    Plan shape: one explode → ONE map-side-combined (doc, term) tf
+    aggregate, from which everything derives — dl = Σtf per doc, the
+    query-term tf slice, df = slice row-count — so the corpus is
+    tokenized and shuffled exactly once and the three consumers hit a
+    ReusedExchange. df (≤3 rows) and the corpus stats (1 row) ride as
+    broadcasts. (dl needs every token, so the full-posting shuffle is
+    the floor; were document length precomputed — as a real index
+    would — the query-term filter would move BEFORE the shuffle and
+    only matching postings would travel.)"""
     d = load_table(spark, sf_dir, "documents")
     terms = list(_QUERY_TERMS)
     tok = spread(d, "doc_id").select("doc_id", F.explode(tokens("text")).alias("t"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # ONE (doc, term) aggregate feeds everything: dl = Σ tf per doc,
+    # df = row count per query term (tf_all is already distinct per
+    # (doc, term)), tf = the query-term slice. The three consumers share
+    # an identical exchange subtree, so Spark plans ONE shuffle of the
+    # exploded tokens and reuses it (ReusedExchange), instead of
+    # re-tokenizing the corpus per aggregate.
+    tf_all = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    qtok = tok.filter(F.col("t").isin(terms))
-    tf = qtok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    df = qtok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    tf = tf_all.filter(F.col("t").isin(terms))
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     w = (
         tf.join(F.broadcast(df), "t")
         .join(dl, "doc_id")

@@ -547,3 +547,78 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+        FROM toks, LATERAL unnest(range(1, greatest(len(t), 1))) AS u(i)
+    ),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1)
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(ln(c2.c2 * 1.0 / c1.c1)) / count(*), 4) AS avg_bigram_logprob
+    FROM bg
+    JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+    JOIN c1 ON bg.w1 = c1.w1
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram conditional log-probability ln P(w2|w1) =
+    ln(c(w1,w2)/c(w1)) under the corpus's own bigram model — one order up
+    from `text_unigram_logprob`: unigram scoring flags rare WORDS, bigram
+    scoring flags improbable TRANSITIONS (shuffled or templated text
+    scores low even when every individual word is common). Docs with a
+    single token have no bigrams and drop out.
+
+    Same two-pass model shape: PASS 1 aggregates transition counts, PASS
+    2 broadcasts both count frames back over the exploded bigrams (|V|²
+    and |V| rows — broadcastable for tokenizer-scale vocabularies; at
+    open vocab, hash-bucket the tail) and reduces per doc. ln follows the
+    `text_char_entropy` round-4 precedent.
+
+    Plan: the bigram explode is `transform` over the split array with the
+    index lambda — zero-shuffle, in codegen — and both model joins are
+    broadcasts, so the only shuffles are the two model aggregates and the
+    per-doc rollup on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        spread(d, "doc_id")
+        .select("doc_id", tokens("text").alias("t"))
+        .filter(F.size("t") >= 2)  # sequence(1, 0) would run DESCENDING
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.log(F.col("c2") * F.lit(1.0) / F.col("c1")))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_bigram_logprob"),
+        )
+    )

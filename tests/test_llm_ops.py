@@ -785,3 +785,40 @@ def test_blocked_cosine_symmetric_bounds(spark):
         assert 0.8 <= r.cos_sim <= 1.0
         assert r.doc_a < r.doc_b
         assert r.dot > 0
+
+
+def test_systematic_sample_is_weight_proportional(spark):
+    """Sample size ≤ 100 (== when no doc spans a stratum), strata strictly
+    increase in layout order, and a doc twice the length is ~twice as
+    likely: total sampled weight ≈ total/100 * n_sampled within one max
+    doc length."""
+    rows = registry.QUERIES["pipeline_systematic_sample"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 100
+    hits = sorted(r.strata_hit for r in rows)
+    assert len(set(hits)) == len(hits)  # one doc per stratum
+
+
+def test_asof_tolerance_is_left_total_and_bounded(spark):
+    """Every purchase appears exactly once; matched gaps are within the
+    1h tolerance; the unbounded as-of's matches outside tolerance show
+    up here as NULLs, never as a different (older) click."""
+    tol = {r.p_id: r for r in registry.QUERIES["join_asof_tolerance"](spark, SF_DIR).collect()}
+    unb = {r.p_id: r for r in registry.QUERIES["join_asof_click_before_purchase"](spark, SF_DIR).collect()}
+    for p_id, r in tol.items():
+        if r.c_id is not None:
+            assert 0 <= r.gap_s <= 3600.0
+            assert unb[p_id].c_id == r.c_id  # same click, never an older one
+        elif p_id in unb:
+            assert unb[p_id].gap_s > 3600.0  # nulled BECAUSE out of tolerance
+
+
+def test_rfm_tiles_are_balanced(spark):
+    """ntile(4) leaves tile populations within 1 of each other on every
+    axis, and the code digits recompose."""
+    rows = registry.QUERIES["agg_rfm_segments"](spark, SF_DIR).collect()
+    for attr in ("r_tile", "f_tile", "m_tile"):
+        counts = [0] * 5
+        for r in rows:
+            counts[getattr(r, attr)] += 1
+        assert max(counts[1:]) - min(counts[1:]) <= 1, (attr, counts)
+    assert all(r.rfm_code == r.r_tile * 100 + r.f_tile * 10 + r.m_tile for r in rows)

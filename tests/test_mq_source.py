@@ -304,3 +304,32 @@ def test_read_between_offsets_deterministic(broker):
     rows2 = list(r.readBetweenOffsets(start, end))
     assert rows1 == rows2
     assert [x[0] for x in rows1] == ["1000_1", "1000_2", "1000_3", "2000_1"]
+
+
+# ---------------------------------------------------------------- DLQ routing
+
+
+def test_dlq_routes_corrupt_bodies(spark, tmp_path):
+    """The parse_error branch of mq_dlq_split: bodies that aren't valid
+    envelope JSON route to the DLQ with reason 'parse_error'; valid ones
+    split on the k-domain rule. (The shared fixture queue has no corrupt
+    bodies, so this path gets its own deliberately-poisoned broker.)"""
+    d = str(tmp_path / "poison")
+    b = FakeMQBroker(d, "EVENTS.Q")
+    b.put_all(
+        [
+            (1_700_000_000_000, 1, '{"k": 5}'),       # main/ok
+            (1_700_000_000_001, 2, '{"k": 95}'),      # dlq/domain_violation
+            (1_700_000_000_002, 3, "not json at all"),  # dlq/parse_error
+            (1_700_000_000_003, 4, '{"other": 1}'),   # dlq/parse_error (no k)
+        ]
+    )
+    from spark_ibm_mq_spark.operators.mq_source import dlq_route
+
+    rows = {
+        (r.route, r.reason): (r.n, r.min_seq, r.max_seq)
+        for r in dlq_route(spark, d).collect()
+    }
+    assert rows[("main", "ok")] == (1, 1, 1)
+    assert rows[("dlq", "domain_violation")] == (1, 2, 2)
+    assert rows[("dlq", "parse_error")] == (2, 3, 4)

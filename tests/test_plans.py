@@ -450,3 +450,22 @@ def test_compaction_plan_is_manifest_scale(spark):
     df = registry.QUERIES["scale_compaction_plan"](spark, SF_DIR)
     (cols,) = read_schema_columns(df)
     assert cols == ["o_orderdate"], cols
+
+
+def test_bigram_model_joins_are_broadcasts(spark):
+    """Both bigram-model joins must broadcast the count frames; the
+    explode stays in the scan stage (no shuffle before the model joins)."""
+    from spark_ibm_mq_spark.plans import num_broadcast_joins
+
+    df = registry.QUERIES["text_bigram_logprob"](spark, SF_DIR)
+    assert num_broadcast_joins(df) >= 2
+    assert not has_cartesian(df)
+
+
+def test_systematic_sample_reads_manifest_columns_only(spark):
+    """The sampling layout never touches the text column."""
+    from spark_ibm_mq_spark.plans import read_schema_columns
+
+    df = registry.QUERIES["pipeline_systematic_sample"](spark, SF_DIR)
+    for cols in read_schema_columns(df):
+        assert "text" not in cols, cols
