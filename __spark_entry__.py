@@ -45,15 +45,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #      lazy-durable-checkpoint rewrite of cluster resolve;
 # (b)  the 22 remaining r3-vintage rows (VERDICT r6 item 2) — their last
 #      driver check predates three rounds of refactors;
-# (a3) the thirteen operators added late this round (BM25, blocked
+# (a3) the fifteen operators added late this round (BM25, blocked
 #      tf-cosine, PageRank, cohort LTV, hourly gap-fill, EWMA, compaction
 #      plan, unigram+bigram logprob, systematic sample, RFM, as-of
-#      tolerance, MQ DLQ split) — first-ever driver rows; new-query rows
-#      outrank freshness rotation (VERDICT r6 ranked never-checked
-#      queries as the top gap);
-# (c)  the alphabetically-first r4-vintage row — the rest of the r4 set
-#      (set/sort families, sim_ann_lsh, streaming windows, tumbling,
-#      text_*, tpch_*, udf/udaf/udtf, win_*) rotates in r8.
+#      tolerance, MQ DLQ split, IVF+PQ funnel, snapshot diff) —
+#      first-ever driver rows; never-checked queries outrank freshness
+#      rotation (VERDICT r6 ranked them the top gap). To fit them,
+#      join_cross_flags slips from the r3 rotation (still parity-swept at
+#      sf0.001 per commit) and the whole r4 set (distinct/set/sort
+#      families, sim_ann_lsh, streaming windows, tumbling, text_*,
+#      tpch_*, udf/udaf/udtf, win_*) rotates in r8.
 # Every displaced query keeps per-commit sf0.001 parity coverage in
 # tests/test_oracle_parity.py; all 50 below re-verified green this session
 # via scripts/driver_sim.py at sf0.01.
@@ -86,7 +87,6 @@ _CHECK_FIRST = [
     "filter_predicates",
     "hash_funcs",
     "join_anti_inactive",
-    "join_cross_flags",
     "join_full_outer_nation_presence",
     "join_price_bands",
     "join_right_outer_orders",
@@ -112,8 +112,8 @@ _CHECK_FIRST = [
     "text_bigram_logprob",
     "join_asof_tolerance",
     "mq_dlq_split",
-    # --- (c) oldest r4-vintage row ---
-    "distinct_flag_combos",
+    "sim_ann_ivfpq",
+    "pipeline_snapshot_diff",
 ]
 
 

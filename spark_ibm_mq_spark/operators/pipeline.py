@@ -837,3 +837,77 @@ def pipeline_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hit > before)
         .select("doc_id", "lang", "source", "w", hit.alias("strata_hit"))
     )
+
+
+@register(
+    "pipeline_snapshot_diff",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id, text,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS p
+        FROM documents
+    ),
+    old AS (
+        SELECT doc_id, sha256(text) AS h FROM tagged WHERE p <> 'ff'
+    ),
+    new AS (
+        SELECT doc_id,
+               sha256(CASE WHEN p < '08' THEN upper(text) ELSE text END) AS h
+        FROM tagged WHERE p <> 'fe'
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           o.h AS old_hash, n.h AS new_hash
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+    """,
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the dataset-versioning primitive: given two
+    snapshots of the documents table, report every doc that was ADDED,
+    REMOVED, or CHANGED (content hash differs), the delta a training-data
+    registry records per release and the input an incremental
+    re-processing run consumes instead of the full corpus. The two
+    snapshots are simulated deterministically from the one fixture table
+    (md5-prefix 'ff' docs are new-since-old, 'fe' docs deleted-in-new,
+    prefix < '08' docs edited — upper-cased — in new), so the diff is
+    value-checkable; on real data the two sides are two table versions.
+
+    Plan shape: each side reduces to a (doc_id, sha256) MANIFEST in the
+    scan stage — the full-outer join and the change test shuffle 32-byte
+    hashes on doc_id, never text. Unchanged docs (the overwhelming bulk)
+    are dropped by the post-join filter; at 100 TB both manifests come
+    straight from the table format's own content hashes and the diff is
+    metadata-only."""
+    d = load_table(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id",
+        "text",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("p"),
+    )
+    old = tagged.filter(F.col("p") != "ff").select(
+        F.col("doc_id").alias("o_id"), F.sha2("text", 256).alias("old_hash")
+    )
+    new = tagged.filter(F.col("p") != "fe").select(
+        F.col("doc_id").alias("n_id"),
+        F.sha2(
+            F.when(F.col("p") < "08", F.upper("text")).otherwise(F.col("text")),
+            256,
+        ).alias("new_hash"),
+    )
+    j = old.join(new, F.col("o_id") == F.col("n_id"), "full_outer")
+    return j.filter(
+        F.col("o_id").isNull()
+        | F.col("n_id").isNull()
+        | (F.col("old_hash") != F.col("new_hash"))
+    ).select(
+        F.coalesce(F.col("o_id"), F.col("n_id")).alias("doc_id"),
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+        "old_hash",
+        "new_hash",
+    )

@@ -822,3 +822,61 @@ def test_rfm_tiles_are_balanced(spark):
             counts[getattr(r, attr)] += 1
         assert max(counts[1:]) - min(counts[1:]) <= 1, (attr, counts)
     assert all(r.rfm_code == r.r_tile * 100 + r.f_tile * 10 + r.m_tile for r in rows)
+
+
+def test_ivfpq_funnel_shape_and_order(spark):
+    """Each query gets exactly TOP_K ranked neighbors, never itself;
+    exact-cosine is non-increasing down the rank; every neighbor carries
+    a nonnegative ADC estimate (the shortlist stage actually ran)."""
+    from spark_ibm_mq_spark.operators.similarity import _TOP_K
+
+    rows = registry.QUERIES["sim_ann_ivfpq"](spark, SF_DIR).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r.n_id != r.q_id
+        assert r.adc_dist2 >= 0
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) == _TOP_K
+        for a, b in zip(rs, rs[1:]):
+            assert a.cos_sim >= b.cos_sim - 1e-9
+
+
+def test_ivfpq_rerank_agrees_with_bruteforce_on_shortlist(spark):
+    """The exact rerank must place the brute-force best neighbor first
+    whenever that neighbor survived the IVF+ADC funnel (recall misses are
+    allowed by construction; mis-RANKING of survivors is not)."""
+    exact = {
+        (r.q_id, r.n_id): r.rank
+        for r in registry.QUERIES["sim_topk_bruteforce"](spark, SF_DIR).collect()
+    } if "sim_topk_bruteforce" in registry.QUERIES else {}
+    if not exact:
+        import pytest
+
+        pytest.skip("no brute-force baseline registered under that name")
+    rows = registry.QUERIES["sim_ann_ivfpq"](spark, SF_DIR).collect()
+    funnel = {(r.q_id, r.n_id): r.rank for r in rows}
+    for (q, n), rk in funnel.items():
+        if rk == 1 and (q, n) in exact:
+            # funnel's #1 must not be ranked below a co-surviving pair
+            better = [p for p in exact if p[0] == q and exact[p] < exact[(q, n)] and p in funnel]
+            assert not better, (q, n, better)
+
+
+def test_snapshot_diff_statuses_match_md5_rules(spark):
+    """added == md5-prefix 'ff', removed == 'fe', changed == prefix <
+    '08'; hashes present exactly where the side exists."""
+    import hashlib
+
+    rows = registry.QUERIES["pipeline_snapshot_diff"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        p = hashlib.md5(str(r.doc_id).encode()).hexdigest()[:2]
+        if r.status == "added":
+            assert p == "ff" and r.old_hash is None and r.new_hash
+        elif r.status == "removed":
+            assert p == "fe" and r.new_hash is None and r.old_hash
+        else:
+            assert p < "08" and r.old_hash and r.new_hash and r.old_hash != r.new_hash

@@ -469,3 +469,27 @@ def test_systematic_sample_reads_manifest_columns_only(spark):
     df = registry.QUERIES["pipeline_systematic_sample"](spark, SF_DIR)
     for cols in read_schema_columns(df):
         assert "text" not in cols, cols
+
+
+def test_ivfpq_funnel_no_cartesian_broadcast_index_frames(spark):
+    """IVFPQ: centroids/codebook/probe/LUT ride as broadcasts (the cross
+    joins against them are broadcast nested loops over ≤160-row frames,
+    never CartesianProduct); candidate generation is the cell equi-join."""
+    from spark_ibm_mq_spark.plans import num_broadcast_joins
+
+    df = registry.QUERIES["sim_ann_ivfpq"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert num_broadcast_joins(df) >= 2
+
+
+def test_snapshot_diff_shuffles_hashes_not_text(spark):
+    """The full-outer diff joins 32-byte manifests: the join keys' child
+    projections must not carry the text column past the scan stage."""
+    df = registry.QUERIES["pipeline_snapshot_diff"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
