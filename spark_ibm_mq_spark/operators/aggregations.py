@@ -578,3 +578,73 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rfm_code",
         F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile"),
     )
+
+
+@register(
+    "agg_mad_robust",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, m.med,
+               round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.med, d.mad, d.n,
+           CAST(count(*) FILTER (
+               WHERE abs(e.value - d.med) > 3 * 1.4826 * d.mad) AS BIGINT)
+               AS n_outliers
+    FROM events e JOIN dev d ON e.event_type = d.event_type
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion + outlier count per event type: median, median
+    absolute deviation (MAD), and how many events sit beyond the
+    3σ-equivalent robust fence 3·1.4826·MAD — the outlier detector that,
+    unlike `events_anomaly_zscore`'s mean/stddev, is itself immune to the
+    outliers it hunts (one 10⁶× corrupt value shifts a z-score fence
+    arbitrarily; it moves the median fence by at most one rank).
+
+    Determinism: the median is ROUNDED before the deviation pass and MAD
+    rounded before the fence, so both engines compare against identical
+    doubles; the fence test is exact arithmetic on those.
+
+    Plan shape: two grouped exact-percentile passes (each buffers one
+    group's values once) plus a counting pass, all on the same
+    event_type key — one partitioning, three aggregates over it. At
+    100 TB swap exact percentile for `percentile_approx` in both passes
+    (single-pass mergeable sketch) — the fence stays a constant-factor
+    rank statistic."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("med")
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 4
+            ).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    fence = 3 * 1.4826
+    return (
+        ev.join(F.broadcast(dev), "event_type")
+        .groupBy("event_type", "med", "mad", "n")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(fence) * F.col("mad"),
+                    1,
+                )
+            ).alias("n_outliers")
+        )
+    )

@@ -622,3 +622,75 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bigram_logprob"),
         )
     )
+
+
+_PRED_SQL = f"""CASE
+             WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+             WHEN {_lang_score_sql("es")} > {_lang_score_sql("en")}
+              AND {_lang_score_sql("es")} >= {_lang_score_sql("de")}
+              AND {_lang_score_sql("es")} >= {_lang_score_sql("fr")} THEN 'es'
+             WHEN {_lang_score_sql("de")} > {_lang_score_sql("en")}
+              AND {_lang_score_sql("de")} >= {_lang_score_sql("fr")} THEN 'de'
+             WHEN {_lang_score_sql("fr")} > {_lang_score_sql("en")} THEN 'fr'
+             ELSE 'en'
+           END"""
+
+
+@register(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang, {_PRED_SQL} AS predicted FROM documents
+    ),
+    truth AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_true
+              FROM pred GROUP BY 1)
+    SELECT p.lang, p.predicted, CAST(count(*) AS BIGINT) AS n,
+           t.n_true,
+           round(count(*) * 1.0 / t.n_true, 4) AS share_of_true
+    FROM pred p JOIN truth t ON p.lang = t.lang
+    GROUP BY p.lang, p.predicted, t.n_true
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the `text_lang_id` heuristic against the
+    labeled lang column: per (true, predicted) cell count and its share
+    of the true class (the diagonal's share IS per-class recall) — the
+    eval rollup that decides whether a cheap router is good enough
+    before it gates a corpus, same harness pattern as
+    `sim_ann_recall_eval` for the ANN funnel.
+
+    Plan shape: prediction is the same codegen'd CASE expression as the
+    per-doc operator (no Python, no shuffle), so the matrix is one
+    map-side-combinable groupBy to |langs|² cells plus a broadcast-sized
+    class-total join."""
+    d = load_table(spark, sf_dir, "documents")
+    low_toks = F.split(F.trim(F.lower("text")), "\\s+")
+
+    def score(lang: str):
+        lst = F.array(*[F.lit(w) for w in _LANG_WORDS[lang]])
+        return F.size(F.filter(low_toks, lambda t: F.array_contains(lst, t)))
+
+    s_en, s_es, s_de, s_fr = score("en"), score("es"), score("de"), score("fr")
+    predicted = (
+        F.when(F.col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+        .when((s_es > s_en) & (s_es >= s_de) & (s_es >= s_fr), "es")
+        .when((s_de > s_en) & (s_de >= s_fr), "de")
+        .when(s_fr > s_en, "fr")
+        .otherwise("en")
+    )
+    pred = d.select("lang", predicted.alias("predicted"))
+    truth = pred.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        pred.groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(truth), "lang")
+        .select(
+            "lang",
+            "predicted",
+            "n",
+            "n_true",
+            F.round(F.col("n") * F.lit(1.0) / F.col("n_true"), 4).alias(
+                "share_of_true"
+            ),
+        )
+    )

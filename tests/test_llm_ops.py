@@ -880,3 +880,40 @@ def test_snapshot_diff_statuses_match_md5_rules(spark):
             assert p == "fe" and r.new_hash is None and r.old_hash
         else:
             assert p < "08" and r.old_hash and r.new_hash and r.old_hash != r.new_hash
+
+
+def test_mad_fence_counts_match_python(spark):
+    """Recompute the robust fence per type in pure Python over the raw
+    values; the operator's outlier counts must agree exactly."""
+    import duckdb
+
+    rows = {r.event_type: r for r in registry.QUERIES["agg_mad_robust"](spark, SF_DIR).collect()}
+    raw = duckdb.sql(
+        f"SELECT event_type, value FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    by_type: dict = {}
+    for et, v in raw:
+        by_type.setdefault(et, []).append(v)
+    for et, vals in by_type.items():
+        r = rows[et]
+        assert r.n == len(vals)
+        n_out = sum(1 for v in vals if abs(v - r.med) > 3 * 1.4826 * r.mad)
+        assert r.n_outliers == n_out, et
+
+
+def test_lang_confusion_totals_and_shares(spark):
+    """Cells of a true class sum to its n_true; shares sum to 1 per class;
+    the matrix agrees with the per-doc lang-ID query."""
+    cells = registry.QUERIES["text_lang_confusion"](spark, SF_DIR).collect()
+    per_doc = registry.QUERIES["text_lang_id"](spark, SF_DIR).collect()
+    from collections import Counter
+
+    expect = Counter((r.lang, r.predicted) for r in per_doc)
+    got = {(r.lang, r.predicted): r.n for r in cells}
+    assert got == dict(expect)
+    by_true: dict = {}
+    for r in cells:
+        by_true.setdefault(r.lang, []).append(r)
+    for lang, rs in by_true.items():
+        assert sum(r.n for r in rs) == rs[0].n_true
+        assert abs(sum(r.share_of_true for r in rs) - 1.0) < 5e-4
