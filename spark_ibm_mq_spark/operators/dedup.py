@@ -832,10 +832,18 @@ def dedup_containment_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
-    docs = (
-        d.select("doc_id", shingles.alias("sh"))
+    # the shingle arrays are the expensive per-row compute and feed FOUR
+    # consumers (inverted index, rarest pick, both verify sides). Order
+    # matters twice: the raw text is repartitioned BEFORE the shingle
+    # projection (else the arrays build inside the 1-partition scan stage,
+    # serial on one core), and the built frame is checkpointed so every
+    # consumer reads the materialized arrays instead of re-deriving them.
+    docs = durable_checkpoint(
+        spread(d.select("doc_id", "text"), "doc_id", force=True)
+        .select("doc_id", shingles.alias("sh"))
         .withColumn("n", F.size("sh"))
-        .filter(F.col("n") >= 1)
+        .filter(F.col("n") >= 1),
+        eager=False,
     )
     ex = docs.select("doc_id", F.explode("sh").alias("s"))
     df_tbl = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))

@@ -658,3 +658,61 @@ def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ffill"),
         )
     )
+
+
+@register(
+    "events_cumulative_uniques",
+    oracle=f"""
+    {EVENTS_CTE},
+    firsts AS (
+        SELECT user_id,
+               min(CAST(ts AS DATE) - DATE '1970-01-01') AS first_day
+        FROM ev GROUP BY 1
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day_no,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM ev GROUP BY 1
+    ),
+    news AS (
+        SELECT first_day AS day_no, CAST(count(*) AS BIGINT) AS new_users
+        FROM firsts GROUP BY 1
+    )
+    SELECT d.day_no, d.dau,
+           coalesce(n.new_users, 0) AS new_users,
+           CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY d.day_no)
+                AS BIGINT) AS cum_uniques
+    FROM daily d LEFT JOIN news n ON d.day_no = n.day_no
+    """,
+)
+def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique users by day — the growth curve — computed the
+    scale-right way: running COUNT(DISTINCT) keeps an ever-growing user
+    set in window state, so instead each user is reduced to their FIRST
+    active day (one min-aggregate), new-user counts roll up per day, and
+    the cumulative curve is a plain running SUM over |days| integer rows.
+    This first-touch transform is the standard rewrite that turns an
+    unbounded-state distinct into two bounded aggregates.
+
+    Plan shape: one user_id-keyed min, one day-keyed rollup of it, the
+    events-side dau rollup, and a |days|-row window — nothing holds more
+    than a day's key set; integer arithmetic throughout (bit-exact)."""
+    ev = _events(spark, sf_dir)
+    day_no = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    firsts = ev.groupBy("user_id").agg(F.min(day_no).alias("first_day"))
+    daily = ev.groupBy(day_no.alias("day_no")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    news = firsts.groupBy(F.col("first_day").alias("day_no")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day_no").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(news, "day_no", "left")
+        .select(
+            "day_no",
+            "dau",
+            F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cum_uniques", F.sum("new_users").over(w))
+    )

@@ -442,3 +442,53 @@ def win_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(num / den, 4).alias("ewma_16h"),
     )
+
+
+@register(
+    "win_weekly_pct_change",
+    oracle="""
+    WITH weekly AS (
+        SELECT CAST(floor((CAST(o_orderdate AS DATE) - DATE '1992-01-01') / 7.0)
+                    AS BIGINT) AS week_no,
+               round(sum(o_totalprice), 4) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT week_no, revenue, n_orders,
+           round(lag(revenue) OVER (ORDER BY week_no), 4) AS prev_revenue,
+           round((revenue - lag(revenue) OVER (ORDER BY week_no))
+                 / lag(revenue) OVER (ORDER BY week_no) * 100, 4) AS wow_pct
+    FROM weekly
+    """,
+)
+def win_weekly_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth: weekly order revenue with the
+    previous week's value and percentage change via lag — the delta
+    framing every trend dashboard applies to a time series. First week's
+    change is NULL (nothing to compare), not 0 — absence of a baseline
+    is not zero growth.
+
+    Determinism: cell revenue is rounded before the lag/percent math, so
+    both engines difference identical doubles; the divide-then-×100 tree
+    is written identically both sides.
+
+    Plan shape: one map-side-combinable week rollup (|weeks| rows out of
+    |orders|), then a single ordered window over metric-frame rows —
+    the window is metadata-scale at any order volume."""
+    o = load_table(spark, sf_dir, "orders")
+    week_no = F.floor(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) / 7.0
+    ).cast("bigint")
+    weekly = o.groupBy(week_no.alias("week_no")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("week_no")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week_no",
+        "revenue",
+        "n_orders",
+        F.round(prev, 4).alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("wow_pct"),
+    )

@@ -917,3 +917,37 @@ def test_lang_confusion_totals_and_shares(spark):
     for lang, rs in by_true.items():
         assert sum(r.n for r in rs) == rs[0].n_true
         assert abs(sum(r.share_of_true for r in rs) - 1.0) < 5e-4
+
+
+def test_cumulative_uniques_monotone_and_bounded(spark):
+    """cum_uniques is nondecreasing, ends at the true distinct-user count,
+    and each day's dau never exceeds the cumulative total so far."""
+    import duckdb
+
+    rows = sorted(
+        registry.QUERIES["events_cumulative_uniques"](spark, SF_DIR).collect(),
+        key=lambda r: r.day_no,
+    )
+    total = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    assert rows[-1].cum_uniques == total
+    prev = 0
+    for r in rows:
+        assert r.cum_uniques >= prev
+        assert r.dau <= r.cum_uniques
+        prev = r.cum_uniques
+
+
+def test_wow_pct_change_recomposes(spark):
+    """prev_revenue is last week's revenue; the % change recomposes from
+    the two revenue cells; week 0 has NULL change, not zero."""
+    rows = sorted(
+        registry.QUERIES["win_weekly_pct_change"](spark, SF_DIR).collect(),
+        key=lambda r: r.week_no,
+    )
+    assert rows[0].wow_pct is None and rows[0].prev_revenue is None
+    for a, b in zip(rows, rows[1:]):
+        assert b.prev_revenue == a.revenue
+        expect = (b.revenue - a.revenue) / a.revenue * 100
+        assert abs(b.wow_pct - expect) < 5e-4
