@@ -9,16 +9,19 @@ edge list comes from the same self-equi-join-on-container shape as
 `affinity_copurchase_pmi` — parts co-occurring in an order — so the graph
 is symmetric and every vertex has out-degree ≥ 1 (no dangling-mass term).
 
-Scale notes: each Lloyd-style round is one hash join (edges ⋈ ranks on
-src) + one map-side-combinable groupBy(dst) + one left join back to the
-vertex set — all keyed on the part key, so AQE reuses ONE partitioning
-across every round. The edge list is checkpointed once before the loop
-(`durable_checkpoint`: reliable `checkpoint` when the session has a
-checkpoint dir, executor-local otherwise) so the per-round plans reference
-materialized blocks instead of re-deriving the self-join, and the
-fixed-depth loop (3 rounds) keeps lineage shallow. At 100 TB, raise the
-round count and checkpoint the rank frame every ~5 rounds — the same
-lineage discipline as the connected-components loop.
+Scale notes: each round is one join (edges ⋈ ranks on src) + one
+map-side-combinable groupBy(dst) + one left join back to the vertex set —
+all keyed on the part key. The PER-ROUND input (edges ⋈ out-degree) is
+checkpointed once before the loop (`durable_checkpoint`: reliable
+`checkpoint` when the session has a checkpoint dir, executor-local
+otherwise), so the order-pair self-join and degree aggregate run exactly
+once and every round starts from materialized, src-partitioned blocks.
+The rank side of the per-round join goes through `size_gated_broadcast`:
+a vertex frame that fits the broadcast threshold skips the edge-side
+shuffle entirely; a 100 TB-scale vertex set degrades safely to the
+shuffle join on src. At 100 TB, raise the round count and checkpoint the
+rank frame every ~5 rounds — the same lineage discipline as the
+connected-components loop.
 """
 
 from __future__ import annotations
@@ -27,7 +30,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import durable_checkpoint, load_table
+from spark_ibm_mq_spark.tables import (
+    durable_checkpoint,
+    load_table,
+    size_gated_broadcast,
+)
 
 _DAMP = 0.85
 _ROUNDS = 3
@@ -97,20 +104,26 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     a = op.select("ok", F.col("pk").alias("src"))
     b = op.select("ok", F.col("pk").alias("dst"))
-    edges = durable_checkpoint(
-        a.join(b, "ok").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct(),
-        eager=False,
-    )
+    edges = a.join(b, "ok").filter(F.col("src") != F.col("dst")).select(
+        "src", "dst"
+    ).distinct()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # checkpoint the PER-ROUND input (edges ⋈ out-degree), not the raw
+    # edge list: every round and the vertex/degree frames all start from
+    # this one materialization, so the order-pair self-join and the degree
+    # aggregate run exactly once instead of once per consumer
+    contrib_src = durable_checkpoint(edges.join(deg, "src"), eager=False)
+    nodes = contrib_src.select(F.col("src").alias("node")).distinct()
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
     )
-    contrib_src = edges.join(deg, "src")
     for _ in range(_ROUNDS):
         c = (
-            contrib_src.join(ranks.withColumnRenamed("node", "src"), "src")
+            contrib_src.join(
+                size_gated_broadcast(ranks.withColumnRenamed("node", "src")),
+                "src",
+            )
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
         )
@@ -125,8 +138,11 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
+    node_deg = contrib_src.select(
+        F.col("src").alias("node"), "deg"
+    ).distinct()
     return (
-        ranks.join(deg.withColumnRenamed("src", "node"), "node")
+        ranks.join(node_deg, "node")
         .crossJoin(F.broadcast(n))
         .select(
             F.col("node").alias("part"),
