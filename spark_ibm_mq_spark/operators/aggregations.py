@@ -648,3 +648,87 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers")
         )
     )
+
+
+@register(
+    "agg_welch_ab_test",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               user_id % 2 AS variant,
+               count(*) AS n,
+               round(avg(value), 4) AS mean,
+               round(var_samp(value), 4) AS var
+        FROM events GROUP BY 1, 2
+    ),
+    ab AS (
+        SELECT a.event_type,
+               a.n AS n_a, a.mean AS mean_a, a.var AS var_a,
+               b.n AS n_b, b.mean AS mean_b, b.var AS var_b,
+               a.var / a.n AS sa, b.var / b.n AS sb
+        FROM g a JOIN g b
+          ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+    )
+    SELECT event_type, n_a, mean_a, n_b, mean_b,
+           round((mean_a - mean_b) / sqrt(sa + sb), 4) AS t_stat,
+           round((sa + sb) * (sa + sb)
+                 / (sa * sa / (n_a - 1) + sb * sb / (n_b - 1)), 4) AS welch_df
+    FROM ab
+    """,
+)
+def agg_welch_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event type between two user
+    cohorts (variant = user_id parity — the deterministic stand-in for an
+    experiment assignment): group means/variances, the t statistic, and
+    the Welch–Satterthwaite degrees of freedom — the statistical readout
+    every A/B experimentation pipeline computes over its metrics table.
+
+    Determinism: means and variances are rounded FIRST (the suite's
+    round-then-derive discipline), so the t/df arithmetic runs on
+    identical doubles in both engines; sqrt and the divisions are IEEE
+    exactly-rounded over a textually identical expression tree.
+
+    Plan shape: ONE map-side-combinable groupBy to |types|×2 rows, a
+    self-equi-join on the type key over that metric frame (metadata
+    scale), and row-local arithmetic — the raw events shuffle once, as
+    count/sum/sum-of-squares partials."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("mean"),
+        F.round(F.var_samp("value"), 4).alias("var"),
+    )
+    a = g.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = g.filter(F.col("variant") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    sa = F.col("var_a") / F.col("n_a")
+    sb = F.col("var_b") / F.col("n_b")
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            "n_a",
+            "mean_a",
+            "n_b",
+            "mean_b",
+            F.round(
+                (F.col("mean_a") - F.col("mean_b")) / F.sqrt(sa + sb), 4
+            ).alias("t_stat"),
+            F.round(
+                (sa + sb) * (sa + sb)
+                / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)),
+                4,
+            ).alias("welch_df"),
+        )
+    )

@@ -1006,3 +1006,114 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+_PREFIX_DIMS = 16  # truncated-embedding dims for the prefix ranking pass
+
+
+@register(
+    "sim_prefix_dim_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        WHERE vec_id % {_IVF_QUERY_MOD} = 0
+    ),
+    pairs AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+               {_cos_sql('q.qe', 'e.embedding')} AS full_cos,
+               {_cos_sql(f'list_slice(q.qe::DOUBLE[], 1, {_PREFIX_DIMS})',
+                         f'list_slice(e.embedding::DOUBLE[], 1, {_PREFIX_DIMS})')}
+                   AS prefix_cos
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id != q.q_id
+    ),
+    full_top AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id, row_number() OVER (
+                PARTITION BY q_id
+                ORDER BY floor(full_cos * 1000000) DESC, n_id) AS rk
+            FROM pairs
+        ) WHERE rk <= {_TOP_K}
+    ),
+    prefix_top AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id, row_number() OVER (
+                PARTITION BY q_id
+                ORDER BY floor(prefix_cos * 1000000) DESC, n_id) AS rk
+            FROM pairs
+        ) WHERE rk <= {_TOP_K}
+    )
+    SELECT f.q_id,
+           CAST(count(p.n_id) AS BIGINT) AS n_overlap,
+           round(count(p.n_id) * 1.0 / {_TOP_K}, 4) AS recall_at_{_TOP_K}
+    FROM full_top f
+    LEFT JOIN prefix_top p ON f.q_id = p.q_id AND f.n_id = p.n_id
+    GROUP BY f.q_id
+    """,
+)
+def sim_prefix_dim_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension retrieval eval (the matryoshka-embedding
+    question): per query, how much of the full-vector cosine top-{_TOP_K}
+    survives when ranking uses only the first {_PREFIX_DIMS} of 64 dims —
+    the measurement that decides whether a cheap prefix index (4× less
+    memory and bandwidth) can serve as the first funnel stage, the same
+    eval-harness pattern as `sim_ann_recall_eval` for the LSH funnel.
+
+    Determinism: both rankings use the floor(cos×1e6)+id keys; the
+    overlap count is pure set arithmetic.
+
+    Plan shape: one candidate frame feeds BOTH rank windows (the prefix
+    cosine is a row-local expression over the same pair rows — no second
+    pass over the corpus), and the overlap is a tiny self-join on the two
+    top-k frames. The brute-force pair generation is the eval's scope —
+    deliberately exact, run on a sample at 100 TB, while the production
+    path stays `sim_ann_ivfpq`."""
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    q = e.filter(F.col("vec_id") % _IVF_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    qd = F.transform("qe", lambda x: x.cast("double"))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(e.select(F.col("vec_id").alias("n_id"), "embedding"))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            cosine_similarity(F.col("qe"), F.col("embedding")).alias("full_cos"),
+            cosine_similarity(
+                F.slice(qd, 1, _PREFIX_DIMS), F.slice(ed, 1, _PREFIX_DIMS)
+            ).alias("prefix_cos"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(
+        F.floor(F.col("full_cos") * 1e6).desc(), "n_id"
+    )
+    wp = Window.partitionBy("q_id").orderBy(
+        F.floor(F.col("prefix_cos") * 1e6).desc(), "n_id"
+    )
+    full_top = (
+        pairs.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("q_id", "n_id")
+    )
+    prefix_top = (
+        pairs.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("q_id", F.col("n_id").alias("p_id"))
+    )
+    return (
+        full_top.join(
+            prefix_top,
+            (full_top.q_id == prefix_top.q_id) & (full_top.n_id == prefix_top.p_id),
+            "left",
+        )
+        .groupBy(full_top.q_id.alias("q_id"))
+        .agg(
+            F.count(F.col("p_id")).alias("n_overlap"),
+            F.round(F.count(F.col("p_id")) * F.lit(1.0) / _TOP_K, 4).alias(
+                f"recall_at_{_TOP_K}"
+            ),
+        )
+    )

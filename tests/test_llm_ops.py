@@ -951,3 +951,40 @@ def test_wow_pct_change_recomposes(spark):
         assert b.prev_revenue == a.revenue
         expect = (b.revenue - a.revenue) / a.revenue * 100
         assert abs(b.wow_pct - expect) < 5e-4
+
+
+def test_welch_recomposes_from_raw_values(spark):
+    """Recompute Welch's t from the raw per-cohort values (using the
+    operator's own rounded means/vars); t must agree to the rounding."""
+    import duckdb
+
+    rows = {r.event_type: r for r in registry.QUERIES["agg_welch_ab_test"](spark, SF_DIR).collect()}
+    raw = duckdb.sql(
+        f"""SELECT event_type, user_id % 2, count(*), round(avg(value),4), round(var_samp(value),4)
+            FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY 1, 2"""
+    ).fetchall()
+    import math
+
+    stats = {(et, v): (n, m, var) for et, v, n, m, var in raw}
+    for et, r in rows.items():
+        (na, ma, va), (nb, mb, vb) = stats[(et, 0)], stats[(et, 1)]
+        assert (r.n_a, r.mean_a) == (na, ma) and (r.n_b, r.mean_b) == (nb, mb)
+        t = (ma - mb) / math.sqrt(va / na + vb / nb)
+        assert abs(r.t_stat - t) < 5e-4
+        assert r.welch_df > 0
+
+
+def test_prefix_dim_eval_bounds(spark):
+    """Recall values land in [0, 1] with overlap counts 0..TOP_K, one row
+    per query vector."""
+    from spark_ibm_mq_spark.operators.similarity import _IVF_QUERY_MOD, _TOP_K
+    import duckdb
+
+    rows = registry.QUERIES["sim_prefix_dim_eval"](spark, SF_DIR).collect()
+    n_q = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/embeddings.parquet') WHERE vec_id % {_IVF_QUERY_MOD} = 0"
+    ).fetchone()[0]
+    assert len(rows) == n_q
+    for r in rows:
+        assert 0 <= r.n_overlap <= _TOP_K
+        assert abs(getattr(r, f"recall_at_{_TOP_K}") - r.n_overlap / _TOP_K) < 5e-4
