@@ -716,3 +716,85 @@ def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cum_uniques", F.sum("new_users").over(w))
     )
+
+
+@register(
+    "events_stickiness_dau_wau",
+    oracle=f"""
+    {EVENTS_CTE},
+    ud AS (
+        SELECT DISTINCT user_id,
+               CAST(ts AS DATE) - DATE '1970-01-01' AS day_no
+        FROM ev
+    ),
+    days AS (SELECT DISTINCT day_no FROM ud),
+    wau AS (
+        SELECT d.day_no,
+               CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+        FROM days d JOIN ud u
+          ON u.day_no BETWEEN d.day_no - 6 AND d.day_no
+        GROUP BY 1
+    ),
+    dau AS (
+        SELECT day_no, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+    )
+    SELECT d.day_no, d.dau, w.wau,
+           round(d.dau * 1.0 / w.wau, 4) AS stickiness
+    FROM dau d JOIN wau w ON d.day_no = w.day_no
+    """,
+)
+def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — daily actives over trailing-7-day
+    actives, the engagement-intensity ratio (1.0 = every weekly user
+    shows up daily). Trailing-window DISTINCT does not decompose into a
+    running sum (users repeat across days), so the rollup runs over the
+    DEDUPLICATED (user, day) frame — |users|×|active days| rows, already
+    tiny relative to raw events — banded to the trailing week by a
+    7-wide range join against the day spine before the per-day distinct.
+
+    Plan shape: one distinct on (user_id, day) reduces the event volume
+    first (the only full shuffle); the band join expands each (user, day)
+    row at most 7× on integer day keys and re-aggregates — the
+    `join_interval_bucketed` discipline. At years of scale, precompute
+    the (user, day) frame once as the activity table every engagement
+    metric shares."""
+    ev = _events(spark, sf_dir)
+    day_no = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    ud = ev.select("user_id", day_no.alias("day_no")).distinct()
+    days = ud.select("day_no").distinct()
+    dau = ud.groupBy("day_no").agg(F.count(F.lit(1)).alias("dau"))
+    # bucketize the trailing-[d-6, d] band: a 7-day window crosses at most
+    # two 7-wide buckets, so each spine day probes exactly those two and
+    # the join is an EQUI-join on the bucket with the range as residual —
+    # never a nested-loop over the full (user, day) frame
+    probe = days.select(
+        "day_no",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("day_no") - 6) / 7),
+                    F.floor(F.col("day_no") / 7),
+                )
+            )
+        ).alias("bucket"),
+    )
+    u = ud.select(
+        "user_id",
+        F.col("day_no").alias("u_day"),
+        F.floor(F.col("day_no") / 7).alias("bucket"),
+    )
+    wau = (
+        probe.join(u, "bucket")
+        .filter(
+            (F.col("u_day") >= F.col("day_no") - 6)
+            & (F.col("u_day") <= F.col("day_no"))
+        )
+        .groupBy("day_no")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day_no").select(
+        "day_no",
+        "dau",
+        "wau",
+        F.round(F.col("dau") * F.lit(1.0) / F.col("wau"), 4).alias("stickiness"),
+    )

@@ -911,3 +911,96 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_hash",
         "new_hash",
     )
+
+
+@register(
+    "pipeline_quality_gate_funnel",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+               length(text) AS n_ch,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   t -> len(t) >= 3)) * 1.0
+                 / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+                   AS long_tok_ratio
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id,
+               CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END AS g1,
+               CASE WHEN n_tok >= 10 AND n_ch >= 80 THEN 1 ELSE 0 END AS g2,
+               CASE WHEN n_tok >= 10 AND n_ch >= 80
+                     AND long_tok_ratio >= 0.5 THEN 1 ELSE 0 END AS g3
+        FROM scored
+    )
+    SELECT * FROM (
+        SELECT 0 AS gate_no, 'input' AS gate, CAST(count(*) AS BIGINT) AS n_pass,
+               1.0 AS pass_rate FROM gated
+        UNION ALL
+        SELECT 1, 'min_tokens_10', CAST(sum(g1) AS BIGINT),
+               round(sum(g1) * 1.0 / count(*), 4) FROM gated
+        UNION ALL
+        SELECT 2, '+min_chars_80', CAST(sum(g2) AS BIGINT),
+               round(sum(g2) * 1.0 / count(*), 4) FROM gated
+        UNION ALL
+        SELECT 3, '+long_token_ratio_50', CAST(sum(g3) AS BIGINT),
+               round(sum(g3) * 1.0 / count(*), 4) FROM gated
+    )
+    """,
+)
+def pipeline_quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate funnel accounting: how many documents survive each
+    successive filter (token floor → char floor → long-token ratio) and
+    the cumulative pass rate — the per-stage loss report every corpus
+    cleaning pipeline publishes so a collapsed stage (a gate suddenly
+    eating 40% of the corpus) is visible BEFORE training, not after.
+    Gates are cumulative by construction (a doc counts at stage k only
+    if it passed 1..k-1), so n_pass is monotonically nonincreasing.
+
+    Plan shape: gate predicates are row-local expressions in the scan
+    stage; the report is ONE aggregate over four conditional sums (one
+    scan, no shuffle beyond the single 1-row reduction) unioned into the
+    4-row funnel — at any corpus size the output is |gates| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    long_ratio = F.size(F.filter(toks, lambda t: F.length(t) >= 3)) / F.greatest(
+        n_tok, F.lit(1)
+    )
+    g1 = (n_tok >= 10).cast("int")
+    g2 = ((n_tok >= 10) & (F.length("text") >= 80)).cast("int")
+    g3 = ((n_tok >= 10) & (F.length("text") >= 80) & (long_ratio >= 0.5)).cast(
+        "int"
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(g1).alias("n1"),
+        F.sum(g2).alias("n2"),
+        F.sum(g3).alias("n3"),
+    )
+    rows = []
+    labels = [
+        (0, "input", "n0"),
+        (1, "min_tokens_10", "n1"),
+        (2, "+min_chars_80", "n2"),
+        (3, "+long_token_ratio_50", "n3"),
+    ]
+    for no, label, col in labels:
+        rate = (
+            F.lit(1.0)
+            if no == 0
+            else F.round(F.col(col) * F.lit(1.0) / F.col("n0"), 4)
+        )
+        rows.append(
+            agg.select(
+                F.lit(no).alias("gate_no"),
+                F.lit(label).alias("gate"),
+                F.col(col).alias("n_pass"),
+                rate.alias("pass_rate"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -988,3 +988,35 @@ def test_prefix_dim_eval_bounds(spark):
     for r in rows:
         assert 0 <= r.n_overlap <= _TOP_K
         assert abs(getattr(r, f"recall_at_{_TOP_K}") - r.n_overlap / _TOP_K) < 5e-4
+
+
+def test_quality_funnel_monotone(spark):
+    """Gate survivors never increase down the funnel; stage 0 equals the
+    corpus size; pass rates recompose."""
+    import duckdb
+
+    rows = sorted(
+        registry.QUERIES["pipeline_quality_gate_funnel"](spark, SF_DIR).collect(),
+        key=lambda r: r.gate_no,
+    )
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    assert rows[0].n_pass == n_docs and rows[0].pass_rate == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_pass <= a.n_pass
+        assert abs(b.pass_rate - b.n_pass / n_docs) < 5e-4
+
+
+def test_stickiness_bounds(spark):
+    """DAU ≤ WAU always, so stickiness sits in (0, 1]; the first active
+    day has DAU == WAU (window has only itself)."""
+    rows = sorted(
+        registry.QUERIES["events_stickiness_dau_wau"](spark, SF_DIR).collect(),
+        key=lambda r: r.day_no,
+    )
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau
+        assert 0 < r.stickiness <= 1.0
+    assert rows[0].dau == rows[0].wau

@@ -493,3 +493,12 @@ def test_snapshot_diff_shuffles_hashes_not_text(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
         assert "text" not in m.group(0), m.group(0)
+
+
+def test_stickiness_band_join_is_bucketized_equi(spark):
+    """The trailing-week WAU join must be an equi-join on the 7-wide
+    bucket (hash/broadcast-hash), never a nested-loop over the day band."""
+    df = registry.QUERIES["events_stickiness_dau_wau"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
