@@ -614,3 +614,48 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "stream_windowed_dau",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)                    AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM ev
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM ev)
+    GROUP BY 1, 2
+    """,
+)
+def stream_windowed_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct users per hour — the streaming form of a DAU
+    rollup. Streaming aggregations cannot nest COUNT(DISTINCT) (it is a
+    second aggregation), so the query uses the two-operator rewrite:
+    watermarked `dropDuplicates(["user_id", "window"])` (stateful dedup,
+    one row of state per (user, open window), evicted with the watermark)
+    followed by a plain windowed COUNT — the streaming twin of
+    `events_cumulative_uniques`' first-touch transform, and the shape a
+    production DAU stream actually deploys. Append mode: a window emits
+    exactly once when the watermark passes its end (same emission
+    contract, and the same closed-window oracle restriction, as
+    `stream_tumbling_counts_append`).
+
+    Scale notes: dedup state is (user × open windows) rows, bounded by
+    the watermark delay, NOT by history; the count's state is one row per
+    open window. Both operators shuffle on the same (window, user) →
+    (window) key chain per micro-batch with partial aggregation."""
+    ev = events_file_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "10 minutes")
+        .select("user_id", F.window("ts", "1 hour").alias("window"))
+        .dropDuplicates(["user_id", "window"])
+    )
+    agg = deduped.groupBy("window").agg(F.count(F.lit(1)).alias("dau"))
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+        "dau",
+    )
