@@ -566,9 +566,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_cluster_resolve",
-    oracle=f"""
+_CLUSTER_LABELS_CTE = f"""
     WITH RECURSIVE toks AS ({_TOKS_SQL}),
     sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -587,15 +585,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT e.b AS v, r.label FROM reach r JOIN edges e ON e.a = r.v),
     labels AS (SELECT v, min(label) AS cluster_id FROM reach GROUP BY v)
-    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
-           count(*)                   AS n_docs,
-           CAST(min(v) AS BIGINT)     AS min_doc,
-           CAST(max(v) AS BIGINT)     AS max_doc
-    FROM labels GROUP BY cluster_id
-    """,
-)
-def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster resolution: connected components over the near-dup
+"""
+
+
+def _resolve_duplicate_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc connected-component labels (v, label) — the converged
+    min-label frame `dedup_cluster_resolve` aggregates and
+    `pipeline_canonicalize_dedup` maps docs through; the loop below is
+    the shared engine.
+
+    Duplicate-cluster resolution: connected components over the near-dup
     pair graph (token-Jaccard ≥ 0.95 pairs from `dedup_ngram_jaccard`),
     labeling each document with the smallest doc_id reachable through any
     chain of near-duplicates — the transitive-closure post-pass every
@@ -705,10 +704,66 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"dedup_cluster_resolve failed to converge in 32 rounds "
             f"({changed} labels still changing)"
         )
+    return labels
+
+
+@register(
+    "dedup_cluster_resolve",
+    oracle=_CLUSTER_LABELS_CTE + """
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           count(*)                   AS n_docs,
+           CAST(min(v) AS BIGINT)     AS min_doc,
+           CAST(max(v) AS BIGINT)     AS max_doc
+    FROM labels GROUP BY cluster_id
+    """,
+)
+def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster rollup of the converged component labels — see
+    `_resolve_duplicate_labels` for the BSP min-label + pointer-jumping
+    engine and its scale notes."""
+    labels = _resolve_duplicate_labels(spark, sf_dir)
     return labels.groupBy(F.col("label").cast("bigint").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("v").cast("bigint").alias("min_doc"),
         F.max("v").cast("bigint").alias("max_doc"),
+    )
+
+
+@register(
+    "pipeline_canonicalize_dedup",
+    oracle=_CLUSTER_LABELS_CTE + """
+    SELECT CAST(l.v AS BIGINT)          AS doc_id,
+           CAST(l.cluster_id AS BIGINT) AS canonical_id,
+           CAST(d.n_chars AS BIGINT)    AS chars_removed
+    FROM labels l JOIN documents d ON l.v = d.doc_id
+    WHERE l.v != l.cluster_id
+    """,
+)
+def pipeline_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization — the END STEP of the dedup funnel: every
+    document transitively linked (token-Jaccard ≥ 0.95 chains) to a
+    smaller doc_id is mapped to that cluster's canonical (minimum) doc and
+    marked for removal, with its character count as the bytes the cleaned
+    corpus sheds. Downstream, `corpus' = corpus ANTI JOIN this frame` —
+    keep-one-per-cluster, the rule C4/RefinedWeb-style pipelines apply
+    after MinHash clustering (pairwise drop rules either over-delete
+    (both sides of every pair) or under-delete (miss transitive dupes);
+    only the component view deletes exactly |cluster|-1 docs per cluster).
+
+    Plan shape: reuses `_resolve_duplicate_labels` (one Jaccard
+    candidate join + O(log diameter) label rounds); the final map is one
+    join of the |dup docs| label frame against the narrow (doc_id,
+    n_chars) projection — text never moves."""
+    labels = _resolve_duplicate_labels(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        labels.filter(F.col("v") != F.col("label"))
+        .join(d.select("doc_id", "n_chars"), F.col("v") == F.col("doc_id"))
+        .select(
+            F.col("v").cast("bigint").alias("doc_id"),
+            F.col("label").cast("bigint").alias("canonical_id"),
+            F.col("n_chars").cast("bigint").alias("chars_removed"),
+        )
     )
 
 

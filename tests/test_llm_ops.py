@@ -1020,3 +1020,16 @@ def test_stickiness_bounds(spark):
         assert r.dau <= r.wau
         assert 0 < r.stickiness <= 1.0
     assert rows[0].dau == rows[0].wau
+
+
+def test_canonicalize_consistent_with_clusters(spark):
+    """Removed docs = Σ (cluster size - 1); canonical ids are cluster
+    minima; no doc maps to itself."""
+    clusters = registry.QUERIES["dedup_cluster_resolve"](spark, SF_DIR).collect()
+    removed = registry.QUERIES["pipeline_canonicalize_dedup"](spark, SF_DIR).collect()
+    assert len(removed) == sum(c.n_docs - 1 for c in clusters)
+    minima = {c.cluster_id for c in clusters}
+    for r in removed:
+        assert r.doc_id != r.canonical_id
+        assert r.canonical_id in minima
+        assert r.chars_removed > 0
