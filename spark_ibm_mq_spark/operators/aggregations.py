@@ -732,3 +732,70 @@ def agg_welch_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("welch_df"),
         )
     )
+
+
+@register(
+    "agg_pareto_revenue_deciles",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue
+        FROM orders GROUP BY 1
+    ),
+    tiled AS (
+        SELECT *, ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+        FROM cust
+    ),
+    tot AS (SELECT round(sum(revenue), 4) AS total FROM cust)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(revenue), 4) AS revenue,
+           round(round(sum(revenue), 4) / tot.total, 4) AS share,
+           round(sum(round(sum(revenue), 4)) OVER (ORDER BY decile)
+                 / tot.total, 4) AS cum_share
+    FROM tiled CROSS JOIN tot
+    GROUP BY decile, tot.total
+    """,
+)
+def agg_pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by customer decile — the Pareto (80/20)
+    report: customers ranked by spend into ntile(10) deciles, each
+    decile's revenue share and the running cumulative share (decile 1's
+    cum_share answers "what fraction do the top 10% carry"). The
+    concentration read that drives account tiering — and, in a data
+    pipeline, the same query over per-source token counts decides
+    whether a corpus is dangerously dominated by a few sources.
+
+    Determinism: per-customer revenue is rounded before ranking (ties
+    then break on o_custkey), shares divide rounded sums, and the
+    cumulative share sums in the window's decile order — identical
+    sequences both engines.
+
+    Plan shape: one groupBy to |customers| rows, a global ntile over the
+    metric frame (o_custkey tie-broken; swap for percentile-derived
+    boundaries at extreme cardinality), a 1-row total broadcast, and a
+    10-row windowed rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue")
+    )
+    tiled = cust.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("revenue").desc(), "o_custkey")),
+    )
+    tot = cust.agg(F.round(F.sum("revenue"), 4).alias("total"))
+    per = (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("revenue"), 4).alias("revenue"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    w = Window.orderBy("decile")
+    return per.select(
+        "decile",
+        "n_customers",
+        "revenue",
+        F.round(F.col("revenue") / F.col("total"), 4).alias("share"),
+        F.round(F.sum("revenue").over(w) / F.col("total"), 4).alias("cum_share"),
+    )

@@ -1004,3 +1004,112 @@ def pipeline_quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+@register(
+    "pipeline_token_budget_allocator",
+    oracle="""
+    WITH src AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS tokens
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(tokens) AS BIGINT) AS total,
+               CAST(sum(tokens) // 2 AS BIGINT) AS budget,
+               CAST(count(*) AS BIGINT) AS n_src
+        FROM src
+    ),
+    laid AS (
+        SELECT s.source, s.tokens, tot.budget, tot.n_src,
+               row_number() OVER (ORDER BY s.tokens, s.source) AS rn,
+               coalesce(sum(s.tokens) OVER (
+                   ORDER BY s.tokens, s.source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM src s CROSS JOIN tot
+    ),
+    thr AS (
+        SELECT *,
+               (budget - cum_before) * 1.0 / (n_src - rn + 1) AS thr
+        FROM laid
+    ),
+    cap AS (SELECT min_by(thr, rn) AS cap FROM thr WHERE tokens > thr)
+    SELECT t.source, t.tokens,
+           CAST(CASE WHEN cap.cap IS NULL OR t.tokens <= cap.cap
+                     THEN t.tokens ELSE floor(cap.cap) END AS BIGINT) AS quota,
+           round(CAST(CASE WHEN cap.cap IS NULL OR t.tokens <= cap.cap
+                           THEN t.tokens ELSE floor(cap.cap) END AS BIGINT)
+                 * 1.0 / t.tokens, 4) AS keep_ratio
+    FROM thr t CROSS JOIN cap
+    """,
+)
+def pipeline_token_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources: given a
+    global budget (half the corpus here), every source keeps all its
+    tokens until the fair cap, and sources above the cap are clipped TO
+    the cap — the max-min-fair quota rule a training-mix builder applies
+    so small sources survive whole while the dominant crawl absorbs the
+    entire cut. The cap is found in CLOSED FORM, no iteration: sort
+    sources ascending, and at each prefix compute the candidate cap
+    (remaining budget / remaining sources); the binding cap is the
+    smallest candidate that its own source exceeds (NULL when the budget
+    covers everything — then every quota is the full count).
+
+    Determinism: token counts, cumulative sums, and the floored final
+    quota are integers; the cap comparison uses the identical division
+    tree in both engines.
+
+    Plan shape: per-source token counts are one map-side-combinable
+    groupBy (|sources| rows — metadata scale); everything after runs on
+    that tiny frame: one ordered window pass, a 1-row cap reduction, and
+    a row-local clip."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).alias("tokens")
+    )
+    tot = src.agg(
+        F.sum("tokens").alias("total"),
+        F.expr("sum(tokens) div 2").alias("budget"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    w_ord = Window.orderBy("tokens", "source")
+    laid = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("tokens").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    thr = laid.withColumn(
+        "thr",
+        (F.col("budget") - F.col("cum_before"))
+        * F.lit(1.0)
+        / (F.col("n_src") - F.col("rn") + 1),
+    )
+    # the binding cap is the candidate at the FIRST (smallest-rn)
+    # violation: prefix sources keep full counts, so later candidates'
+    # cum_before assumptions no longer hold (and can go negative)
+    cap = thr.filter(F.col("tokens") > F.col("thr")).agg(
+        F.min_by("thr", "rn").alias("cap")
+    )
+    quota = F.when(
+        F.col("cap").isNull() | (F.col("tokens") <= F.col("cap")),
+        F.col("tokens"),
+    ).otherwise(F.floor(F.col("cap"))).cast("bigint")
+    return (
+        thr.crossJoin(F.broadcast(cap))
+        .select(
+            "source",
+            "tokens",
+            quota.alias("quota"),
+            F.round(quota * F.lit(1.0) / F.col("tokens"), 4).alias("keep_ratio"),
+        )
+    )

@@ -1033,3 +1033,32 @@ def test_canonicalize_consistent_with_clusters(spark):
         assert r.doc_id != r.canonical_id
         assert r.canonical_id in minima
         assert r.chars_removed > 0
+
+
+def test_token_allocator_water_fills(spark):
+    """Quotas sum to ≈ the half-corpus budget (within |sources| floor
+    slack), small sources keep everything (keep_ratio 1.0), clipped
+    sources share one common cap."""
+    rows = registry.QUERIES["pipeline_token_budget_allocator"](spark, SF_DIR).collect()
+    total = sum(r.tokens for r in rows)
+    budget = total // 2
+    quota_sum = sum(r.quota for r in rows)
+    assert budget - len(rows) <= quota_sum <= budget
+    clipped = {r.quota for r in rows if r.quota < r.tokens}
+    assert len(clipped) <= 1  # every clipped source hits the same cap
+    for r in rows:
+        assert r.quota <= r.tokens
+
+
+def test_pareto_deciles_concentrate(spark):
+    """Shares fall as deciles worsen (desc rank ordering), cum_share ends
+    at ~1.0, counts balanced within 1."""
+    rows = sorted(
+        registry.QUERIES["agg_pareto_revenue_deciles"](spark, SF_DIR).collect(),
+        key=lambda r: r.decile,
+    )
+    assert len(rows) == 10
+    for a, b in zip(rows, rows[1:]):
+        assert a.revenue >= b.revenue
+        assert b.cum_share >= a.cum_share
+    assert abs(rows[-1].cum_share - 1.0) < 5e-3
