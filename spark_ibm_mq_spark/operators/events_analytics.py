@@ -798,3 +798,166 @@ def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau") * F.lit(1.0) / F.col("wau"), 4).alias("stickiness"),
     )
+
+
+@register(
+    "events_error_budget_burn",
+    oracle=f"""
+    {EVENTS_CTE},
+    hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+                   AS n_err
+        FROM ev GROUP BY 1
+    ),
+    rated AS (
+        SELECT hr, n, n_err,
+               round(n_err * 1.0 / n, 4) AS err_rate,
+               round((n_err * 1.0 / n) / 0.25, 4) AS burn_1h
+        FROM hourly
+    )
+    SELECT hr, n, n_err, err_rate, burn_1h,
+           round(sum(n_err) OVER w6 * 1.0 / sum(n) OVER w6 / 0.25, 4)
+               AS burn_6h,
+           CASE WHEN burn_1h > 1
+                 AND sum(n_err) OVER w6 * 1.0 / sum(n) OVER w6 / 0.25 > 1
+                THEN 1 ELSE 0 END AS alert
+    FROM rated
+    WINDOW w6 AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn rate (the SRE multiwindow alert): hourly
+    error share against a 75% success objective, expressed as burn =
+    err_rate / (1 − SLO) — burn 1.0 spends the budget exactly on
+    schedule — plus the trailing-6-hour average, alerting only when BOTH
+    the fast and slow windows burn hot (the multiwindow rule that
+    suppresses one-hour blips without missing sustained burns).
+
+    Determinism: the hourly rate is rounded before the burn division,
+    and the 6-hour burn is VOLUME-WEIGHTED — integer error/total sums
+    over the ROWS frame (exact in any order), one division chain — so
+    both windows are bit-exact across engines (a mean of rounded
+    per-hour burns sits one ulp from a round-4 boundary; integer window
+    sums cannot).
+
+    Plan shape: one conditional-count rollup to |hours| rows, then a
+    frame-bounded window over that metric frame — metadata scale at any
+    event volume, same posture as `win_ewma_hourly`."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+    )
+    rated = hourly.select(
+        "hr",
+        "n",
+        "n_err",
+        F.round(F.col("n_err") * F.lit(1.0) / F.col("n"), 4).alias("err_rate"),
+        F.round((F.col("n_err") * F.lit(1.0) / F.col("n")) / F.lit(0.25), 4).alias(
+            "burn_1h"
+        ),
+    )
+    w6 = Window.orderBy("hr").rowsBetween(-5, Window.currentRow)
+    burn6 = (
+        F.sum("n_err").over(w6) * F.lit(1.0) / F.sum("n").over(w6) / F.lit(0.25)
+    )
+    return rated.select(
+        "hr",
+        "n",
+        "n_err",
+        "err_rate",
+        "burn_1h",
+        F.round(burn6, 4).alias("burn_6h"),
+        F.when((F.col("burn_1h") > 1) & (burn6 > 1), 1).otherwise(0).alias("alert"),
+    )
+
+
+@register(
+    "events_queue_backlog",
+    oracle=f"""
+    {EVENTS_CTE},
+    bounds AS (
+        SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+               CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+        FROM ev
+    ),
+    spine AS (
+        SELECT CAST(g.g AS TIMESTAMP) AS hr,
+               row_number() OVER (ORDER BY g.g) AS t
+        FROM bounds b, LATERAL unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(g)
+    ),
+    arrivals AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(count(*) AS BIGINT) AS n_in
+        FROM ev GROUP BY 1
+    ),
+    rate AS (
+        SELECT CAST(CAST(sum(n_in) AS BIGINT) // (SELECT count(*) FROM spine)
+                    + 1 AS BIGINT) AS r
+        FROM arrivals
+    ),
+    laid AS (
+        SELECT s.hr, s.t, coalesce(a.n_in, 0) AS n_in, rate.r,
+               sum(coalesce(a.n_in, 0)) OVER (ORDER BY s.t) AS cum_in
+        FROM spine s LEFT JOIN arrivals a ON s.hr = a.hr CROSS JOIN rate
+    )
+    SELECT hr, n_in, r AS svc_rate,
+           CAST(cum_in - r * t
+                - least(0, min(cum_in - r * t) OVER (ORDER BY t))
+                AS BIGINT) AS backlog
+    FROM laid
+    """,
+)
+def events_queue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact queue-backlog projection — the capacity-planning question
+    for the MQ consumer this engine fronts ("with a server draining R
+    msgs/hour, how deep does the queue get?"): hourly arrivals against a
+    fixed integer service rate (mean arrival rate + 1), evolved by the
+    Lindley recursion B_t = max(0, B_{t−1} + in_t − R). The recursion is
+    not directly windowable, but its closed form IS:
+    B_t = (S_t − R·t) − min_{j≤t}(S_j − R·j) with the virtual j=0 term
+    folded in as least(0, ·) — one running-min window over cumulative
+    arrivals, no iteration, and ALL-INTEGER arithmetic (bit-exact).
+
+    Plan shape: hour spine + one rollup (as `events_hourly_gap_fill`),
+    then two ordered windows over |hours| rows — metadata scale; the
+    1-row service-rate frame rides as a broadcast."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n_in"))
+    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    ).withColumn("t", F.row_number().over(Window.orderBy("hr")))
+    n_hours = spine.agg(F.count(F.lit(1)).alias("n_hours"))
+    rate = (
+        hourly.agg(F.sum("n_in").alias("total"))
+        .crossJoin(F.broadcast(n_hours))
+        .select((F.expr("total div n_hours") + 1).alias("r"))
+    )
+    laid = (
+        spine.join(hourly, "hr", "left")
+        .select("hr", "t", F.coalesce(F.col("n_in"), F.lit(0)).alias("n_in"))
+        .crossJoin(F.broadcast(rate))
+        .withColumn(
+            "cum_in",
+            F.sum("n_in").over(
+                Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    drift = F.col("cum_in") - F.col("r") * F.col("t")
+    run_min = F.min(drift).over(
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return laid.select(
+        "hr",
+        "n_in",
+        F.col("r").alias("svc_rate"),
+        (drift - F.least(F.lit(0), run_min)).cast("bigint").alias("backlog"),
+    )

@@ -1062,3 +1062,31 @@ def test_pareto_deciles_concentrate(spark):
         assert a.revenue >= b.revenue
         assert b.cum_share >= a.cum_share
     assert abs(rows[-1].cum_share - 1.0) < 5e-3
+
+
+def test_queue_backlog_matches_lindley_recursion(spark):
+    """The prefix-min closed form must equal the direct Lindley recursion
+    B_t = max(0, B_{t-1} + in_t - R) replayed in Python."""
+    rows = sorted(
+        registry.QUERIES["events_queue_backlog"](spark, SF_DIR).collect(),
+        key=lambda r: r.hr,
+    )
+    b = 0
+    for r in rows:
+        b = max(0, b + r.n_in - r.svc_rate)
+        assert r.backlog == b, (r.hr, r.backlog, b)
+
+
+def test_error_budget_burn_recomposes(spark):
+    """burn_1h = err_rate / 0.25; the 6h burn is the volume-weighted rate
+    of the trailing frame; alert only when both windows exceed 1."""
+    rows = sorted(
+        registry.QUERIES["events_error_budget_burn"](spark, SF_DIR).collect(),
+        key=lambda r: r.hr,
+    )
+    for i, r in enumerate(rows):
+        assert abs(r.burn_1h - r.err_rate / 0.25) < 5e-4
+        frame = rows[max(0, i - 5) : i + 1]
+        vw = sum(x.n_err for x in frame) / sum(x.n for x in frame) / 0.25
+        assert abs(r.burn_6h - vw) < 5e-4
+        assert r.alert == (1 if (r.burn_1h > 1 and vw > 1) else 0)
