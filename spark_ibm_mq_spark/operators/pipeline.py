@@ -1113,3 +1113,98 @@ def pipeline_token_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(quota * F.lit(1.0) / F.col("tokens"), 4).alias("keep_ratio"),
         )
     )
+
+
+@register(
+    "pipeline_schema_drift_report",
+    oracle="""
+    WITH a AS (SELECT * FROM events WHERE event_id % 2 = 0),
+    b AS (SELECT * FROM events WHERE event_id % 2 = 1),
+    m AS (
+        SELECT 'user_id' AS column_name,
+               (SELECT CAST(count(user_id) AS BIGINT) FROM a) AS n_a,
+               (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM a) AS distinct_a,
+               (SELECT CAST(count(user_id) AS BIGINT) FROM b) AS n_b,
+               (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM b) AS distinct_b
+        UNION ALL
+        SELECT 'event_type',
+               (SELECT CAST(count(event_type) AS BIGINT) FROM a),
+               (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM a),
+               (SELECT CAST(count(event_type) AS BIGINT) FROM b),
+               (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM b)
+        UNION ALL
+        SELECT 'value',
+               (SELECT CAST(count(value) AS BIGINT) FROM a),
+               (SELECT CAST(count(DISTINCT value) AS BIGINT) FROM a),
+               (SELECT CAST(count(value) AS BIGINT) FROM b),
+               (SELECT CAST(count(DISTINCT value) AS BIGINT) FROM b)
+    )
+    SELECT column_name, n_a, distinct_a, n_b, distinct_b,
+           round(abs(distinct_a - distinct_b) * 1.0
+                 / greatest(distinct_a, distinct_b), 4) AS distinct_drift,
+           CASE WHEN abs(distinct_a - distinct_b) * 1.0
+                     / greatest(distinct_a, distinct_b) > 0.1
+                THEN 1 ELSE 0 END AS drift_flag
+    FROM m
+    """,
+)
+def pipeline_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile drift between two dataset versions — the
+    data-contract monitor every scheduled pipeline runs before promoting
+    a batch: non-null and distinct cardinalities per column on each side
+    (deterministic interleaved halves stand in for yesterday/today), the
+    relative distinct-count drift, and a flag past 10%. A column whose
+    cardinality halves overnight (an upstream enum collapse, a join gone
+    one-to-many) fails the contract HERE, not three stages later in a
+    training job.
+
+    Plan shape: each side is profiled in ONE pass — a single aggregate
+    computes every column's count + approx-free distinct via grouping
+    the per-column aggregates together (two scans total, one per side,
+    each map-side combinable); the comparison frame is |columns| rows.
+    At 100 TB widen with `approx_count_distinct` per column (one pass,
+    mergeable sketches) — the report shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def profile(side_filter, suffix):
+        side = ev.filter(side_filter)
+        agg = side.agg(
+            F.count("user_id").alias(f"n_user_id"),
+            F.countDistinct("user_id").alias(f"d_user_id"),
+            F.count("event_type").alias(f"n_event_type"),
+            F.countDistinct("event_type").alias(f"d_event_type"),
+            F.count("value").alias(f"n_value"),
+            F.countDistinct("value").alias(f"d_value"),
+        )
+        return agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column_name"),
+                            F.col(f"n_{c}").alias(f"n_{suffix}"),
+                            F.col(f"d_{c}").alias(f"distinct_{suffix}"),
+                        )
+                        for c in ("user_id", "event_type", "value")
+                    ]
+                )
+            ).alias("p")
+        ).select("p.*")
+
+    a = profile(F.col("event_id") % 2 == 0, "a")
+    b = profile(F.col("event_id") % 2 == 1, "b")
+    drift = F.abs(F.col("distinct_a") - F.col("distinct_b")) * F.lit(1.0) / F.greatest(
+        F.col("distinct_a"), F.col("distinct_b")
+    )
+    return (
+        a.join(b, "column_name")
+        .select(
+            "column_name",
+            "n_a",
+            "distinct_a",
+            "n_b",
+            "distinct_b",
+            F.round(drift, 4).alias("distinct_drift"),
+            F.when(drift > 0.1, 1).otherwise(0).alias("drift_flag"),
+        )
+    )

@@ -1090,3 +1090,21 @@ def test_error_budget_burn_recomposes(spark):
         vw = sum(x.n_err for x in frame) / sum(x.n for x in frame) / 0.25
         assert abs(r.burn_6h - vw) < 5e-4
         assert r.alert == (1 if (r.burn_1h > 1 and vw > 1) else 0)
+
+
+def test_schema_drift_profiles_both_halves(spark):
+    """Half sizes sum to the table size per column; drift recomposes from
+    the two distinct counts; event_type has full overlap (no drift)."""
+    import duckdb
+
+    rows = {r.column_name: r for r in registry.QUERIES["pipeline_schema_drift_report"](spark, SF_DIR).collect()}
+    total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    assert set(rows) == {"user_id", "event_type", "value"}
+    for r in rows.values():
+        assert r.n_a + r.n_b == total
+        expect = abs(r.distinct_a - r.distinct_b) / max(r.distinct_a, r.distinct_b)
+        assert abs(r.distinct_drift - expect) < 5e-4
+        assert r.drift_flag == (1 if expect > 0.1 else 0)
+    assert rows["event_type"].drift_flag == 0
