@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import load_table
+from spark_ibm_mq_spark.tables import load_table, size_gated_broadcast
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,4 +960,82 @@ def events_queue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_in",
         F.col("r").alias("svc_rate"),
         (drift - F.least(F.lit(0), run_min)).cast("bigint").alias("backlog"),
+    )
+
+
+@register(
+    "events_behavior_entropy",
+    oracle=f"""
+    {EVENTS_CTE},
+    per_user AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY 1
+    ),
+    seg AS (
+        SELECT user_id,
+               CASE WHEN n_events >= 120 THEN 'heavy'
+                    WHEN n_events >= 80  THEN 'mid'
+                    ELSE 'light' END AS segment
+        FROM per_user
+    ),
+    mix AS (
+        SELECT s.segment, e.event_type, CAST(count(*) AS BIGINT) AS n
+        FROM ev e JOIN seg s ON e.user_id = s.user_id
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT segment, CAST(sum(n) AS BIGINT) AS t FROM mix GROUP BY 1)
+    SELECT m.segment,
+           CAST(count(*) AS BIGINT) AS n_types,
+           t.t AS n_events,
+           round(-sum((m.n * 1.0 / t.t) * ln(m.n * 1.0 / t.t)), 4)
+               AS mix_entropy
+    FROM mix m JOIN tot t ON m.segment = t.segment
+    GROUP BY m.segment, t.t
+    """,
+)
+def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-mix entropy per activity segment: users bucketed by
+    volume (heavy/mid/light), each segment's event-type distribution
+    reduced to its Shannon entropy — the one-number answer to "do heavy
+    users DO different things or just more of the same" (max-entropy
+    ln 5 ≈ 1.609 = perfectly even mix; near 0 = single-action users).
+    The same reduction over (source, token-class) frames scores corpus
+    diversity in a data pipeline.
+
+    ln follows the `text_char_entropy` round-4 precedent; the p·ln p
+    terms sum per segment over ≤|event types| rows.
+
+    Plan shape: a per-user count (|users| rows), a broadcast-size
+    segment map joined back on user_id (AQE reuses the count's
+    partitioning), one (segment, type) rollup, and a |segments|-row
+    entropy fold."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    seg = per_user.select(
+        "user_id",
+        F.when(F.col("n_events") >= 120, "heavy")
+        .when(F.col("n_events") >= 80, "mid")
+        .otherwise("light")
+        .alias("segment"),
+    )
+    mix = (
+        ev.join(size_gated_broadcast(seg), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = mix.groupBy("segment").agg(F.sum("n").alias("t"))
+    p = F.col("n") * F.lit(1.0) / F.col("t")
+    return (
+        mix.join(tot, "segment")
+        .groupBy("segment", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("mix_entropy"),
+        )
+        .select(
+            "segment",
+            "n_types",
+            F.col("t").alias("n_events"),
+            "mix_entropy",
+        )
     )

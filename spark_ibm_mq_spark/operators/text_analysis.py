@@ -694,3 +694,51 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+        SELECT source, doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    freq AS (
+        SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS hapax_ratio
+    FROM freq GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena profile per source: vocabulary size, tokens that
+    occur exactly once, and their share of the vocabulary — the
+    lexical-freshness statistic corpus linguists (and tokenizer builders)
+    read first: a natural-text source runs ~40–60% hapax; near-zero
+    means templated/boilerplate text, near-one means OCR noise or
+    junk — either way a routing signal BEFORE expensive dedup.
+
+    Plan shape: one explode → one (source, token) count with map-side
+    combine → a |sources|×|vocab| frame reduced to |sources| rows; all
+    integer arithmetic except the final rounded ratio. At open-vocab
+    scale the per-source frame is the same vocabulary aggregate the LM
+    scoring passes already build — share it."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select(
+        "source", F.explode(tokens("text")).alias("t")
+    )
+    freq = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return freq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        hapax.alias("n_hapax"),
+        F.sum("c").alias("n_tokens"),
+        F.round(hapax * F.lit(1.0) / F.count(F.lit(1)), 4).alias("hapax_ratio"),
+    )

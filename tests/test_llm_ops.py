@@ -1108,3 +1108,34 @@ def test_schema_drift_profiles_both_halves(spark):
         assert abs(r.distinct_drift - expect) < 5e-4
         assert r.drift_flag == (1 if expect > 0.1 else 0)
     assert rows["event_type"].drift_flag == 0
+
+
+def test_behavior_entropy_bounds(spark):
+    """Entropy lands in [0, ln(n_types)]; event totals partition the
+    table."""
+    import duckdb
+    import math
+
+    rows = registry.QUERIES["events_behavior_entropy"](spark, SF_DIR).collect()
+    total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_events for r in rows) == total
+    for r in rows:
+        assert 0 <= r.mix_entropy <= math.log(r.n_types) + 5e-4
+
+
+def test_hapax_ratio_recomposes(spark):
+    """hapax ≤ vocab ≤ tokens; ratio recomposes; per-source token totals
+    partition the corpus token count."""
+    import duckdb
+
+    rows = registry.QUERIES["text_hapax_ratio"](spark, SF_DIR).collect()
+    total = duckdb.sql(
+        f"""SELECT sum(len(string_split_regex(trim(text), '\\s+')))
+            FROM read_parquet('{SF_DIR}/documents.parquet')"""
+    ).fetchone()[0]
+    assert sum(r.n_tokens for r in rows) == total
+    for r in rows:
+        assert r.n_hapax <= r.vocab_size <= r.n_tokens
+        assert abs(r.hapax_ratio - r.n_hapax / r.vocab_size) < 5e-4
