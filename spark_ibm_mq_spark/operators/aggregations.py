@@ -799,3 +799,67 @@ def agg_pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") / F.col("total"), 4).alias("share"),
         F.round(F.sum("revenue").over(w) / F.col("total"), 4).alias("cum_share"),
     )
+
+
+@register(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT revenue,
+               row_number() OVER (ORDER BY revenue, o_custkey) AS rk
+        FROM cust
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(revenue) AS total,
+               sum(rk * revenue) AS weighted
+        FROM ranked
+    )
+    SELECT n, round(total, 4) AS total_revenue,
+           round(2.0 * weighted / (n * total) - (n + 1.0) / n, 4) AS gini
+    FROM agg
+    """,
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer revenue — the single-number
+    inequality metric behind the `agg_pareto_revenue_deciles` curve,
+    via the rank formula G = 2·Σ(i·x₍ᵢ₎)/(n·Σx) − (n+1)/n over
+    ascending-sorted revenues (0 = perfectly equal, →1 = one customer
+    carries everything). Over per-source token counts, the same number
+    says how dangerously a corpus concentrates into few sources.
+
+    Determinism: per-customer revenue is rounded before ranking (ties
+    break on custkey), the rank weight i is an exact integer, and the
+    final expression is one identical tree both engines. The rank·value
+    sums run over doubles in engine order — absorbed by round(4) on a
+    O(1)-magnitude statistic.
+
+    Plan shape: one |customers|-row rollup, one global rank window over
+    the metric frame (custkey tie-broken; at extreme cardinality derive
+    ranks from percentile boundaries), one 1-row reduction."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue")
+    )
+    ranked = cust.select(
+        "revenue",
+        F.row_number().over(Window.orderBy("revenue", "o_custkey")).alias("rk"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("revenue").alias("total"),
+        F.sum(F.col("rk") * F.col("revenue")).alias("weighted"),
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("total"), 4).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.col("weighted") / (F.col("n") * F.col("total"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            4,
+        ).alias("gini"),
+    )

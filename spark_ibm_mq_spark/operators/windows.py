@@ -492,3 +492,76 @@ def win_weekly_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prev, 4).alias("prev_revenue"),
         F.round((F.col("revenue") - prev) / prev * 100, 4).alias("wow_pct"),
     )
+
+
+@register(
+    "win_activity_streaks",
+    oracle=f"""
+    {EVENTS_CTE},
+    ud AS (
+        SELECT DISTINCT user_id,
+               CAST(ts AS DATE) - DATE '1970-01-01' AS day_no
+        FROM ev
+    ),
+    islands AS (
+        SELECT user_id, day_no,
+               day_no - row_number() OVER (
+                   PARTITION BY user_id ORDER BY day_no) AS island
+        FROM ud
+    ),
+    streaks AS (
+        SELECT user_id, island,
+               CAST(count(*) AS BIGINT) AS len,
+               min(day_no) AS start_day
+        FROM islands GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT user_id, start_day,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, start_day) AS rk
+        FROM streaks
+    )
+    SELECT s.user_id,
+           CAST(max(s.len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(any_value(b.start_day) AS BIGINT) AS best_streak_start
+    FROM streaks s
+    JOIN (SELECT user_id, start_day FROM best WHERE rk = 1) b
+      ON s.user_id = b.user_id
+    GROUP BY s.user_id
+    """,
+)
+def win_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern: on the deduped (user, day) frame,
+    `day_no − row_number()` is constant exactly across consecutive runs,
+    so one window + one groupBy finds every streak with no self-join;
+    output is each user's longest streak, streak count, and the start
+    day of the best streak (earliest wins a length tie, via a composite
+    min_by ordinal — no second window pass).
+
+    All-integer arithmetic end to end — bit-exact.
+
+    Plan shape: distinct (user, day) first (the only event-volume
+    shuffle), then a user-partitioned window and two aggregates that
+    reuse the same user_id hash partitioning. |users|×|active days|
+    rows after the distinct — engagement-table scale, not event scale."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    day_no = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    ud = ev.select("user_id", day_no.alias("day_no")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_no")
+    islands = ud.withColumn(
+        "island", F.col("day_no") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day_no").alias("start_day"),
+    )
+    ordinal = F.struct((-F.col("len")).alias("neg"), F.col("start_day").alias("sd"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.min_by("start_day", ordinal).cast("bigint").alias("best_streak_start"),
+    )

@@ -1139,3 +1139,51 @@ def test_hapax_ratio_recomposes(spark):
     for r in rows:
         assert r.n_hapax <= r.vocab_size <= r.n_tokens
         assert abs(r.hapax_ratio - r.n_hapax / r.vocab_size) < 5e-4
+
+
+def test_gini_in_unit_interval_and_matches_python(spark):
+    """0 ≤ G < 1, and the rank formula replayed in Python agrees."""
+    import duckdb
+
+    (row,) = registry.QUERIES["agg_gini_coefficient"](spark, SF_DIR).collect()
+    rev = sorted(
+        (round(v, 4), k)
+        for k, v in duckdb.sql(
+            f"SELECT o_custkey, sum(o_totalprice) FROM read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    n = len(rev)
+    total = sum(v for v, _ in rev)
+    weighted = sum((i + 1) * v for i, (v, _) in enumerate(rev))
+    g = 2 * weighted / (n * total) - (n + 1) / n
+    assert 0 <= row.gini < 1
+    assert abs(row.gini - g) < 5e-4
+    assert row.n == n
+
+
+def test_streaks_replay_gaps_and_islands(spark):
+    """Python replay over the raw (user, day) sets: longest streak,
+    streak count, and best-start all agree."""
+    import duckdb
+
+    ud: dict = {}
+    for u, d in duckdb.sql(
+        f"""SELECT DISTINCT user_id, CAST(ts AS DATE) - DATE '1970-01-01'
+            FROM read_parquet('{SF_DIR}/events.parquet')"""
+    ).fetchall():
+        ud.setdefault(u, set()).add(d)
+    rows = {r.user_id: r for r in registry.QUERIES["win_activity_streaks"](spark, SF_DIR).collect()}
+    assert set(rows) == set(ud)
+    for u, days in ud.items():
+        runs = []
+        for d in sorted(days):
+            if runs and d == runs[-1][1] + 1:
+                runs[-1] = (runs[-1][0], d)
+            else:
+                runs.append((d, d))
+        lens = [(b - a + 1, a) for a, b in runs]
+        best = min(lens, key=lambda t: (-t[0], t[1]))
+        r = rows[u]
+        assert r.longest_streak == max(l for l, _ in lens)
+        assert r.n_streaks == len(lens)
+        assert r.best_streak_start == best[1]
