@@ -1039,3 +1039,99 @@ def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mix_entropy",
         )
     )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=f"""
+    {EVENTS_CTE},
+    marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                        > 1800000
+                     OR lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM ev
+    ),
+    sess AS (
+        SELECT user_id,
+               sum(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS sess_no,
+               ts
+        FROM marked
+    ),
+    intervals AS (
+        SELECT min(ts) AS t0, max(ts) + INTERVAL 30 MINUTE AS t1
+        FROM sess GROUP BY user_id, sess_no
+    ),
+    deltas AS (
+        SELECT t0 AS t, 1 AS d FROM intervals
+        UNION ALL
+        SELECT t1 AS t, -1 AS d FROM intervals
+    ),
+    walked AS (
+        SELECT t, d,
+               sum(d) OVER (ORDER BY t, d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS live
+        FROM deltas
+    )
+    SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+           CAST(max(live) AS BIGINT) AS peak_concurrent
+    FROM walked WHERE d = 1
+    GROUP BY 1
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity number a serving
+    fleet is sized to: sessionize each user's events (30-min inactivity
+    gap, session live until last event + 30 min), sweep a +1/−1 delta
+    line over all session starts/ends with a running sum, and take the
+    daily max of the live count AT START events (ends tie-sorted first
+    via d ascending at equal timestamps, so a back-to-back session
+    doesn't double-count itself).
+
+    All-integer counting over deterministic (t, d) order — bit-exact.
+
+    Plan shape: sessionization is the `win_sessionize_events` window
+    pair on user_id; the sweep is one ordered window over 2×|sessions|
+    delta rows — session-table scale, not event scale (range-partition
+    the sweep by day at years of history, carrying each partition's
+    opening balance, the `scale_compaction_plan` two-pass note)."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(wu))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_ms > 1800000, 1)
+        .when(F.lag("ts").over(wu).isNull(), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = marked.select(
+        "user_id",
+        F.sum("is_start")
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess_no"),
+        "ts",
+    )
+    intervals = sess.groupBy("user_id", "sess_no").agg(
+        F.min("ts").alias("t0"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t1"),
+    )
+    deltas = intervals.select(F.col("t0").alias("t"), F.lit(1).alias("d")).unionAll(
+        intervals.select(F.col("t1").alias("t"), F.lit(-1).alias("d"))
+    )
+    ws = Window.orderBy("t", "d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walked = deltas.withColumn("live", F.sum("d").over(ws))
+    return (
+        walked.filter(F.col("d") == 1)
+        .groupBy(F.date_trunc("day", "t").cast("timestamp_ntz").alias("day"))
+        .agg(F.max("live").alias("peak_concurrent"))
+    )

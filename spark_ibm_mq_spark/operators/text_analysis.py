@@ -742,3 +742,69 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_tokens"),
         F.round(hapax * F.lit(1.0) / F.count(F.lit(1)), 4).alias("hapax_ratio"),
     )
+
+
+@register(
+    "text_term_burstiness",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    stats AS (
+        SELECT t,
+               CAST(sum(c) AS BIGINT) AS total,
+               CAST(sum(c * c) AS BIGINT) AS total_sq,
+               CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY t
+    )
+    SELECT t AS term, total, df,
+           round(total * 1.0 / nd.n_docs, 4) AS mean_per_doc,
+           round((total_sq * 1.0 / nd.n_docs
+                  - (total * 1.0 / nd.n_docs) * (total * 1.0 / nd.n_docs))
+                 / (total * 1.0 / nd.n_docs), 4) AS dispersion
+    FROM stats CROSS JOIN nd
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness via the dispersion index (variance-to-mean ratio of
+    per-document counts, zeros included): ≈1 means Poisson-scattered
+    function words, ≫1 means the term CLUMPS into few documents — the
+    content-word signal keyword extractors weight and the duplicated-
+    boilerplate signal cleaning pipelines flag (a boilerplate phrase is
+    maximally bursty). Population moments come from integer sums over the
+    sparse (doc, term) frame — E[x] = total/N, E[x²] = Σc²/N — so
+    absent-document zeros cost nothing.
+
+    Determinism: total, Σc², df, and N are 64-bit integers; the
+    mean/variance/dispersion expression is one identical tree of
+    exactly-rounded doubles both engines, rounded once at the end.
+
+    Plan shape: one explode → one map-side-combined (doc, term) count →
+    one |vocab|-row moment aggregate; the doc-count scalar broadcasts.
+    Same single-shuffle posture as the LM-scoring passes."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select("doc_id", F.explode(tokens("text")).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = tf.groupBy("t").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("total_sq"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    mean = F.col("total") * F.lit(1.0) / F.col("n_docs")
+    disp = (F.col("total_sq") * F.lit(1.0) / F.col("n_docs") - mean * mean) / mean
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("t").alias("term"),
+            "total",
+            "df",
+            F.round(mean, 4).alias("mean_per_doc"),
+            F.round(disp, 4).alias("dispersion"),
+        )
+    )

@@ -1187,3 +1187,66 @@ def test_streaks_replay_gaps_and_islands(spark):
         assert r.longest_streak == max(l for l, _ in lens)
         assert r.n_streaks == len(lens)
         assert r.best_streak_start == best[1]
+
+
+def test_burstiness_function_words_near_poisson(spark):
+    """Dispersion ≥ 0 for every term; moments recompose from raw counts
+    for a spot-checked term."""
+    import duckdb
+    from collections import Counter
+
+    rows = {r.term: r for r in registry.QUERIES["text_term_burstiness"](spark, SF_DIR).collect()}
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    assert all(r.dispersion >= -5e-4 for r in rows.values())
+    term = max(rows, key=lambda t: rows[t].total)
+    counts = Counter()
+    for (doc,) in duckdb.sql(
+        f"""SELECT doc_id FROM (SELECT doc_id, unnest(string_split_regex(trim(text),'\\s+')) t
+            FROM read_parquet('{SF_DIR}/documents.parquet')) WHERE t = '{term}'"""
+    ).fetchall():
+        counts[doc] += 1
+    xs = list(counts.values()) + [0] * (n_docs - len(counts))
+    mean = sum(xs) / n_docs
+    var = sum(x * x for x in xs) / n_docs - mean * mean
+    assert abs(rows[term].dispersion - var / mean) < 5e-4
+
+
+def test_peak_concurrency_replay(spark):
+    """Python sweep-line replay over the same 30-min sessionization
+    agrees with the per-day peaks."""
+    import duckdb
+    from collections import defaultdict
+
+    evs = duckdb.sql(
+        f"""SELECT user_id, CAST(ts AS TIMESTAMP), event_id
+            FROM read_parquet('{SF_DIR}/events.parquet')
+            ORDER BY user_id, 2, 3"""
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, ts, eid in evs:
+        by_user[u].append(ts)
+    import datetime
+
+    gap = datetime.timedelta(minutes=30)
+    deltas = []
+    for u, tss in by_user.items():
+        start = prev = tss[0]
+        for ts in tss[1:]:
+            if ts - prev > gap:
+                deltas.append((start, prev + gap))
+                start = ts
+            prev = ts
+        deltas.append((start, prev + gap))
+    line = sorted(
+        [(t0, 1) for t0, _ in deltas] + [(t1, -1) for _, t1 in deltas]
+    )
+    live, peaks = 0, {}
+    for t, d in line:
+        live += d
+        if d == 1:
+            day = t.date()
+            peaks[day] = max(peaks.get(day, 0), live)
+    rows = {r.day.date(): r.peak_concurrent for r in registry.QUERIES["events_peak_concurrency"](spark, SF_DIR).collect()}
+    assert rows == peaks
