@@ -863,3 +863,62 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_ship_latency_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(CAST(l_shipdate AS DATE)
+                               - CAST(o_orderdate AS DATE), 0.5), 4)  AS p50_days,
+           round(quantile_cont(CAST(l_shipdate AS DATE)
+                               - CAST(o_orderdate AS DATE), 0.9), 4)  AS p90_days,
+           round(quantile_cont(CAST(l_shipdate AS DATE)
+                               - CAST(o_orderdate AS DATE), 0.99), 4) AS p99_days,
+           CAST(max(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE))
+                AS BIGINT) AS max_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA report per order priority: exact
+    interpolated p50/p90/p99 (and max) of days between order placement
+    and each line's ship date — the fulfillment-latency percentile table
+    operations teams track per service class, and the same
+    percentile-per-class shape as an MQ consumer's put-to-process
+    latency report over `put_ts`.
+
+    Latency is an integer day difference, so the only doubles are the
+    interpolated quantiles — exact-percentile semantics agree across
+    engines (`agg_percentiles` precedent), rounded once.
+
+    Plan shape: the orders side projects two columns and hash-joins on
+    the order key (broadcastable at fixture scale, shuffle join at
+    100 TB on the natural co-partitioned key — the bucketed-layout demo
+    covers that); one array-argument percentile aggregate buffers each
+    priority group once for all three quantiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    joined = li.join(
+        o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("o_orderpriority", lat.alias("lat_days"))
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.percentile("lat_days", F.lit([0.5, 0.9, 0.99])).alias("ps"),
+            F.max("lat_days").cast("bigint").alias("max_days"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            F.round(F.element_at("ps", 1), 4).alias("p50_days"),
+            F.round(F.element_at("ps", 2), 4).alias("p90_days"),
+            F.round(F.element_at("ps", 3), 4).alias("p99_days"),
+            "max_days",
+        )
+    )
