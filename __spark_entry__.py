@@ -54,7 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      join_cross_flags slips from the r3 rotation (still parity-swept at
 #      sf0.001 per commit) and the whole r4 set (distinct/set/sort
 #      families, sim_ann_lsh, streaming windows, tumbling, text_*,
-#      tpch_*, udf/udaf/udtf, win_*) rotates in r8. The twenty-two operators
+#      tpch_*, udf/udaf/udtf, win_*) rotates in r8. The twenty-three operators
 #      registered after this window filled (agg_mad_robust,
 #      text_lang_confusion, events_cumulative_uniques,
 #      win_weekly_pct_change, agg_welch_ab_test, sim_prefix_dim_eval,
@@ -65,7 +65,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      pipeline_schema_drift_report, events_behavior_entropy,
 #      text_hapax_ratio, agg_gini_coefficient, win_activity_streaks,
 #      text_term_burstiness, events_peak_concurrency,
-#      agg_ship_latency_percentiles) lead the r8 window.
+#      agg_ship_latency_percentiles, mq_scd2_point_in_time) lead the r8
+#      window.
 # Every displaced query keeps per-commit sf0.001 parity coverage in
 # tests/test_oracle_parity.py; all 50 below re-verified green this session
 # via scripts/driver_sim.py at sf0.01.

@@ -241,3 +241,70 @@ def mq_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         F.col("event_id").alias("change_seq"),
     )
+
+
+@register(
+    "mq_scd2_point_in_time",
+    oracle=f"""
+    {EVENTS_CTE},
+    scd2 AS (
+        SELECT user_id, event_type AS state, ts AS vf, event_id,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        FROM ev WHERE event_type <> 'purchase'
+    ),
+    p AS (
+        SELECT event_id AS p_id, user_id, ts
+        FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT p.p_id, p.user_id, s.state AS state_at_purchase,
+           s.event_id AS change_seq
+    FROM p LEFT JOIN scd2 s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.vf AND (s.vt IS NULL OR p.ts < s.vt)
+    """,
+)
+def mq_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 history — the READ
+    side of the replication contract `mq_scd2_history` builds: each fact
+    (purchase) is joined to the dimension state that was valid AT ITS
+    TIMESTAMP — [valid_from, valid_to) containment over the non-purchase
+    change stream — the as-of semantics every warehouse query against a
+    slowly-changing dimension needs (joining "current" state instead
+    silently rewrites history). Facts preceding any change keep a NULL
+    state (left-total).
+
+    The ORACLE states the interval-containment join; the Spark plan is
+    the union-interleave merge (`join_asof_click_before_purchase` shape):
+    changes and facts merge into one per-user sequence — changes sorting
+    before same-ts facts for the inclusive lower bound, later same-ts
+    changes superseding earlier (zero-width intervals) — and one
+    ignorenulls carry window lands the valid state on every fact row.
+    One user_id shuffle, O(n log n) per user, no interval pair blowup —
+    at 100 TB this is the only PIT formulation that never materializes
+    (fact × candidate-interval) candidates."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    change = F.when(
+        F.col("kind") == 0, F.struct("event_type", "event_id")
+    )
+    return (
+        merged.withColumn("last_change", F.last(change, ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.col("last_change.event_type").alias("state_at_purchase"),
+            F.col("last_change.event_id").alias("change_seq"),
+        )
+    )
