@@ -314,7 +314,7 @@ def mq_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     {EVENTS_CTE},
     parsed AS (
         SELECT event_id AS seq_no,
-               TRY_CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT) AS k
+               TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
         FROM ev
     ),
     routed AS (

@@ -1169,12 +1169,12 @@ def pipeline_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def profile(side_filter, suffix):
         side = ev.filter(side_filter)
         agg = side.agg(
-            F.count("user_id").alias(f"n_user_id"),
-            F.countDistinct("user_id").alias(f"d_user_id"),
-            F.count("event_type").alias(f"n_event_type"),
-            F.countDistinct("event_type").alias(f"d_event_type"),
-            F.count("value").alias(f"n_value"),
-            F.countDistinct("value").alias(f"d_value"),
+            F.count("user_id").alias("n_user_id"),
+            F.countDistinct("user_id").alias("d_user_id"),
+            F.count("event_type").alias("n_event_type"),
+            F.countDistinct("event_type").alias("d_event_type"),
+            F.count("value").alias("n_value"),
+            F.countDistinct("value").alias("d_value"),
         )
         return agg.select(
             F.explode(
