@@ -31,7 +31,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries() in
-# dict order.  Round-7 window, in priority order:
+# dict order.  Round-8 window, in priority order (VERDICT r7 tasks 1/2/7):
+# (a) the 23 queries registered after the r7 window filled — never
+#     driver-checked (judge-sim MATCH only); VERDICT r7 item 1 leads the
+#     window with them verbatim;
+# (b) operators NEW this round (CDC tombstone family onward) — never
+#     checked anywhere; never-checked outranks freshness rotation;
+# (c) join_cross_flags — the last r3-vintage driver row (VERDICT item 2);
+# (d) r4-vintage rotation: 23 of the 37 hash-checkable r4 rows (the
+#     rows-only sim_ann_lsh is excluded per VERDICT task 7 — its oracled
+#     twin sim_ann_lsh_signed carries the correctness signal). The 14
+#     r4 rows left out (set_except_all_flags, set_intersect_all_flags,
+#     and the 12 r4-vintage tpch_q* rows) rotate in the r9 window —
+#     tpch queries are the lowest-refactor-risk family (self-contained
+#     module, untouched since r5) so they yield slots to the
+#     never-checked set first.
+# Every displaced query keeps per-commit sf0.001 parity coverage in
+# tests/test_oracle_parity.py.
+#
+# Round-7 window rationale (superseded, kept for audit):
 # (a0) the five queries that registered after the r6 window filled and have
 #      NEVER had an external driver row (sim-verified only) — VERDICT r6
 #      item 1, the scoreboard must confirm them;
@@ -71,61 +89,60 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_parity.py; all 50 below re-verified green this session
 # via scripts/driver_sim.py at sf0.01.
 _CHECK_FIRST = [
-    # --- (a0) registered post-r6-window, never driver-checked ---
-    "events_dau_rolling",
-    "pipeline_dataset_card",
-    "stream_foreachbatch_upsert",
-    "text_char_entropy",
-    "win_range_moving_sum",
-    # --- (a1) NEW this round ---
-    "win_rolling_median",
-    "events_attribution_last_touch",
-    "affinity_copurchase_pmi",
-    "scale_skew_diagnostics",
-    "dedup_containment_3gram",
-    "pipeline_dedup_incremental",
-    # --- (a2) behavior changed this round ---
-    "agg_latest_order_per_cust",
-    "agg_bitmap_distinct_rollup",
-    "dedup_cluster_resolve",
-    # --- (b) r3-vintage regression rotation ---
-    "agg_approx_distinct",
-    "agg_collect_event_types",
-    "agg_pivot_event_types",
-    "array_funcs",
-    "conditional_case",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "filter_predicates",
-    "hash_funcs",
-    "join_anti_inactive",
-    "join_full_outer_nation_presence",
-    "join_price_bands",
-    "join_right_outer_orders",
-    "join_semi_purchasers",
-    "map_funcs",
-    "math_funcs",
-    "mm_binary_meta",
-    "mq_ordered_replay",
-    "scan_csv_nation",
-    "scan_jsonl_orders",
-    "sql_api_shipping_priority",
-    # --- (a3) added late this round, never driver-checked ---
-    "text_bm25_rank",
-    "sim_tf_cosine_blocked",
-    "graph_pagerank_copurchase",
-    "events_cohort_ltv",
-    "events_hourly_gap_fill",
-    "win_ewma_hourly",
-    "scale_compaction_plan",
-    "text_unigram_logprob",
-    "pipeline_systematic_sample",
-    "agg_rfm_segments",
-    "text_bigram_logprob",
-    "join_asof_tolerance",
-    "mq_dlq_split",
-    "sim_ann_ivfpq",
-    "pipeline_snapshot_diff",
+    # --- (a) registered post-r7-window, never driver-checked ---
+    "agg_mad_robust",
+    "agg_welch_ab_test",
+    "agg_pareto_revenue_deciles",
+    "agg_gini_coefficient",
+    "agg_ship_latency_percentiles",
+    "pipeline_canonicalize_dedup",
+    "events_cumulative_uniques",
+    "events_stickiness_dau_wau",
+    "events_error_budget_burn",
+    "events_queue_backlog",
+    "events_behavior_entropy",
+    "events_peak_concurrency",
+    "mq_scd2_point_in_time",
+    "pipeline_quality_gate_funnel",
+    "pipeline_token_budget_allocator",
+    "pipeline_schema_drift_report",
+    "sim_prefix_dim_eval",
+    "stream_windowed_dau",
+    "text_lang_confusion",
+    "text_hapax_ratio",
+    "text_term_burstiness",
+    "win_weekly_pct_change",
+    "win_activity_streaks",
+    # --- (b) NEW this round, never checked anywhere ---
+    "mq_cdc_apply",
+    "mq_scd2_history_with_deletes",
+    "mq_cdc_collapse",
+    # --- (c) the last r3-vintage row ---
+    "join_cross_flags",
+    # --- (d) r4-vintage rotation (hash-checkable only) ---
+    "distinct_flag_combos",
+    "set_except_nations",
+    "set_intersect_nations",
+    "set_union_by_name",
+    "sort_topn_offset",
+    "sort_within_partitions",
+    "stream_dedup_replayed",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_static_join_segments",
+    "stream_stream_join",
+    "stream_tumbling_counts",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_stats",
+    "udaf_grouped_weighted_avg",
+    "udf_pandas_net_price",
+    "udtf_key_explode",
+    "win_dedup_latest_event",
+    "win_lag_lead_events",
+    "win_rank_orders",
+    "win_running_totals",
+    "win_top3_parts_per_brand",
 ]
 
 
