@@ -32,8 +32,12 @@ def mq_source_throughput(spark, n_msgs: int = 50_000) -> float:
     broker = FakeMQBroker(d, "BENCH.Q")
     broker.put_all((1_700_000_000_000 + i, 1, f'{{"n": {i}}}') for i in range(n_msgs))
     register_ibmmq(spark)
-    # warm the python worker + pickle registry once; measure steady state
-    spark.read.format("ibmmq").option("path", d).option("queue", "BENCH.Q").load().limit(1).count()
+    # warm with one FULL drain (python workers, codegen for the count agg,
+    # arrow IPC buffers): limit(1) left the first measured run paying
+    # first-full-scan costs — a 54k vs 93k msg/s spread on identical code.
+    # Steady-state throughput is the metric; the floor compare (BASELINE.md)
+    # is against the reference's sustained receiver rate.
+    spark.read.format("ibmmq").option("path", d).option("queue", "BENCH.Q").load().count()
     rates = []
     for _ in range(_RUNS):
         t0 = time.perf_counter()

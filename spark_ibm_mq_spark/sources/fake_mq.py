@@ -88,22 +88,70 @@ class FakeMQBroker:
                 out.append(json.loads(line))
         return out
 
+    def message_block(
+        self, from_pos: int, limit: int | None = None, byte_off: int | None = None
+    ) -> bytes:
+        """The same slice `messages()` returns, as the RAW newline-delimited
+        JSON bytes — no per-line json.loads. The batch reader feeds this
+        straight to pyarrow's C++ JSON parser (one columnar parse of the
+        whole slice beats 10k+ Python dict materializations ~10×); the
+        line-oriented layout makes byte slice == message slice. When the
+        planner supplies ``byte_off`` (from `put_ms_index`'s offset scan),
+        the read SEEKS there instead of skipping ``from_pos`` lines — each
+        split costs O(its slice), not O(queue prefix), so N parallel splits
+        read the queue once total rather than N/2 times."""
+        if self.connection_broken():
+            raise ConnectionError(f"fake MQ: connection to {self.queue} is down")
+        qfile = self._f("jsonl")
+        if not os.path.exists(qfile):
+            return b""
+        out: list[bytes] = []
+        with open(qfile, "rb") as f:
+            if byte_off is not None:
+                f.seek(byte_off)
+                for line in f:
+                    if limit is not None and len(out) >= limit:
+                        break
+                    out.append(line)
+            else:
+                for i, line in enumerate(f):
+                    if i < from_pos:
+                        continue
+                    if limit is not None and len(out) >= limit:
+                        break
+                    out.append(line)
+        return b"".join(out)
+
     def put_ms_index(self, from_pos: int) -> list[int]:
         """Metadata-only scan: the put_ms of every message from ``from_pos``
         on, WITHOUT body decode or full JSON parse — used by the batch
         reader to plan put_ms-boundary splits driver-side. put()/put_all()
         always write ``put_ms`` as the first field, so a string slice
         suffices; any line that doesn't match falls back to json.loads."""
+        return self.put_ms_index_with_offsets(from_pos)[0]
+
+    def put_ms_index_with_offsets(
+        self, from_pos: int
+    ) -> tuple[list[int], list[int]]:
+        """`put_ms_index` plus each message's BYTE offset in the queue file,
+        so the planner can hand splits a seek position (see
+        `message_block`)."""
         if self.connection_broken():
             raise ConnectionError(f"fake MQ: connection to {self.queue} is down")
         out: list[int] = []
+        offs: list[int] = []
         qfile = self._f("jsonl")
         if not os.path.exists(qfile):
-            return out
-        with open(qfile, encoding="utf-8") as f:
-            for i, line in enumerate(f):
+            return out, offs
+        pos = 0
+        with open(qfile, "rb") as f:
+            for i, raw in enumerate(f):
+                start = pos
+                pos += len(raw)
                 if i < from_pos:
                     continue
+                offs.append(start)
+                line = raw.decode("utf-8")
                 j0 = line.find('"put_ms":')
                 if j0 >= 0:
                     j0 += 9
@@ -116,7 +164,7 @@ class FakeMQBroker:
                     except ValueError:
                         pass
                 out.append(int(json.loads(line)["put_ms"]))
-        return out
+        return out, offs
 
     @staticmethod
     def decode_body(rec: dict, encoding: str = "utf-8") -> str:

@@ -65,6 +65,35 @@ def test_keys_unique_and_monotone_under_collisions(stream):
         assert len(set(produced)) == len(produced)
 
 
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=50), st.integers(min_value=1, max_value=3)),
+        min_size=0,
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_vectorized_repair_matches_serial_chain(stream):
+    """The batch reader's closed-form numpy repair must be bit-identical to
+    chaining `repair_seq` from the boundary seed (last_ms=0, last_seq=0) —
+    the exactness claim `plan_splits` relies on."""
+    import numpy as np
+
+    from spark_ibm_mq_spark.sources.mq import vectorized_repair_seq
+
+    ts_sorted = sorted(ms for ms, _ in stream)
+    seqs = [s for _, s in stream]
+    last_ms, last_seq, serial = 0, 0, []
+    for put_ms, raw_seq in zip(ts_sorted, seqs):
+        seq = repair_seq(put_ms, raw_seq, last_ms, last_seq)
+        serial.append(seq)
+        last_ms, last_seq = put_ms, seq
+    vec = vectorized_repair_seq(
+        np.array(ts_sorted, dtype="int64"), np.array(seqs, dtype="int64")
+    )
+    assert list(vec) == serial
+
+
 def test_repair_matches_reference_rule():
     # exact scenario from IBMMQReceiver.java:252-254
     assert repair_seq(1004, 1, 1004, 1) == 2  # same ms, reset seq → lastSeq+1
