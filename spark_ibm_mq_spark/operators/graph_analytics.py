@@ -150,3 +150,296 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pr") * F.col("n_nodes"), 4).alias("pr_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN co-purchase graph family: triangle counting, link prediction, degree
+# profile. The raw co-purchase graph's degree is unbounded (a popular part
+# touches thousands of partners — 2.4 M directed edges at sf0.1, wedge
+# volume Σdeg² ≈ 300 M, which no triangle algorithm survives), so these
+# operators first SPARSIFY to each part's top-K most-co-purchased partners
+# (K = 5; ties broken by partner id) — the standard k-NN-graph construction
+# similarity/recommendation pipelines use precisely because it bounds
+# OUT-degree by construction, making downstream wedge volume O(N·K·maxdeg)
+# instead of O(Σdeg²). At 100 TB the same top-K is one windowed rank over
+# the pair-count aggregate — no new shuffle beyond the pair count itself.
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+
+_KNN_GRAPH_CTE = f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    pairs AS (
+        SELECT a.pk AS u, b.pk AS v, count(*) AS w
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk
+        GROUP BY 1, 2
+    ),
+    knn AS (
+        SELECT u, v FROM (
+            SELECT u, v,
+                   row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+            FROM pairs
+        ) WHERE rn <= {_KNN_K}
+    ),
+    sym AS (SELECT u AS s, v AS t FROM knn UNION SELECT v, u FROM knn),
+    canon AS (SELECT s AS u, t AS v FROM sym WHERE s < t),
+    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1)
+"""
+
+
+# Symmetric k-NN edge list memoized per (application, sf_dir): three
+# queries share the build, and the expensive part — the order-pair
+# self-join + pair-count aggregate + rank window — is identical across
+# them. The memoized frame is checkpoint-backed, so a hit replays
+# materialized blocks (same pattern as dedup._LABELS_MEMO).
+_SYM_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _knn_graph(spark: SparkSession, sf_dir: str):
+    """(sym, canon, deg) frames of the top-K co-purchase graph — sym is the
+    checkpointed symmetric edge list every consumer starts from, so the
+    order-pair self-join + rank window run once per query (and once per
+    SESSION across the three graph queries, via `_SYM_MEMO`)."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    sym = _SYM_MEMO.get(memo_key)
+    if sym is not None:
+        canon = sym.filter(F.col("s") < F.col("t")).select(
+            F.col("s").alias("u"), F.col("t").alias("v")
+        )
+        deg = sym.groupBy(F.col("s").alias("node")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("d")
+        )
+        return sym, canon, deg
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    pairs = (
+        op.alias("a")
+        .join(op.alias("b"), "ok")
+        .filter(F.col("a.pk") != F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v"))
+    )
+    knn = pairs.withColumn("rn", rn).filter(F.col("rn") <= _KNN_K).select("u", "v")
+    sym = durable_checkpoint(
+        knn.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .union(knn.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .distinct(),
+        eager=False,
+    )
+    _SYM_MEMO[memo_key] = sym
+    canon = sym.filter(F.col("s") < F.col("t")).select(
+        F.col("s").alias("u"), F.col("t").alias("v")
+    )
+    deg = sym.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    return sym, canon, deg
+
+
+@register(
+    "graph_knn_degree_profile",
+    oracle=_KNN_GRAPH_CTE + """
+    SELECT d AS degree,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(count(*) * 1.0 / (SELECT count(*) FROM deg), 4) AS share
+    FROM deg GROUP BY d
+    """,
+)
+def graph_knn_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the k-NN co-purchase graph — the structural
+    diagnostic run before any graph algorithm ships: out-degree is capped
+    at K by construction, so the histogram exposes the IN-selection skew
+    (parts chosen as a top-K partner by many others — the hubs that decide
+    whether wedge-bound algorithms like `graph_triangle_count` are safe).
+    Plan: the shared edge build, one groupBy(node), one groupBy(degree) —
+    the second aggregate is over ≤ maxdeg rows."""
+    _sym, _canon, deg = _knn_graph(spark, sf_dir)
+    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        deg.groupBy(F.col("d").alias("degree"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "degree",
+            "n_parts",
+            F.round(F.col("n_parts") / F.col("n_nodes"), 4).alias("share"),
+        )
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_KNN_GRAPH_CTE + """,
+    ori AS (
+        SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND c.u < c.v)
+                    THEN c.u ELSE c.v END AS s,
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND c.u < c.v)
+                    THEN c.v ELSE c.u END AS t
+        FROM canon c
+        JOIN deg du ON c.u = du.node
+        JOIN deg dv ON c.v = dv.node
+    ),
+    tri AS (
+        SELECT w1.s AS a, w1.t AS b, w2.t AS c
+        FROM ori w1
+        JOIN ori w2 ON w1.s = w2.s
+        JOIN deg db ON w1.t = db.node
+        JOIN deg dc ON w2.t = dc.node
+        JOIN ori e ON e.s = w1.t AND e.t = w2.t
+        WHERE db.d < dc.d OR (db.d = dc.d AND w1.t < w2.t)
+    ),
+    per_node AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY node
+    )
+    SELECT deg.node AS part, deg.d AS degree,
+           COALESCE(p.n_triangles, 0) AS n_triangles,
+           round(COALESCE(p.n_triangles, 0) * 2.0 / (deg.d * (deg.d - 1)), 4)
+               AS clustering_coeff
+    FROM deg LEFT JOIN per_node p ON deg.node = p.node
+    WHERE deg.d >= 2
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    k-NN co-purchase graph — the community-structure signal (parts whose
+    partners are also partners of each other form substitutable/bundled
+    clusters; clustering ≈ 0 marks bridge products).
+
+    Algorithm: degree-ordered node-iterator (Schank–Wagner / the oriented
+    wedge-check at the heart of every distributed triangle counter):
+    orient each undirected edge from its lower-(degree, id) endpoint to
+    the higher, enumerate wedges only at each node's ORIENTED
+    out-neighbors (ordered by the SAME (degree, id) total order), and
+    close each wedge with one EQUI-join back to the oriented edge list —
+    the orientation makes the closing edge's direction deterministic, so
+    no OR-condition, every join hashable, and each triangle is found
+    exactly once. Wedge volume is Σ out-deg² — minimized by the degree
+    orientation (out-degree ≤ O(√E)) on top of the k-NN cap. Per-node
+    counts: each triangle explodes to its 3 corners, one groupBy. At
+    100 TB: identical plan; the orientation is what keeps hub nodes from
+    quadratic wedge blowup."""
+    sym, canon, deg = _knn_graph(spark, sf_dir)
+    bdeg = size_gated_broadcast(deg)
+    lo_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    ori = durable_checkpoint(
+        canon.join(bdeg.alias("du"), F.col("u") == F.col("du.node"))
+        .join(bdeg.alias("dv"), F.col("v") == F.col("dv.node"))
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        ),
+        eager=False,
+    )
+    w1 = ori.select(F.col("s"), F.col("t").alias("b"))
+    w2 = ori.select(F.col("s"), F.col("t").alias("c"))
+    wedges = (
+        w1.join(w2, "s")
+        .join(bdeg.alias("db"), F.col("b") == F.col("db.node"))
+        .join(bdeg.alias("dc"), F.col("c") == F.col("dc.node"))
+        .filter(
+            (F.col("db.d") < F.col("dc.d"))
+            | ((F.col("db.d") == F.col("dc.d")) & (F.col("b") < F.col("c")))
+        )
+        .select(F.col("s").alias("a"), "b", "c")
+    )
+    tri = wedges.join(
+        ori.select(F.col("s").alias("b"), F.col("t").alias("c")), ["b", "c"]
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            F.col("node").alias("part"),
+            F.col("d").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.coalesce("n_triangles", F.lit(0))
+                * 2.0
+                / (F.col("d") * (F.col("d") - 1)),
+                4,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+@register(
+    "graph_jaccard_link_prediction",
+    oracle=_KNN_GRAPH_CTE + """,
+    cand AS (
+        SELECT s1.t AS x, s2.t AS y, CAST(count(*) AS BIGINT) AS common
+        FROM sym s1 JOIN sym s2 ON s1.s = s2.s AND s1.t < s2.t
+        GROUP BY 1, 2
+    ),
+    nonadj AS (
+        SELECT c.x, c.y, c.common FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM canon e WHERE e.u = c.x AND e.v = c.y)
+    )
+    SELECT n.x AS part_a, n.y AS part_b, n.common AS common_neighbors,
+           round(n.common * 1.0 / (dx.d + dy.d - n.common), 4) AS jaccard
+    FROM nonadj n
+    JOIN deg dx ON n.x = dx.node
+    JOIN deg dy ON n.y = dy.node
+    ORDER BY jaccard DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard: score each NON-adjacent
+    part pair by |N(a)∩N(b)| / |N(a)∪N(b)| over the k-NN co-purchase
+    graph and return the top 50 — "parts that should co-sell but don't
+    yet", the classic common-neighbors recommender.
+
+    Plan shape: candidates come from one self-equi-join of the edge list
+    on the SHARED-NEIGHBOR key (never all pairs — pair volume is
+    Σ deg(w)², bounded by the k-NN cap), one groupBy counts common
+    neighbors, a LEFT ANTI join against the edge list keeps non-adjacent
+    pairs only, and degrees arrive by joining the (node, d) frame twice.
+    Jaccard = common/(d_a + d_b − common) is integers + ONE IEEE
+    division → bit-stable under round(4) across engines. Deterministic
+    top-k: ORDER BY (jaccard, a, b) with exact-equality ties."""
+    sym, canon, deg = _knn_graph(spark, sf_dir)
+    s1 = sym.select("s", F.col("t").alias("x"))
+    s2 = sym.select("s", F.col("t").alias("y"))
+    cand = (
+        s1.join(s2, "s")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    nonadj = cand.join(
+        canon,
+        (cand.x == canon.u) & (cand.y == canon.v),
+        "left_anti",
+    )
+    bdeg = size_gated_broadcast(deg)
+    return (
+        nonadj.join(bdeg.alias("dx"), F.col("x") == F.col("dx.node"))
+        .join(bdeg.alias("dy"), F.col("y") == F.col("dy.node"))
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            F.col("common").alias("common_neighbors"),
+            F.round(
+                F.col("common") / (F.col("dx.d") + F.col("dy.d") - F.col("common")), 4
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "part_a", "part_b")
+        .limit(50)
+    )
