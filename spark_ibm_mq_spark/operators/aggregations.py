@@ -922,3 +922,252 @@ def agg_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_days",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical quality tests over the orders fact table: Benford screening,
+# chi-square independence, a correlation matrix, and an exact OLS trend.
+# Exactness follows the FIXTURES.md integer-arithmetic conventions: counts
+# and cross-moments stay bigint, each reported float is a fixed expression
+# of those integers (divisions/logs in identical order on both engines)
+# before round(4).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_benford_first_digit",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM cents
+    ),
+    obs AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_orders FROM digits GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n FROM obs)
+    SELECT digit, n_orders,
+           round(n_orders * 1.0 / n, 4) AS observed_share,
+           round(log10(1.0 + 1.0 / digit), 4) AS benford_share,
+           round(n_orders * 1.0 / n - log10(1.0 + 1.0 / digit), 4) AS deviation
+    FROM obs CROSS JOIN tot
+    """,
+)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the classic
+    fabricated-data / pipeline-corruption detector: natural multiplicative
+    amounts put digit d first with probability log10(1+1/d); a flat or
+    spiked profile flags synthetic or truncated values.
+
+    Exactness: the first digit comes from the INTEGER cents value
+    (floor(x·100 + .5) — identical double ops both engines) rendered as a
+    string — never from float log-magnitude games, which misbin at
+    power-of-ten boundaries. Shares are one division; the Benford
+    reference is log10 on small constants (the PMI/entropy ln-precedent)
+    — all under round(4). Plan: a 9-group aggregate with a 1-row total
+    broadcast; scan reads one column."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    obs = (
+        o.select(F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    tot = obs.agg(F.sum("n_orders").cast("bigint").alias("n"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_orders",
+        F.round(F.col("n_orders") / F.col("n"), 4).alias("observed_share"),
+        F.round(benford, 4).alias("benford_share"),
+        F.round(F.col("n_orders") / F.col("n") - benford, 4).alias("deviation"),
+    )
+
+
+@register(
+    "agg_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS priority, o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS observed
+        FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT priority, CAST(sum(observed) AS BIGINT) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT status, CAST(sum(observed) AS BIGINT) AS c FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells)
+    SELECT cells.priority, cells.status, observed,
+           round(r * c * 1.0 / n, 4) AS expected,
+           round((observed - r * c * 1.0 / n) * (observed - r * c * 1.0 / n)
+                 / (r * c * 1.0 / n), 4) AS chi2_contribution
+    FROM cells
+    JOIN rt ON cells.priority = rt.priority
+    JOIN ct ON cells.status = ct.status
+    CROSS JOIN tot
+    """,
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for order priority × status — the
+    contingency diagnostic behind "does priority affect fulfillment
+    state": per-cell observed count, independence-expected count
+    r·c/N, and the cell's (O−E)²/E contribution (their sum is the χ²
+    statistic; the per-cell view also SHOWS which cells drive it, which
+    the scalar alone hides — so the query returns the 15-cell table, the
+    form an analyst actually reads).
+
+    Exactness: O, r, c, N are bigint; E and the contribution are fixed
+    scalar expressions over them (same op order both engines) under
+    round(4). Plan: one groupBy builds the cells; marginals re-aggregate
+    the ≤15-row cell frame (no second scan); N rides as a 1-row
+    broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = durable_checkpoint(
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("observed")),
+        eager=False,
+    )
+    rt = cells.groupBy("priority").agg(F.sum("observed").cast("bigint").alias("r"))
+    ct = cells.groupBy("status").agg(F.sum("observed").cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("observed").cast("bigint").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    return (
+        cells.join(F.broadcast(rt), "priority")
+        .join(F.broadcast(ct), "status")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "priority",
+            "status",
+            "observed",
+            F.round(e, 4).alias("expected"),
+            F.round((F.col("observed") - e) * (F.col("observed") - e) / e, 4).alias(
+                "chi2_contribution"
+            ),
+        )
+    )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "agg_correlation_matrix",
+    oracle="WITH pairs AS (\n"
+    + "\n    UNION ALL\n".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+        f"round(corr({a}, {b}), 4) AS pearson_r, "
+        f"CAST(count(*) AS BIGINT) AS n FROM lineitem"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    )
+    + "\n) SELECT * FROM pairs",
+)
+def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (upper triangle) of the four
+    lineitem numeric measures — the feature-redundancy screen run before
+    any model uses them (quantity⇄extendedprice is the expected strong
+    pair; tax⇄discount independence validates the generator).
+
+    All six coefficients compute in ONE scan/aggregate (six corr
+    accumulators side by side — Catalyst shares the pass), then unpivot
+    driver-free via explode of a 6-element struct array. round(4)
+    absorbs the float-accumulation-order difference between engines
+    (the agg_stats precedent: ~1e-12 relative error vs 1e-4
+    granularity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+    ]
+    agg = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[F.corr(a, b).alias(f"r_{a}_{b}") for a, b in pairs],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.round(F.col(f"r_{a}_{b}"), 4).alias("pearson_r"),
+                F.col("n").alias("n"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return agg.select(F.explode(rows).alias("p")).select(
+        "p.col_x", "p.col_y", "p.pearson_r", "p.n"
+    )
+
+
+@register(
+    "agg_ols_daily_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    t0 AS (SELECT min(d) AS d0 FROM daily),
+    xy AS (SELECT CAST(datediff('day', d0, d) AS BIGINT) AS t, y
+           FROM daily CROSS JOIN t0),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(t * t) AS BIGINT) AS stt,
+               CAST(sum(t * y) AS BIGINT) AS sty,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM xy
+    )
+    SELECT n AS n_days,
+           round((n * sty - st * sy) * 1.0 / (n * stt - st * st), 4) AS slope,
+           round((sy * stt - st * sty) * 1.0 / (n * stt - st * st), 4)
+               AS intercept,
+           round(((n * sty - st * sy) * 1.0 / (n * stt - st * st))
+                 * ((n * sty - st * sy) * 1.0 / (n * syy - sy * sy)), 4)
+               AS r_squared
+    FROM m
+    """,
+)
+def agg_ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact closed-form OLS of daily order volume against the day index —
+    slope (orders/day drift), intercept, and R² in one pass: the trend
+    line every capacity plan starts from.
+
+    Exactness: with t = integer days since the first order date and y =
+    integer daily counts, all five moments (Σt, Σy, Σt², Σty, Σy²) are
+    bigint-exact, and slope/intercept/R² are fixed rational expressions
+    evaluated with the same division order on both engines — R² is
+    computed as (A/B)·(A/C) rather than A²/(B·C) because A² can exceed
+    int64 at warehouse scale while each quotient is a tame double.
+    Plan: daily aggregate (map-side combinable), a 1-row min-date
+    broadcast, one moment row — the regression never leaves the
+    executor-partial path."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    t0 = daily.agg(F.min("d").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(t0)).select(
+        F.datediff("d", "d0").cast("bigint").alias("t"), "y"
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    a = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    b = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    c = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(a / b, 4).alias("slope"),
+        F.round(
+            (F.col("sy") * F.col("stt") - F.col("st") * F.col("sty")) / b, 4
+        ).alias("intercept"),
+        F.round((a / b) * (a / c), 4).alias("r_squared"),
+    )

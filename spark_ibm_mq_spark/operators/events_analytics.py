@@ -1135,3 +1135,230 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("day", "t").cast("timestamp_ntz").alias("day"))
         .agg(F.max("live").alias("peak_concurrent"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series diagnostics over the daily event-count series. All three use
+# the INTEGER-EXACT centering trick (FIXTURES.md conventions): instead of
+# float means, every statistic is rewritten over n·x − S (bigint) so the
+# only float op is one final IEEE division before round(4) — bit-identical
+# across engines regardless of aggregation order.
+# ---------------------------------------------------------------------------
+
+_DAILY_CTE = f"""
+    {EVENTS_CTE},
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM ev GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+            FROM daily)
+"""
+
+_ACF_MAX_LAG = 7
+
+
+def _daily_counts(spark: SparkSession, sf_dir: str):
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    return daily, tot
+
+
+@register(
+    "events_acf_daily",
+    oracle=_DAILY_CTE + f""",
+    cent AS (SELECT d, n * x - s AS c FROM daily CROSS JOIN tot),
+    lagd AS (
+        SELECT c,
+               {", ".join(f"lag(c, {k}) OVER (ORDER BY d) AS c{k}"
+                          for k in range(1, _ACF_MAX_LAG + 1))}
+        FROM cent
+    ),
+    agg AS (
+        SELECT CAST(sum(c * c) AS BIGINT) AS den,
+               {", ".join(f"CAST(sum(c * c{k}) AS BIGINT) AS num{k}, "
+                          f"CAST(count(c{k}) AS BIGINT) AS np{k}"
+                          for k in range(1, _ACF_MAX_LAG + 1))}
+        FROM lagd
+    )
+    {" UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag, np{k} AS n_pairs, "
+        f"round(num{k} * 1.0 / den, 4) AS acf FROM agg"
+        for k in range(1, _ACF_MAX_LAG + 1))}
+    """,
+)
+def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1–7) of the daily event-count series
+    — the periodicity diagnostic run before any seasonal model or anomaly
+    threshold is chosen (a weekly cycle shows as a lag-7 peak).
+
+    Exactness: sample ACF r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)² is
+    float-fragile through μ; multiplying both sides by n² makes every
+    term integer — c_t = n·x_t − S (bigint), r_k = Σc_t·c_{t−k} / Σc_t²
+    — so engines agree bit-for-bit after ONE division + round(4).
+
+    Plan shape: daily counts (map-side combinable), a 1-row totals
+    broadcast, ONE ordered window computing all 7 lags in a single pass
+    over the ~|days| row series (tiny by construction — a count per day
+    — so the single-partition window is a non-issue at any corpus
+    scale), one aggregate row, exploded to 7 (lag, acf) rows."""
+    daily, tot = _daily_counts(spark, sf_dir)
+    cent = daily.crossJoin(F.broadcast(tot)).select(
+        "d", (F.col("n") * F.col("x") - F.col("s")).alias("c")
+    )
+    w = Window.orderBy("d")
+    lagd = cent.select(
+        "c", *[F.lag("c", k).over(w).alias(f"c{k}") for k in range(1, _ACF_MAX_LAG + 1)]
+    )
+    agg = lagd.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("den"),
+        *[
+            e
+            for k in range(1, _ACF_MAX_LAG + 1)
+            for e in (
+                F.sum(F.col("c") * F.col(f"c{k}")).cast("bigint").alias(f"num{k}"),
+                F.count(F.col(f"c{k}")).cast("bigint").alias(f"np{k}"),
+            )
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("bigint").alias("lag"),
+                F.col(f"np{k}").alias("n_pairs"),
+                F.round(F.col(f"num{k}") / F.col("den"), 4).alias("acf"),
+            )
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.lag", "r.n_pairs", "r.acf")
+
+
+@register(
+    "events_mean_shift_detect",
+    oracle=_DAILY_CTE + """,
+    pre AS (
+        SELECT d, x,
+               CAST(sum(x) OVER (ORDER BY d) AS BIGINT) AS s1,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS n1
+        FROM daily
+    ),
+    scored AS (
+        SELECT d AS split_day, n1 AS n_before, n - n1 AS n_after,
+               s1 AS sum_before, s - s1 AS sum_after,
+               abs(s1 * (n - n1) - (s - s1) * n1) AS diff
+        FROM pre CROSS JOIN tot
+        WHERE n1 < n
+    )
+    SELECT split_day, n_before, n_after,
+           round(sum_before * 1.0 / n_before, 4) AS mean_before,
+           round(sum_after * 1.0 / n_after, 4) AS mean_after,
+           round(diff * 1.0 / (n_before * n_after), 4) AS mean_shift
+    FROM scored
+    ORDER BY (1000000 * diff) // (n_before * n_after) DESC, split_day
+    LIMIT 5
+    """,
+)
+def events_mean_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift (changepoint) detection on the daily volume series:
+    every day is scored as a candidate split by |mean(before) −
+    mean(after)|, and the top five splits are reported — the one-pass
+    answer to "when did traffic structurally change", preferred here
+    over recursive CUSUM because it is expressible as prefix sums (no
+    sequential state, so it parallelizes and oracles cleanly).
+
+    Exactness: the shift |S₁/n₁ − S₂/n₂| = |S₁n₂ − S₂n₁|/(n₁n₂) ranks by
+    the all-integer key (10⁶·|S₁n₂ − S₂n₁|) div (n₁n₂) — integer floor
+    division both engines — so the top-5 cut is deterministic; the
+    reported means do ONE division each before round(4). Plan: one
+    running-sum window over the tiny daily series + a 1-row totals
+    broadcast; TakeOrdered for the limit."""
+    daily, tot = _daily_counts(spark, sf_dir)
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(w).cast("bigint").alias("s1"),
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("n1"),
+    )
+    scored = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("n1") < F.col("n"))
+        .select(
+            F.col("d").alias("split_day"),
+            F.col("n1").alias("n_before"),
+            (F.col("n") - F.col("n1")).alias("n_after"),
+            F.col("s1").alias("sum_before"),
+            (F.col("s") - F.col("s1")).alias("sum_after"),
+            F.abs(
+                F.col("s1") * (F.col("n") - F.col("n1"))
+                - (F.col("s") - F.col("s1")) * F.col("n1")
+            ).alias("diff"),
+        )
+    )
+    return (
+        scored.select(
+            "split_day",
+            "n_before",
+            "n_after",
+            F.round(F.col("sum_before") / F.col("n_before"), 4).alias("mean_before"),
+            F.round(F.col("sum_after") / F.col("n_after"), 4).alias("mean_after"),
+            F.round(F.col("diff") / (F.col("n_before") * F.col("n_after")), 4).alias(
+                "mean_shift"
+            ),
+            F.expr("(1000000 * diff) div (n_before * n_after)").alias("rk"),
+        )
+        .orderBy(F.col("rk").desc(), "split_day")
+        .limit(5)
+        .drop("rk")
+    )
+
+
+@register(
+    "events_dow_seasonality",
+    oracle=_DAILY_CTE + """
+    SELECT CAST(isodow(d) AS BIGINT) AS iso_dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) AS BIGINT) AS total_events,
+           round(CAST(sum(x) AS BIGINT) * n * 1.0 / (count(*) * s), 4)
+               AS seasonality_index
+    FROM daily CROSS JOIN tot
+    GROUP BY isodow(d), n, s
+    """,
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: each ISO weekday's average daily
+    volume relative to the overall average — index 1.0 = flat, the
+    multiplicative seasonal factors a gap-fill/forecast step divides out.
+
+    Exactness: index = (S_dow/n_dow)/(S/n) = S_dow·n / (n_dow·S) — four
+    bigints, ONE division, round(4). ISO weekday (1=Mon…7=Sun) on both
+    engines (Spark's `weekday()+1` == DuckDB's `isodow`). Plan: daily
+    counts then a ≤7-group aggregate with the totals as a 1-row
+    broadcast."""
+    daily, tot = _daily_counts(spark, sf_dir)
+    return (
+        daily.select((F.expr("weekday(d)") + 1).cast("bigint").alias("iso_dow"), "x")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("iso_dow", "n", "s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("x").cast("bigint").alias("total_events"),
+        )
+        .select(
+            "iso_dow",
+            "n_days",
+            "total_events",
+            F.round(
+                F.col("total_events") * F.col("n") / (F.col("n_days") * F.col("s")), 4
+            ).alias("seasonality_index"),
+        )
+    )
