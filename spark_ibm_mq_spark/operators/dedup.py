@@ -958,3 +958,147 @@ def dedup_containment_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_b").alias("min_container"),
         )
     )
+
+
+@register(
+    "dedup_minhash_recall_eval",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM toks a JOIN toks b ON a.t = b.t AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    truth AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95
+    ),
+    tl AS (
+        SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS tk
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+           [{", ".join(
+               "list_aggregate(list_transform(tk, t -> md5('s%d:' || t)), 'min')" % i
+               for i in range(16))}] AS sig
+        FROM tl
+    ),
+    bands AS (
+        SELECT doc_id,
+               unnest([0, 1, 2, 3]) AS band,
+               unnest([md5(sig[1]||sig[2]||sig[3]||sig[4]),
+                   md5(sig[5]||sig[6]||sig[7]||sig[8]),
+                   md5(sig[9]||sig[10]||sig[11]||sig[12]),
+                   md5(sig[13]||sig[14]||sig[15]||sig[16])]) AS band_hash
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+    ),
+    m AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM cand c JOIN truth t
+                  ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hits
+    )
+    SELECT n_truth, n_candidates, n_hits,
+           round(n_hits * 1.0 / n_candidates, 4) AS precision_at_095,
+           round(n_hits * 1.0 / n_truth, 4) AS recall_at_095
+    FROM m
+    """,
+)
+def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality evaluation of the MinHash+LSH candidate generator against
+    EXACT ground truth: every band-join candidate pair is scored against
+    the exact token-Jaccard ≥ 0.95 pair set (the `dedup_ngram_jaccard`
+    contract), reporting candidate-set precision and recall — the
+    measurement that justifies (or indicts) replacing the exact quadratic
+    pass with the sketch funnel before anyone deploys it at corpus scale.
+    With 4 bands × 4 rows, P(candidate | j=0.95) = 1−(1−0.95⁴)⁴ ≈ 0.9998,
+    so recall printing ≪ 1.0 here is an implementation bug detector, and
+    precision quantifies how much exact-verify work the banding really
+    admits (the funnel's cost driver).
+
+    Plan shape: truth reuses the size-probe equi-join of
+    `dedup_ngram_jaccard` (never all pairs); candidates reuse the md5
+    band equi-join of `dedup_minhash_lsh_md5` but stop at the DISTINCT
+    pair set — no signature fetch, no verify join, since only membership
+    is scored. Three count aggregates meet in a 1-row frame; ratios are
+    one division each under round(4)."""
+    truth = durable_checkpoint(
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"),
+        eager=False,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    arrs = spread(
+        d.select(
+            "doc_id",
+            F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks"),
+        ),
+        "doc_id",
+    )
+
+    def _mh(i: int):
+        return F.array_min(
+            F.transform("toks", lambda t: F.md5(F.concat(F.lit(f"s{i}:"), t)))
+        )
+
+    rows_per_band = _N_MINHASH // _BANDS
+    sig = arrs.select(
+        "doc_id", F.array(*[_mh(i) for i in range(_N_MINHASH)]).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        )
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = durable_checkpoint(
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct(),
+        eager=False,
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_hits = (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hits)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_candidates"), 4).alias(
+                "precision_at_095"
+            ),
+            F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall_at_095"),
+        )
+    )

@@ -107,6 +107,25 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the floor; were document length precomputed — as a real index
     would — the query-term filter would move BEFORE the shuffle and
     only matching postings would travel.)"""
+    piv, dl = _bm25_frames(spark, sf_dir)
+    wh = F.coalesce(F.col("wh"), F.lit(0.0))
+    wm = F.coalesce(F.col("wm"), F.lit(0.0))
+    ww = F.coalesce(F.col("ww"), F.lit(0.0))
+    return piv.join(dl, "doc_id").select(
+        "doc_id",
+        "dl",
+        F.round(wh, 4).alias("w_hash"),
+        F.round(wm, 4).alias("w_merge"),
+        F.round(ww, 4).alias("w_window"),
+        F.round(wh + wm + ww, 4).alias("bm25"),
+    )
+
+
+def _bm25_frames(spark: SparkSession, sf_dir: str):
+    """(piv, dl) for the fixed query: per-doc unrounded per-term BM25
+    weights (docs matching ≥1 query term) and per-doc token lengths —
+    shared by `text_bm25_rank` and the fusion/eval operators so the
+    scoring pipeline exists once."""
     d = load_table(spark, sf_dir, "documents")
     terms = list(_QUERY_TERMS)
     tok = spread(d, "doc_id").select("doc_id", F.explode(tokens("text")).alias("t"))
@@ -131,6 +150,7 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "t",
+            "tf",
             (
                 ((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
                 * (F.col("tf") * F.lit(_K1 + 1.0))
@@ -146,18 +166,10 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("t") == "hash", F.col("w"))).alias("wh"),
         F.max(F.when(F.col("t") == "merge", F.col("w"))).alias("wm"),
         F.max(F.when(F.col("t") == "window", F.col("w"))).alias("ww"),
+        F.sum("tf").cast("bigint").alias("qtf"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
     )
-    wh = F.coalesce(F.col("wh"), F.lit(0.0))
-    wm = F.coalesce(F.col("wm"), F.lit(0.0))
-    ww = F.coalesce(F.col("ww"), F.lit(0.0))
-    return piv.join(dl, "doc_id").select(
-        "doc_id",
-        "dl",
-        F.round(wh, 4).alias("w_hash"),
-        F.round(wm, 4).alias("w_merge"),
-        F.round(ww, 4).alias("w_window"),
-        F.round(wh + wm + ww, 4).alias("bm25"),
-    )
+    return piv, dl
 
 
 @register(
@@ -264,4 +276,241 @@ def sim_tf_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= 0.8)
         .select("doc_a", "doc_b", "top_term", "dot", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranker fusion + ranking-quality evaluation over the same fixed query.
+# Both consume `_bm25_frames` (the scoring pipeline exists once) and keep
+# the FIXED-summation-order determinism discipline of this module.
+# ---------------------------------------------------------------------------
+
+_BM25_SCORED_CTE = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE t IN ('hash', 'merge', 'window') GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok WHERE t IN ('hash', 'merge', 'window') GROUP BY 1
+    ),
+    w AS (
+        SELECT tf.doc_id, tf.t, tf.tf,
+               ((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS w
+        FROM tf
+        JOIN df ON tf.t = df.t
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN t = 'hash'   THEN w END), 0)
+             + coalesce(max(CASE WHEN t = 'merge'  THEN w END), 0)
+             + coalesce(max(CASE WHEN t = 'window' THEN w END), 0) AS bm25,
+               CAST(sum(tf) AS BIGINT) AS qtf,
+               CAST(count(*) AS BIGINT) AS n_terms_hit
+        FROM w GROUP BY doc_id
+    )
+"""
+
+_RRF_K = 60
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=_BM25_SCORED_CTE + f""",
+    ranked AS (
+        SELECT doc_id, qtf,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+                   AS rank_bm25,
+               CAST(row_number() OVER (ORDER BY qtf DESC, doc_id) AS BIGINT)
+                   AS rank_tf
+        FROM scored
+    )
+    SELECT doc_id, rank_bm25, rank_tf,
+           round(1.0 / ({_RRF_K} + rank_bm25) + 1.0 / ({_RRF_K} + rank_tf), 6)
+               AS rrf_score
+    FROM ranked
+    ORDER BY 1.0 / ({_RRF_K} + rank_bm25) + 1.0 / ({_RRF_K} + rank_tf) DESC,
+             doc_id
+    LIMIT 20
+    """,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval signals for the fixed
+    query — BM25 (length-normalized, idf-weighted) and raw query-term
+    frequency (the "dumb but different" lexical baseline): each doc's
+    fused score is Σ 1/(60+rank_i), the standard parameter-free way to
+    merge rankers whose raw scores aren't commensurable (the method
+    hybrid BM25+vector search stacks use). Top-20 fused docs, with both
+    component ranks exposed for diagnosis.
+
+    Determinism: ranks are row_numbers with doc_id tie-breaks; the fused
+    score is TWO divisions + one addition in fixed textual order —
+    bit-identical across engines, so the ORDER BY on it (and the
+    round(6) display value) are exact. Plan: the shared `_bm25_frames`
+    pipeline (one token shuffle), then two rank windows over the
+    ~matching-docs frame (bounded by query-term posting volume, not the
+    corpus) and a TakeOrdered top-20."""
+    piv, _dl = _bm25_frames(spark, sf_dir)
+    bm25 = (
+        F.coalesce(F.col("wh"), F.lit(0.0))
+        + F.coalesce(F.col("wm"), F.lit(0.0))
+        + F.coalesce(F.col("ww"), F.lit(0.0))
+    )
+    scored = piv.select("doc_id", bm25.alias("bm25"), "qtf")
+    ranked = scored.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("rank_bm25"),
+        F.row_number()
+        .over(Window.orderBy(F.col("qtf").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("rank_tf"),
+    )
+    rrf = 1.0 / (_RRF_K + F.col("rank_bm25")) + 1.0 / (_RRF_K + F.col("rank_tf"))
+    return (
+        ranked.select(
+            "doc_id",
+            "rank_bm25",
+            "rank_tf",
+            F.round(rrf, 6).alias("rrf_score"),
+            rrf.alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), "doc_id")
+        .limit(20)
+        .drop("_ord")
+    )
+
+
+_NDCG_CUTOFFS = (1, 3, 5, 10)
+
+
+def _prefix_sql(col: str, k: int) -> str:
+    """c1 + c2 + ... + ck in explicit left-to-right order."""
+    return " + ".join(f"coalesce({col}{p}, 0)" for p in range(1, k + 1))
+
+
+@register(
+    "retrieval_ndcg_eval",
+    oracle=_BM25_SCORED_CTE + f""",
+    ranked AS (
+        SELECT doc_id, n_terms_hit AS rel,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+        FROM scored
+    ),
+    ideal AS (
+        SELECT doc_id, n_terms_hit AS rel,
+               row_number() OVER (ORDER BY n_terms_hit DESC, doc_id) AS pos
+        FROM scored
+    ),
+    gains AS (
+        SELECT pos, (power(2, rel) - 1) / log2(pos + 1) AS c
+        FROM ranked WHERE pos <= 10
+    ),
+    igains AS (
+        SELECT pos, (power(2, rel) - 1) / log2(pos + 1) AS c
+        FROM ideal WHERE pos <= 10
+    ),
+    dpiv AS (
+        SELECT {", ".join(f"max(CASE WHEN pos = {p} THEN c END) AS c{p}"
+                          for p in range(1, 11))}
+        FROM gains
+    ),
+    ipiv AS (
+        SELECT {", ".join(f"max(CASE WHEN pos = {p} THEN c END) AS i{p}"
+                          for p in range(1, 11))}
+        FROM igains
+    )
+    {" UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS cutoff, "
+        f"round({_prefix_sql('c', k)}, 4) AS dcg, "
+        f"round({_prefix_sql('i', k)}, 4) AS idcg, "
+        f"round(({_prefix_sql('c', k)}) / ({_prefix_sql('i', k)}), 4) AS ndcg "
+        f"FROM dpiv CROSS JOIN ipiv"
+        for k in _NDCG_CUTOFFS)}
+    """,
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{{1,3,5,10}} of the BM25 ranking against coordination-graded
+    relevance (rel = number of distinct query terms the doc contains,
+    1–3 → gains 1/3/7) — the standard offline ranking-quality metric,
+    with the ideal ordering (rel desc) as the normalizer. Self-contained:
+    the labels derive from the same fixture, so the eval needs no
+    external judgment file, yet still penalizes BM25 when length
+    normalization outranks a 3-term doc below a long 1-term doc.
+
+    Determinism: per-position contributions (2^rel−1)/log2(pos+1) pivot
+    into 10 fixed columns and every DCG prefix adds LEFT-TO-RIGHT in the
+    same textual order on both engines (the BM25 summation discipline);
+    log2/power sit on small integer arguments (the ln round(4)
+    precedent). Plan: the shared scoring pipeline + two rank windows +
+    one 1-row pivot each — the eval costs two ~10-row aggregates beyond
+    the ranking itself."""
+    piv, _dl = _bm25_frames(spark, sf_dir)
+    bm25 = (
+        F.coalesce(F.col("wh"), F.lit(0.0))
+        + F.coalesce(F.col("wm"), F.lit(0.0))
+        + F.coalesce(F.col("ww"), F.lit(0.0))
+    )
+    scored = piv.select(
+        "doc_id", bm25.alias("bm25"), F.col("n_terms_hit").alias("rel")
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1
+    ranked = scored.select(
+        "rel",
+        F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")).alias("pos"),
+    ).filter(F.col("pos") <= 10)
+    ideal = scored.select(
+        "rel",
+        F.row_number().over(Window.orderBy(F.col("rel").desc(), "doc_id")).alias("pos"),
+    ).filter(F.col("pos") <= 10)
+    contrib = gain / F.log2(F.col("pos") + 1)
+    dpiv = ranked.agg(
+        *[
+            F.max(F.when(F.col("pos") == p, contrib)).alias(f"c{p}")
+            for p in range(1, 11)
+        ]
+    )
+    ipiv = ideal.agg(
+        *[
+            F.max(F.when(F.col("pos") == p, contrib)).alias(f"i{p}")
+            for p in range(1, 11)
+        ]
+    )
+
+    def prefix(col: str, k: int):
+        e = F.coalesce(F.col(f"{col}1"), F.lit(0.0))
+        for p in range(2, k + 1):
+            e = e + F.coalesce(F.col(f"{col}{p}"), F.lit(0.0))
+        return e
+
+    both = dpiv.crossJoin(ipiv)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("bigint").alias("cutoff"),
+                F.round(prefix("c", k), 4).alias("dcg"),
+                F.round(prefix("i", k), 4).alias("idcg"),
+                F.round(prefix("c", k) / prefix("i", k), 4).alias("ndcg"),
+            )
+            for k in _NDCG_CUTOFFS
+        ]
+    )
+    return both.select(F.explode(rows).alias("r")).select(
+        "r.cutoff", "r.dcg", "r.idcg", "r.ndcg"
     )

@@ -659,3 +659,129 @@ def stream_windowed_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.end").cast("timestamp_ntz").alias("window_end"),
         "dau",
     )
+
+
+@register(
+    "stream_cdc_merge_with_deletes",
+    oracle=f"""
+    {EVENTS_CTE},
+    cdc AS (
+        SELECT user_id, ts, event_id AS seq,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error'  THEN 'D'
+                               ELSE 'U' END AS op,
+               value
+        FROM ev
+    ),
+    ranked AS (
+        SELECT user_id, seq, op, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, seq DESC) AS rn
+        FROM cdc
+    ),
+    counts AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_changes,
+               CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_deletes
+        FROM cdc GROUP BY user_id
+    )
+    SELECT r.user_id, r.value AS latest_value, r.seq AS latest_seq,
+           c.n_changes, c.n_deletes
+    FROM ranked r JOIN counts c ON r.user_id = c.user_id
+    WHERE r.rn = 1 AND r.op <> 'D'
+    """,
+)
+def stream_cdc_merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply WITH tombstones — the foreachBatch twin of
+    `mq_cdc_apply` (mq_envelope.py): the change stream (op codes
+    signup→I, error→D, else U) replays in 4 micro-batches, and each
+    batch MERGES into the keyed snapshot. The delete discipline every
+    real CDC materializer follows: tombstones are RETAINED in the
+    snapshot as ordinary versions (a batch is an arbitrary slice of the
+    stream, so a later batch can carry an OLDER update that the stored
+    tombstone must still beat) and keys whose newest op is a delete are
+    filtered only at READ time — the streaming analogue of
+    compaction-deferred deletes in Delta/Iceberg CDF.
+
+    Merge shape: per batch one groupBy(user_id) folding
+    max(struct(ts, seq, op, value)) — the lexicographic keep-newest
+    ordinal, struct-comparable so the snapshot∪batch re-merge is a plain
+    max — plus additive counts; snapshot commits are keyed by batch_id
+    (idempotent under foreachBatch's at-least-once replay contract,
+    same as `stream_foreachbatch_upsert`). The final snapshot must equal
+    the one-shot batch apply — the oracle IS `mq_cdc_apply`'s."""
+    import os
+
+    from spark_ibm_mq_spark.operators.mq_source import _scratch
+
+    d = _scratch("fb_cdc_")
+    src = os.path.join(d, "src")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.repartition(4).write.parquet(src)
+
+    applied: dict[int, str] = {}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:
+            return
+        cdc = batch_df.select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "signup", "I")
+            .when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+            .alias("op"),
+            "value",
+        )
+        agg = cdc.groupBy("user_id").agg(
+            F.max(F.struct("ts", "seq", "op", "value")).alias("last"),
+            F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_deletes"),
+        )
+        prev_ids = [b for b in applied if b < batch_id]
+        if prev_ids:
+            prev = batch_df.sparkSession.read.parquet(applied[max(prev_ids)])
+            agg = (
+                prev.unionByName(agg)
+                .groupBy("user_id")
+                .agg(
+                    F.max("last").alias("last"),
+                    F.sum("n_changes").cast("bigint").alias("n_changes"),
+                    F.sum("n_deletes").cast("bigint").alias("n_deletes"),
+                )
+            )
+        path = os.path.join(d, f"snap_b{batch_id}")
+        agg.write.mode("overwrite").parquet(path)
+        applied[batch_id] = path
+
+    q = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(applied) >= 4, f"expected >=4 merge rounds, got {len(applied)}"
+    return (
+        spark.read.parquet(applied[max(applied)])
+        .filter(F.col("last.op") != "D")
+        .select(
+            "user_id",
+            F.col("last.value").alias("latest_value"),
+            F.col("last.seq").alias("latest_seq"),
+            "n_changes",
+            "n_deletes",
+        )
+    )
