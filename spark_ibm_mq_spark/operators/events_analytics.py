@@ -1362,3 +1362,65 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonality_index"),
         )
     )
+
+
+@register(
+    "events_interarrival_hist",
+    oracle=f"""
+    {EVENTS_CTE},
+    gaps AS (
+        SELECT epoch_ms(ts)
+               - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS gap_ms
+        FROM ev
+    ),
+    pos AS (SELECT gap_ms FROM gaps WHERE gap_ms IS NOT NULL),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pos)
+    SELECT CAST(length(bin(gap_ms)) AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(count(*) * 1.0 / n, 4) AS share,
+           CAST(min(gap_ms) AS BIGINT) AS min_gap_ms,
+           CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+    FROM pos CROSS JOIN tot
+    GROUP BY length(bin(gap_ms)), n
+    """,
+)
+def events_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-bucketed inter-arrival-time histogram of per-user event gaps
+    — the burstiness profile that decides session timeout thresholds
+    (`win_sessionize_events`'s 30-minute gap) and streaming watermark
+    widths from DATA rather than folklore: bucket k holds gaps in
+    [2^(k−1), 2^k) milliseconds, so the histogram spans milliseconds to
+    weeks in ~40 rows.
+
+    Determinism: the bucket is `length(bin(gap_ms))` — the bit-length of
+    the integer gap — pure integer/string ops, NO floating log2, so
+    power-of-two boundary gaps land identically on both engines (a
+    float log2 can return 2.9999999999999996 for log2(8)). Plan: one
+    lag window on the (user_id) partitioning every events operator
+    shares, then a ~40-group aggregate."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ems = F.unix_millis(F.col("ts"))
+    gaps = ev.select((ems - F.lag(ems).over(w)).alias("gap_ms")).filter(
+        F.col("gap_ms").isNotNull()
+    )
+    tot = gaps.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        gaps.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.length(F.bin("gap_ms")).cast("bigint").alias("log2_bucket"), "n"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.min("gap_ms").cast("bigint").alias("min_gap_ms"),
+            F.max("gap_ms").cast("bigint").alias("max_gap_ms"),
+        )
+        .select(
+            "log2_bucket",
+            "n_gaps",
+            F.round(F.col("n_gaps") / F.col("n"), 4).alias("share"),
+            "min_gap_ms",
+            "max_gap_ms",
+        )
+    )

@@ -1208,3 +1208,62 @@ def pipeline_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(drift > 0.1, 1).otherwise(0).alias("drift_flag"),
         )
     )
+
+
+_MIX_ALPHA = 0.7  # temperature exponent (mT5/XLM-R-style mixing)
+
+
+@register(
+    "pipeline_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM counts),
+    p AS (
+        SELECT source, n_docs,
+               n_docs * 1.0 / t AS raw_share,
+               power(n_docs * 1.0 / t, {_MIX_ALPHA}) AS pw
+        FROM counts CROSS JOIN tot
+    )
+    SELECT source, n_docs,
+           round(raw_share, 4) AS raw_share,
+           round(pw / sum(pw) OVER (), 4) AS temp_share,
+           round((pw / sum(pw) OVER ()) / raw_share, 4) AS upsample_factor
+    FROM p
+    """,
+)
+def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source — the mT5/XLM-R
+    mixing rule q_i ∝ p_i^α (α = 0.7) that upsamples small sources and
+    damps dominant ones, the standard knob multilingual/multi-domain
+    pretraining mixes turn before `pipeline_domain_mix`-style sampling
+    materializes the plan. `upsample_factor` = q_i/p_i is the per-source
+    epoch multiplier a data loader applies.
+
+    Determinism: shares are one division each; `power(p, 0.7)` sits on
+    the ln/exp precedent (round(4) absorbs cross-engine libm ulps); the
+    Σp^α normalizer aggregates ~|sources| terms whose order-sensitivity
+    is ~1e-16 against 1e-4 granularity. Plan: one groupBy(source), a
+    1-row total broadcast, and an unpartitioned window sum over the
+    |sources|-row frame — nothing at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").cast("bigint").alias("t"))
+    p = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") / F.col("t")).alias("raw_share"),
+        F.pow(F.col("n_docs") / F.col("t"), F.lit(_MIX_ALPHA)).alias("pw"),
+    )
+    denom = F.sum("pw").over(Window.partitionBy())
+    return p.select(
+        "source",
+        "n_docs",
+        F.round("raw_share", 4).alias("raw_share"),
+        F.round(F.col("pw") / denom, 4).alias("temp_share"),
+        F.round((F.col("pw") / denom) / F.col("raw_share"), 4).alias(
+            "upsample_factor"
+        ),
+    )

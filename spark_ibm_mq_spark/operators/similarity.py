@@ -1117,3 +1117,64 @@ def sim_prefix_dim_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "emb_norm_profile",
+    oracle="""
+    WITH nrm AS (
+        SELECT vec_id,
+               sqrt(list_aggregate(
+                   list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))
+                   AS l2
+        FROM embeddings
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nrm)
+    SELECT CAST(floor(l2 * 10) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(count(*) * 1.0 / n, 4) AS share,
+           round(min(l2), 4) AS min_norm,
+           round(max(l2), 4) AS max_norm
+    FROM nrm CROSS JOIN tot
+    GROUP BY floor(l2 * 10), n
+    """,
+)
+def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution of the embedding column in 0.1-wide buckets —
+    the vector-quality screen run before any ANN index build: a spread-out
+    or bimodal norm profile means cosine and dot-product retrieval will
+    DISAGREE (norm carries signal), a spike near 0 flags dead/zero
+    vectors, and outlier buckets locate corrupt rows.
+
+    Determinism: the norm is the same in-order double fold on both
+    engines (the `_dot_sql` precedent), sqrt is IEEE-exact, so
+    floor(l2·10) bucketing is bit-identical — no float-boundary risk even
+    AT bucket edges. Plan: one mapInArrow-free columnar pass (higher-order
+    array expression, no UDF), a ~|buckets|-row aggregate, 1-row total
+    broadcast."""
+    e = load_table(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    nrm = spread(e, "vec_id").select("vec_id", l2.alias("l2"))
+    tot = nrm.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        nrm.crossJoin(F.broadcast(tot))
+        .groupBy(F.floor(F.col("l2") * 10).cast("bigint").alias("bucket"), "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.min("l2"), 4).alias("min_norm"),
+            F.round(F.max("l2"), 4).alias("max_norm"),
+        )
+        .select(
+            "bucket",
+            "n_vecs",
+            F.round(F.col("n_vecs") / F.col("n"), 4).alias("share"),
+            "min_norm",
+            "max_norm",
+        )
+    )
