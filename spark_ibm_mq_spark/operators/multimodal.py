@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from spark_ibm_mq_spark.registry import register
 from spark_ibm_mq_spark.tables import load_table
@@ -203,4 +203,113 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_frames",
         F.posexplode(frames).alias("sample_idx", "frame_no"),
+    )
+
+
+_PATCH = 16  # ViT-style patch edge (pixels)
+
+
+@register(
+    "mm_patch_grid_plan",
+    oracle=f"""
+    {_DECODE_ORACLE_CTE}
+    SELECT doc_id, width, height,
+           CAST((width  + {_PATCH} - 1) // {_PATCH} AS INTEGER) AS n_patches_x,
+           CAST((height + {_PATCH} - 1) // {_PATCH} AS INTEGER) AS n_patches_y,
+           CAST(((width  + {_PATCH} - 1) // {_PATCH})
+              * ((height + {_PATCH} - 1) // {_PATCH}) AS INTEGER) AS n_patches,
+           CAST(((width  + {_PATCH} - 1) // {_PATCH}) * {_PATCH} - width
+                AS INTEGER) AS pad_right,
+           CAST(((height + {_PATCH} - 1) // {_PATCH}) * {_PATCH} - height
+                AS INTEGER) AS pad_bottom
+    FROM dec
+    """,
+)
+def mm_patch_grid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-transformer patch tiling plan per decoded image: 16-px patch
+    grid dimensions, total patch count (the VISION TOKEN budget the packing
+    stage charges against, exactly as text tokens are budgeted), and the
+    right/bottom padding needed to reach whole patches — computed from the
+    decoded width/height, so a batch planner can bucket images by
+    sequence length WITHOUT touching pixels again.
+
+    All integer ceiling-division arithmetic ((w + P − 1) div P) — exact on
+    both engines; the oracle replays the fake decoder's digest-byte dims
+    in SQL. Plan: one projection over the mapInPandas decode output, no
+    shuffle."""
+    decoded = _decode_df(spark, sf_dir)
+    px = F.expr(f"CAST((width + {_PATCH} - 1) div {_PATCH} AS INT)")
+    py = F.expr(f"CAST((height + {_PATCH} - 1) div {_PATCH} AS INT)")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        px.alias("n_patches_x"),
+        py.alias("n_patches_y"),
+        (px * py).cast("int").alias("n_patches"),
+        (px * _PATCH - F.col("width")).cast("int").alias("pad_right"),
+        (py * _PATCH - F.col("height")).cast("int").alias("pad_bottom"),
+    )
+
+
+_SHARD_BYTES = 65536  # target shard payload size (64 KiB at fixture scale)
+
+
+@register(
+    "mm_webdataset_shard_plan",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    ),
+    offs AS (
+        SELECT doc_id, n_bytes,
+               CAST(sum(n_bytes) OVER (ORDER BY doc_id) AS BIGINT) - n_bytes
+                   AS byte_offset
+        FROM sized
+    )
+    SELECT CAST(byte_offset // {_SHARD_BYTES} AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM offs
+    GROUP BY byte_offset // {_SHARD_BYTES}
+    """,
+)
+def mm_webdataset_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard plan for webdataset/tar-style sequential packing of binary
+    payloads: documents are laid out in stable doc_id order and cut into
+    shards every 64 KiB of cumulative payload — each shard's membership,
+    size, and doc span, the manifest a downstream writer turns into
+    .tar shards for sequential-read training I/O (the multimodal
+    equivalent of `pipeline_pack_sequences`' token packing).
+
+    Determinism: the cut uses each doc's STARTING byte offset (running
+    sum minus own size — integer window arithmetic), so assignment is
+    exact on both engines and docs larger than a shard still land in
+    exactly one. Plan: one ordered window over (doc_id, n_bytes) pairs
+    — payload bytes never move, only their sizes; at 100 TB the order
+    key becomes (shard-dir, doc_id) and the window runs per directory."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n_bytes")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offs = sized.select(
+        "doc_id",
+        "n_bytes",
+        (F.sum("n_bytes").over(w).cast("bigint") - F.col("n_bytes")).alias(
+            "byte_offset"
+        ),
+    )
+    return (
+        offs.groupBy(
+            F.expr(f"CAST(byte_offset div {_SHARD_BYTES} AS BIGINT)").alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
     )

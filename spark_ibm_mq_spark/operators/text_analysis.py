@@ -808,3 +808,96 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(disp, 4).alias("dispersion"),
         )
     )
+
+
+@register(
+    "text_lang_trigram_similarity",
+    oracle="""
+    WITH lo AS (
+        SELECT lang, lower(trim(text)) AS lo FROM documents
+        WHERE length(trim(text)) >= 3
+    ),
+    tri AS (
+        SELECT lang, substr(lo, CAST(u.i AS INTEGER), 3) AS tri
+        FROM lo, LATERAL unnest(range(1, length(lo) - 1)) AS u(i)
+    ),
+    counts AS (
+        SELECT lang, tri, CAST(count(*) AS BIGINT) AS c
+        FROM tri WHERE NOT contains(tri, ' ') GROUP BY 1, 2
+    ),
+    nrm AS (SELECT lang, CAST(sum(c * c) AS BIGINT) AS n2 FROM counts GROUP BY 1),
+    dots AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(count(*) AS BIGINT) AS n_shared_trigrams,
+               CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        FROM counts a JOIN counts b ON a.tri = b.tri AND a.lang < b.lang
+        GROUP BY 1, 2
+    )
+    SELECT d.lang_a, d.lang_b, d.n_shared_trigrams, d.dot,
+           round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+    FROM dots d
+    JOIN nrm na ON d.lang_a = na.lang
+    JOIN nrm nb ON d.lang_b = nb.lang
+    """,
+)
+def text_lang_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-language character-trigram
+    profiles — the Cavnar–Trenkle feature space of `text_ngram_profile`
+    turned into a language DISTANCE matrix: near-1 pairs indicate langs a
+    trigram language-ID model will confuse (directly explaining the
+    off-diagonal mass in `text_lang_confusion`) or a mislabeled-corpus
+    problem; orthographically distinct languages sit near 0.
+
+    Exactness: trigram counts are exact ints, the dot product and both
+    norms are bigint sums (order-free), cosine = dot/(√n²·√n²) is IEEE
+    sqrt/mul/div — bit-identical, no rounding escape hatch. Plan shape:
+    trigram explode stays in the scan stage, ONE (lang, tri) map-side
+    combinable aggregate collapses the blow-up, and the pair join runs
+    on the |langs|·|alphabet|³-bounded counts frame — pair volume is
+    Σ_tri (langs sharing it)², bounded by |langs|² per trigram, never
+    corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    lo = F.lower(F.trim("text"))
+    docs = d.select("lang", lo.alias("lo")).filter(F.length("lo") >= 3)
+    counts = (
+        spread(docs, "lang")
+        .select(
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("lo") - 2),
+                    lambda i: F.col("lo").substr(i, F.lit(3)),
+                )
+            ).alias("tri"),
+        )
+        .filter(~F.col("tri").contains(" "))
+        .groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    nrm = counts.groupBy("lang").agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2"))
+    a = counts.select(F.col("lang").alias("lang_a"), "tri", F.col("c").alias("ca"))
+    b = counts.select(F.col("lang").alias("lang_b"), "tri", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "tri")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_trigrams"),
+            F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"),
+        )
+    )
+    na = nrm.select(F.col("lang").alias("lang_a"), F.col("n2").alias("n2a"))
+    nb = nrm.select(F.col("lang").alias("lang_b"), F.col("n2").alias("n2b"))
+    return (
+        dots.join(F.broadcast(na), "lang_a")
+        .join(F.broadcast(nb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_shared_trigrams",
+            "dot",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b"))), 4
+            ).alias("cosine"),
+        )
+    )
