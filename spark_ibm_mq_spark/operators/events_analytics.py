@@ -1424,3 +1424,174 @@ def events_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_gap_ms",
         )
     )
+
+
+@register(
+    "events_seasonal_decompose",
+    oracle=_DAILY_CTE + """,
+    win AS (
+        SELECT d, x,
+               CAST(sum(x) OVER (ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+               count(*) OVER (ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
+        FROM daily
+    ),
+    det AS (
+        SELECT CAST(isodow(d) AS BIGINT) AS iso_dow, 7 * x - s7 AS num
+        FROM win WHERE w = 7
+    )
+    SELECT iso_dow,
+           CAST(count(*) AS BIGINT) AS n_days_used,
+           CAST(sum(num) AS BIGINT) AS detrended_sum_x7,
+           round(sum(num) * 1.0 / (7 * count(*)), 4) AS seasonal
+    FROM det GROUP BY iso_dow
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical (moving-average) seasonal decomposition, the additive
+    day-of-week component: detrend daily volume with a CENTERED 7-day
+    moving average, then average the residuals per ISO weekday — the
+    seasonal term of an STL-style decomposition, computed relationally.
+    `events_dow_seasonality` gives the multiplicative index; this gives
+    the additive component a forecaster subtracts.
+
+    Exactness: the detrended residual x − MA₇ = (7x − S₇)/7 keeps an
+    INTEGER numerator (7x − S₇, bigint), so the per-dow mean is
+    Σnum / (7·n) — exact integer aggregates, ONE division, round(4).
+    Edge days without a full 7-day window are excluded (w = 7), matching
+    the classical definition. Plan: one centered window + a ≤7-group
+    aggregate over the tiny daily frame."""
+    daily, _tot = _daily_counts(spark, sf_dir)
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    win = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(w7).cast("bigint").alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("w"),
+    )
+    det = win.filter(F.col("w") == 7).select(
+        (F.expr("weekday(d)") + 1).cast("bigint").alias("iso_dow"),
+        (7 * F.col("x") - F.col("s7")).alias("num"),
+    )
+    return det.groupBy("iso_dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_used"),
+        F.sum("num").cast("bigint").alias("detrended_sum_x7"),
+        F.round(F.sum("num") / (7 * F.count(F.lit(1))), 4).alias("seasonal"),
+    )
+
+
+@register(
+    "events_survival_km",
+    oracle=f"""
+    {EVENTS_CTE},
+    spans AS (
+        SELECT user_id,
+               CAST(min(ts) AS TIMESTAMP) AS t0,
+               CAST(max(ts) AS TIMESTAMP) AS t_last,
+               CAST(min(CASE WHEN event_type = 'error' THEN ts END)
+                    AS TIMESTAMP) AS t_err
+        FROM ev GROUP BY user_id
+    ),
+    durs AS (
+        SELECT user_id,
+               CAST(datediff('day', CAST(t0 AS DATE),
+                    CAST(coalesce(t_err, t_last) AS DATE)) AS BIGINT) AS dur,
+               CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END AS death
+        FROM spans
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM durs),
+    ex AS (
+        SELECT dur, CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(death) AS BIGINT) AS d
+        FROM durs GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, m, d,
+               n0 - (CAST(sum(m) OVER (ORDER BY dur) AS BIGINT) - m) AS n_at_risk
+        FROM ex CROSS JOIN tot
+    ),
+    km AS (
+        SELECT dur, n_at_risk, d,
+               CASE WHEN min(1.0 - d * 1.0 / n_at_risk) OVER (ORDER BY dur) <= 0
+                    THEN 0.0
+                    ELSE round(exp(sum(ln(CASE WHEN 1.0 - d * 1.0 / n_at_risk > 0
+                                               THEN 1.0 - d * 1.0 / n_at_risk
+                                               ELSE 1.0 END))
+                               OVER (ORDER BY dur)), 4) END AS survival
+        FROM risk
+    )
+    SELECT dur AS t_days, n_at_risk, d AS n_deaths, survival
+    FROM km
+    WHERE d > 0
+    ORDER BY dur
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-error per user (the
+    churn proxy — the same `error` op the CDC family treats as the
+    delete/retract signal): users censor at their last observed event if
+    they never error. S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) — the estimator that
+    handles censoring correctly where a naive "fraction errored by day t"
+    silently treats still-active users as immortal.
+
+    Plan shape: one groupBy(user_id) span aggregate (min/max/conditional
+    min in a single pass), a ~|distinct days| exit table, and the risk
+    set nᵢ = N − (exits before tᵢ) from ONE ordered window — no
+    correlated subquery, no per-time re-scan. The product becomes
+    exp(Σ ln(1−dᵢ/nᵢ)) over the ordered window (both engines); the ln/exp
+    pair sits on the PMI/entropy round(4) precedent, with each factor's
+    d/n an exact-integer division. Censoring rows (d=0) drop from the
+    output but participate in the risk denominators via the exit
+    table."""
+    ev = _events(spark, sf_dir)
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t_last"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias("t_err"),
+    )
+    durs = spans.select(
+        F.datediff(
+            F.to_date(F.coalesce("t_err", "t_last")), F.to_date("t0")
+        )
+        .cast("bigint")
+        .alias("dur"),
+        F.when(F.col("t_err").isNotNull(), 1).otherwise(0).alias("death"),
+    )
+    tot = durs.agg(F.count(F.lit(1)).cast("bigint").alias("n0"))
+    ex = durs.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("death").cast("bigint").alias("d"),
+    )
+    wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = ex.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "m",
+        "d",
+        (F.col("n0") - (F.sum("m").over(wc).cast("bigint") - F.col("m"))).alias(
+            "n_at_risk"
+        ),
+    )
+    factor = 1.0 - F.col("d") / F.col("n_at_risk")
+    # a time where d == n zeroes the curve from there on; ln(0) is an
+    # error in DuckDB, so the dead tail is a running-min CASE and the
+    # ln/exp product only ever sees strictly positive factors
+    surv = F.when(F.min(factor).over(wc) <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.exp(
+                F.sum(F.log(F.when(factor > 0, factor).otherwise(F.lit(1.0)))).over(wc)
+            ),
+            4,
+        )
+    )
+    return (
+        risk.withColumn("survival", surv)
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("dur").alias("t_days"),
+            "n_at_risk",
+            F.col("d").alias("n_deaths"),
+            "survival",
+        )
+        .orderBy("t_days")
+    )

@@ -452,3 +452,97 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(in_tol, F.round(gap_ms / 1000.0, 4)).alias("gap_s"),
         )
     )
+
+
+@register(
+    "join_nearest_event",
+    oracle=f"""
+    {EVENTS_CTE},
+    p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+          FROM ev WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+          FROM ev WHERE event_type = 'click'),
+    cand AS (
+        SELECT p.p_id, p.user_id, c.c_id,
+               epoch_ms(c.c_ts) - epoch_ms(p.p_ts) AS delta_ms,
+               abs(epoch_ms(c.c_ts) - epoch_ms(p.p_ts)) AS abs_ms,
+               CASE WHEN c.c_ts <= p.p_ts THEN 0 ELSE 1 END AS side
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND abs(epoch_ms(c.c_ts) - epoch_ms(p.p_ts)) <= 3600000
+    ),
+    best AS (
+        SELECT p_id, user_id, c_id, delta_ms,
+               row_number() OVER (
+                   PARTITION BY p_id
+                   ORDER BY abs_ms, side,
+                            CASE WHEN side = 0 THEN -c_id ELSE c_id END) AS rn
+        FROM cand
+    )
+    SELECT p.p_id, p.user_id,
+           b.c_id AS nearest_click_id,
+           b.delta_ms
+    FROM p LEFT JOIN best b ON p.p_id = b.p_id AND b.rn = 1
+    """,
+)
+def join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor temporal join, BOTH directions: each purchase is
+    matched to its nearest click within ±1 hour — before OR after —
+    preferring the smaller |Δt|, ties toward the latest preceding click,
+    then the earliest following one. The symmetric sibling of the as-of
+    join (`join_asof_click_before_purchase` is backward-only): the shape
+    used for sensor alignment and "which touchpoint was closest to the
+    conversion" attribution. Purchases with no click in the window keep
+    NULLs (left-total).
+
+    The ORACLE states the banded interval join + per-purchase argmin;
+    the Spark plan is the union-interleave MERGE: one (user_id) shuffle,
+    clicks and purchases sort together, a backward carry (`last`
+    ignorenulls, same-ts clicks sorting before the purchase) and a
+    forward carry (`first` ignorenulls over the following frame) land
+    both candidates on each purchase row, and a row-local comparison
+    picks the nearer — O(n log n) per user, NO (purchase × candidate)
+    pair blowup, the only formulation that survives dense event streams
+    at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    merged = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("kind"),
+    )
+    order = [F.col("ts"), F.col("kind"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click = F.when(F.col("kind") == 0, F.struct("ts", "event_id"))
+    ems = F.unix_millis(F.col("ts"))
+    rows = (
+        merged.withColumn("back", F.last(click, ignorenulls=True).over(wb))
+        .withColumn("fwd", F.first(click, ignorenulls=True).over(wf))
+        .filter(F.col("kind") == 1)
+    )
+    back_d = ems - F.unix_millis(F.col("back.ts"))
+    fwd_d = F.unix_millis(F.col("fwd.ts")) - ems
+    use_back = F.col("back").isNotNull() & (
+        F.col("fwd").isNull() | (back_d <= fwd_d)
+    )
+    chosen_id = F.when(use_back, F.col("back.event_id")).otherwise(
+        F.col("fwd.event_id")
+    )
+    chosen_delta = F.when(use_back, -back_d).otherwise(fwd_d)
+    in_window = F.abs(chosen_delta) <= 3600000
+    return rows.select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.when(in_window, chosen_id).alias("nearest_click_id"),
+        F.when(in_window, chosen_delta).alias("delta_ms"),
+    )

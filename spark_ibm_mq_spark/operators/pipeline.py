@@ -1267,3 +1267,60 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "upsample_factor"
         ),
     )
+
+
+@register(
+    "pipeline_quality_dup_correlation",
+    oracle="""
+    WITH h AS (SELECT doc_id, n_chars, sha256(text) AS hh FROM documents),
+    cnt AS (SELECT hh, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY 1),
+    dec AS (
+        SELECT doc_id, n_chars, hh,
+               ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        FROM h
+    )
+    SELECT CAST(decile AS BIGINT) AS length_decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_duplicated,
+           round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS dup_rate
+    FROM dec JOIN cnt USING (hh)
+    GROUP BY decile
+    """,
+)
+def pipeline_quality_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate rate per document-length decile — the diagnostic that
+    tells a pipeline WHERE its duplication lives (short boilerplate docs
+    duplicate far more than long-form text in real corpora), which
+    decides whether dedup should run before or after the length gate and
+    how much budget the near-dup pass deserves per stratum.
+
+    Plan shape: one sha256 hash-groupBy for copy counts (32-byte keys,
+    bodies never shuffle), one ntile window on the narrow (n_chars,
+    doc_id) frame, one 10-group rollup. All counts integer; dup_rate is
+    one division under round(4); ntile ties are broken by doc_id so
+    decile assignment is deterministic on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", "n_chars", F.sha2("text", 256).alias("hh"))
+    cnt = h.groupBy("hh").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    dec = h.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("n_chars", "doc_id"))
+    )
+    return (
+        dec.join(cnt, "hh")
+        .groupBy(F.col("decile").cast("bigint").alias("length_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_duplicated"),
+            F.round(
+                F.sum(F.when(F.col("c") > 1, 1).otherwise(0)) / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+        )
+    )

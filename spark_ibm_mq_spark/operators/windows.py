@@ -565,3 +565,70 @@ def win_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.min_by("start_day", ordinal).cast("bigint").alias("best_streak_start"),
     )
+
+
+@register(
+    "win_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    run AS (
+        SELECT d, CAST(sum(cents) OVER (ORDER BY d) AS BIGINT) AS c
+        FROM daily
+    ),
+    cum AS (
+        SELECT d, c, CAST(max(c) OVER (ORDER BY d) AS BIGINT) AS peak
+        FROM run
+    )
+    SELECT d AS trough_day,
+           round(peak / 100.0, 4) AS peak_revenue,
+           round(c / 100.0, 4) AS cum_revenue,
+           CAST(peak - c AS BIGINT) AS drawdown_cents,
+           round((peak - c) * 1.0 / peak, 4) AS drawdown_frac
+    FROM cum
+    ORDER BY peak - c DESC, d
+    LIMIT 5
+    """,
+)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative daily revenue — running peak minus
+    current cumulative, the worst-slump metric finance borrows to any
+    cumulative KPI (here: the five deepest troughs with their peaks).
+
+    Exactness: revenue converts to INTEGER CENTS per row (floor(x·100+.5)
+    — identical double ops both engines) before any aggregation, so the
+    daily sums, running sum, running max, and the drawdown itself are all
+    bigint — order-free and overflow-safe to ~9·10¹⁶ cents; only the two
+    display divisions are float. Ranking by the integer drawdown makes the
+    top-5 cut deterministic (day tie-break). Plan: one daily aggregate,
+    one ordered window over the ~|days| frame computing running sum and
+    running-max-of-running-sum together, TakeOrdered(5)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents_row = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(cents_row).cast("bigint").alias("cents")
+    )
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "d",
+        F.sum("cents").over(wc).cast("bigint").alias("c"),
+    ).select(
+        "d", "c", F.max("c").over(wc).cast("bigint").alias("peak")
+    )
+    return (
+        cum.select(
+            F.col("d").alias("trough_day"),
+            F.round(F.col("peak") / 100.0, 4).alias("peak_revenue"),
+            F.round(F.col("c") / 100.0, 4).alias("cum_revenue"),
+            (F.col("peak") - F.col("c")).cast("bigint").alias("drawdown_cents"),
+            F.round((F.col("peak") - F.col("c")) / F.col("peak"), 4).alias(
+                "drawdown_frac"
+            ),
+        )
+        .orderBy(F.col("drawdown_cents").desc(), "trough_day")
+        .limit(5)
+    )
