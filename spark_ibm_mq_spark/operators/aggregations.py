@@ -1171,3 +1171,65 @@ def agg_ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round((a / b) * (a / c), 4).alias("r_squared"),
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority AS priority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders
+    ),
+    bounds AS (
+        SELECT priority,
+               quantile_cont(c, 0.05) AS lo,
+               quantile_cont(c, 0.95) AS hi
+        FROM cents GROUP BY priority
+    )
+    SELECT c.priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(c.c) / 100.0, 4) AS raw_mean,
+           round(avg(least(greatest(c.c * 1.0, b.lo), b.hi)) / 100.0, 4)
+               AS winsorized_mean,
+           CAST(sum(CASE WHEN c.c * 1.0 < b.lo OR c.c * 1.0 > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM cents c JOIN bounds b ON c.priority = b.priority
+    GROUP BY c.priority
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of order totals per priority: values below the 5th
+    / above the 95th percentile are CLAMPED to those bounds before
+    averaging — the robust center that, unlike trimming, keeps n constant
+    and unlike the median still moves with the bulk of the distribution;
+    the raw mean rides along to show the outlier pull.
+
+    Exactness: values convert to integer cents first; the percentile
+    bounds come from `percentile`/`quantile_cont` (both engines use the
+    same linear-interpolation definition — the `win_rolling_median`
+    precedent); clamp and the two means are identical op sequences under
+    round(4). Plan: two passes over a 5-group key — one percentile
+    aggregate (array buffer per group), one clamped mean re-using the
+    broadcast bounds; no window, no sort of the full table."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    bounds = cents.groupBy("priority").agg(
+        F.expr("percentile(c, 0.05)").alias("lo"),
+        F.expr("percentile(c, 0.95)").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("c") * 1.0, F.col("lo")), F.col("hi"))
+    out_of = (F.col("c") * 1.0 < F.col("lo")) | (F.col("c") * 1.0 > F.col("hi"))
+    return (
+        cents.join(F.broadcast(bounds), "priority")
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.avg("c") / 100.0, 4).alias("raw_mean"),
+            F.round(F.avg(clamped) / 100.0, 4).alias("winsorized_mean"),
+            F.sum(F.when(out_of, 1).otherwise(0)).cast("bigint").alias("n_clamped"),
+        )
+    )

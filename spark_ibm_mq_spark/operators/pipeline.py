@@ -1324,3 +1324,88 @@ def pipeline_quality_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("dup_rate"),
         )
     )
+
+
+_LEN_THRESHOLDS = (25, 50, 100, 150)
+
+
+@register(
+    "pipeline_length_filter_ablation",
+    oracle=f"""
+    WITH sized AS (
+        SELECT n_chars,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_toks
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_toks) AS BIGINT) AS tk
+        FROM sized
+    )
+    {" UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS min_chars, "
+        f"CAST(count(*) FILTER (n_chars >= {t}) AS BIGINT) AS n_docs_kept, "
+        f"CAST(coalesce(sum(n_toks) FILTER (n_chars >= {t}), 0) AS BIGINT) "
+        f"    AS n_tokens_kept, "
+        f"round(count(*) FILTER (n_chars >= {t}) * 1.0 / any_value(n), 4) "
+        f"    AS doc_survival, "
+        f"round(coalesce(sum(n_toks) FILTER (n_chars >= {t}), 0) * 1.0 "
+        f"    / any_value(tk), 4) AS token_survival "
+        f"FROM sized CROSS JOIN tot"
+        for t in _LEN_THRESHOLDS)}
+    """,
+)
+def pipeline_length_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep ablation for the minimum-length quality gate: for
+    each candidate cutoff, the docs AND tokens that would survive — the
+    table a pipeline owner actually reads before picking the gate
+    (doc-survival and token-survival diverge because long docs carry
+    disproportionate tokens; gates are chosen on the token curve).
+
+    Plan shape: ONE scan computes per-doc token counts; all four
+    thresholds evaluate as conditional aggregates over the same frame
+    (Catalyst shares the pass), exploded to one row per threshold — the
+    sweep costs one aggregate, not |thresholds| scans. All counts
+    bigint; survivals are one division each under round(4)."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "n_chars", F.size(tokens("text")).cast("bigint").alias("n_toks")
+    )
+    agg = sized.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_toks").cast("bigint").alias("tk"),
+        *[
+            e
+            for t in _LEN_THRESHOLDS
+            for e in (
+                F.sum(F.when(F.col("n_chars") >= t, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"d{t}"),
+                F.coalesce(
+                    F.sum(F.when(F.col("n_chars") >= t, F.col("n_toks"))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias(f"t{t}"),
+            )
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("bigint").alias("min_chars"),
+                F.col(f"d{t}").alias("n_docs_kept"),
+                F.col(f"t{t}").alias("n_tokens_kept"),
+                F.round(F.col(f"d{t}") / F.col("n"), 4).alias("doc_survival"),
+                F.round(F.col(f"t{t}") / F.col("tk"), 4).alias("token_survival"),
+            )
+            for t in _LEN_THRESHOLDS
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.min_chars",
+        "r.n_docs_kept",
+        "r.n_tokens_kept",
+        "r.doc_survival",
+        "r.token_survival",
+    )

@@ -632,3 +632,90 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("drawdown_cents").desc(), "trough_day")
         .limit(5)
     )
+
+
+_RC_WIN = 14  # rolling correlation window (days)
+
+
+@register(
+    "win_rolling_corr",
+    oracle=f"""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM ev GROUP BY 1
+    ),
+    roll AS (
+        SELECT d, x, y,
+               CAST(count(*) OVER w AS BIGINT)      AS n,
+               CAST(sum(x) OVER w AS BIGINT)        AS sx,
+               CAST(sum(y) OVER w AS BIGINT)        AS sy,
+               CAST(sum(x * x) OVER w AS BIGINT)    AS sxx,
+               CAST(sum(y * y) OVER w AS BIGINT)    AS syy,
+               CAST(sum(x * y) OVER w AS BIGINT)    AS sxy
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN {_RC_WIN - 1} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT d, x AS clicks, y AS purchases,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4)
+               AS rolling_corr
+    FROM roll
+    WHERE n = {_RC_WIN}
+      AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson correlation between daily clicks and daily
+    purchases — the co-movement monitor that flags funnel decoupling (a
+    day where clicks rise but purchases stop following) long before
+    absolute volume alarms fire.
+
+    Exactness: all five rolling moments (Σx, Σy, Σx², Σy², Σxy) are
+    BIGINT window sums of integer daily counts — order-free — and the
+    correlation is one fixed expression of them (sqrt/mul/div, IEEE
+    exact) under round(4): no float accumulation anywhere. Windows with
+    zero variance on either side are excluded (both engines would 0/0
+    differently). Plan: one daily aggregate computing both series in a
+    single conditional pass, one ordered window over the ~|days| frame
+    computing all five moments together."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    w = Window.orderBy("d").rowsBetween(-(_RC_WIN - 1), Window.currentRow)
+    roll = daily.select(
+        "d",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        roll.filter((F.col("n") == _RC_WIN) & (vx > 0) & (vy > 0))
+        .select(
+            "d",
+            F.col("x").alias("clicks"),
+            F.col("y").alias("purchases"),
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 4).alias("rolling_corr"),
+        )
+    )
