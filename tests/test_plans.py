@@ -502,3 +502,73 @@ def test_stickiness_band_join_is_bucketized_equi(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+
+
+# ---------------------------------------------------------------- r8 families
+
+
+def test_cdc_apply_single_aggregation_no_window(spark):
+    """mq_cdc_apply's keep-newest must be ONE hash/sort aggregation on the
+    replication key (struct-ordinal max), not a window + filter — no
+    Window node, no join, no cartesian."""
+    df = registry.QUERIES["mq_cdc_apply"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    assert not has_cartesian(df)
+    (cols,) = read_schema_columns(df)
+    assert "props" not in cols and "event_type" in cols  # pruned to needs
+
+
+def test_triangle_count_all_equi_joins(spark):
+    """The oriented wedge-close must be hash/equi-joinable end to end —
+    a single OR-condition in the closing join degrades to BNLJ and the
+    plan dies at scale."""
+    df = registry.QUERIES["graph_triangle_count"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_jaccard_link_prediction_no_all_pairs(spark):
+    df = registry.QUERIES["graph_jaccard_link_prediction"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_benford_prunes_to_one_column(spark):
+    df = registry.QUERIES["agg_benford_first_digit"](spark, SF_DIR)
+    for cols in read_schema_columns(df):
+        assert cols == ["o_totalprice"], cols
+
+
+def test_correlation_matrix_single_scan(spark):
+    """Six corr accumulators must share ONE scan/aggregate — no self-join
+    of lineitem per pair."""
+    df = registry.QUERIES["agg_correlation_matrix"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_length_ablation_single_scan(spark):
+    """The 4-threshold sweep must be one conditional aggregate, not one
+    scan per threshold."""
+    df = registry.QUERIES["pipeline_length_filter_ablation"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_nearest_event_is_merge_not_pair_join(spark):
+    """join_nearest_event must be the union-interleave merge: one
+    (user_id) exchange feeding window carries — no (purchase × click)
+    pair join in the plan."""
+    df = registry.QUERIES["join_nearest_event"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
+    assert "Window" in plan
+
+
+def test_minhash_recall_eval_no_cartesian(spark):
+    df = registry.QUERIES["dedup_minhash_recall_eval"](spark, SF_DIR)
+    assert not has_cartesian(df)
