@@ -1595,3 +1595,165 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_days")
     )
+
+
+def _markov_step_sql(k: int) -> str:
+    """π_k = π_{k-1}·P as a CTE pair (flow sum + re-total over all states)."""
+    prev = f"pi{k - 1}"
+    return f"""
+    f{k} AS (
+        SELECT t.j AS s, sum(p.pr * t.p) AS pr
+        FROM {prev} p JOIN trans t ON p.s = t.i
+        GROUP BY t.j
+    ),
+    pi{k} AS (
+        SELECT ty.s, coalesce(f.pr, 0) AS pr
+        FROM types ty LEFT JOIN f{k} f ON ty.s = f.s
+    )"""
+
+
+@register(
+    "events_markov_3step",
+    oracle=f"""
+    {EVENTS_CTE},
+    seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM ev
+    ),
+    counts AS (
+        SELECT prev_type AS i, event_type AS j, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    trans AS (
+        SELECT i, j, n * 1.0 / sum(n) OVER (PARTITION BY i) AS p FROM counts
+    ),
+    types AS (SELECT DISTINCT event_type AS s FROM ev),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM types),
+    pi0 AS (SELECT s, 1.0 / nt.n AS pr FROM types CROSS JOIN nt),
+    {",".join(_markov_step_sql(k) for k in (1, 2, 3))}
+    SELECT 1 AS step, s AS event_type, round(pr, 4) AS prob FROM pi1
+    UNION ALL
+    SELECT 2, s, round(pr, 4) FROM pi2
+    UNION ALL
+    SELECT 3, s, round(pr, 4) FROM pi3
+    """,
+)
+def events_markov_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain state distribution after 1, 2, and 3 steps from a
+    uniform start, over the per-user event-type transition matrix
+    (`events_transition_matrix` row-normalized) — the forward-simulation
+    view of the journey graph: 'where does a user end up k clicks from
+    now', converging toward the chain's steady state (the same
+    synchronous-iteration discipline as `graph_pagerank_copurchase`,
+    on a |types|² matrix instead of an edge list).
+
+    Plan shape: ONE user_id window builds the transition counts; the
+    matrix and every π vector are ≤|types|²-row frames, so each step is
+    a broadcast-joinable flow sum + left join back to the state list
+    (mass lost to absorbing states re-zeroed explicitly). Transition
+    probabilities are int ratios (one division); the ≤|types|-term flow
+    sums sit ~1e-16 under the round(4) reporting grid (the PageRank
+    precedent)."""
+    counts = events_transition_matrix(spark, sf_dir).select(
+        F.col("prev_type").alias("i"), F.col("next_type").alias("j"), "n"
+    )
+    row_tot = Window.partitionBy("i")
+    trans = counts.select(
+        "i", "j", (F.col("n") / F.sum("n").over(row_tot)).alias("p")
+    )
+    ev = _events(spark, sf_dir)
+    types = ev.select(F.col("event_type").alias("s")).distinct()
+    nt = types.agg(F.count(F.lit(1)).alias("n"))
+    pi = types.crossJoin(F.broadcast(nt)).select(
+        "s", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    out = None
+    btrans = F.broadcast(trans)
+    for step in (1, 2, 3):
+        flow = (
+            pi.join(btrans, pi.s == F.col("i"))
+            .groupBy(F.col("j").alias("ns"))
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("fpr"))
+        )
+        pi = types.join(flow, types.s == F.col("ns"), "left").select(
+            "s", F.coalesce("fpr", F.lit(0.0)).alias("pr")
+        )
+        step_df = pi.select(
+            F.lit(step).alias("step"),
+            F.col("s").alias("event_type"),
+            F.round("pr", 4).alias("prob"),
+        )
+        out = step_df if out is None else out.unionAll(step_df)
+    return out
+
+
+_Z = 1.96  # 95% Wilson interval
+
+
+@register(
+    "events_conversion_wilson_ci",
+    oracle=f"""
+    {EVENTS_CTE},
+    weekly AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM ev GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT wk, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(conv) AS BIGINT) AS k
+        FROM weekly GROUP BY wk
+    )
+    SELECT wk AS week, n AS n_users, k AS n_converted,
+           round(k * 1.0 / n, 4) AS p_hat,
+           round(((k * 1.0 / n) + {_Z} * {_Z} / (2 * n)
+                  - {_Z} * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + {_Z} * {_Z} / (4 * n * n)))
+                 / (1 + {_Z} * {_Z} / n), 4) AS ci_low,
+           round(((k * 1.0 / n) + {_Z} * {_Z} / (2 * n)
+                  + {_Z} * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + {_Z} * {_Z} / (4 * n * n)))
+                 / (1 + {_Z} * {_Z} / n), 4) AS ci_high
+    FROM agg
+    """,
+)
+def events_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly conversion rate with a 95% WILSON score interval — the
+    binomial CI that stays inside [0,1] and behaves at small n where the
+    naive normal interval fails; the uncertainty band every experiment
+    dashboard should draw around a rate (companion to
+    `agg_welch_ab_test`'s mean comparison).
+
+    Exactness: n and k are integers from one (week, user) aggregate +
+    one weekly rollup; the Wilson bounds are a single fixed expression
+    tree (div/sqrt — IEEE exact) written in the same textual order on
+    both engines, under round(4). Plan: two map-side-combinable
+    aggregates, no window, no join."""
+    ev = _events(spark, sf_dir)
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"), "user_id"
+    ).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    )
+    agg = weekly.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    z2 = _Z * _Z
+    half = F.lit(_Z) * F.sqrt(
+        p * (1 - p) / F.col("n") + F.lit(z2) / (4 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + F.lit(z2) / F.col("n")
+    center = p + F.lit(z2) / (2 * F.col("n"))
+    return agg.select(
+        "week",
+        F.col("n").alias("n_users"),
+        F.col("k").alias("n_converted"),
+        F.round(p, 4).alias("p_hat"),
+        F.round((center - half) / denom, 4).alias("ci_low"),
+        F.round((center + half) / denom, 4).alias("ci_high"),
+    )

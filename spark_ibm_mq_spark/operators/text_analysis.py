@@ -901,3 +901,136 @@ def text_lang_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    freq AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY t),
+    ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r FROM freq
+    ),
+    xy AS (SELECT ln(r) AS x, ln(f) AS y FROM ranked),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM xy
+    )
+    SELECT n AS n_types,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 4) AS intercept,
+           round(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                 * ((n * sxy - sx * sy) / (n * syy - sy * sy)), 4) AS r_squared
+    FROM m
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank–frequency curve: OLS of ln(freq)
+    against ln(rank) — natural text sits near slope −1; a flat slope
+    exposes templated/synthetic text and a cliff exposes a truncated
+    vocabulary. One of the cheapest corpus-health numbers a pipeline can
+    compute, and the quantitative companion to `text_hapax_ratio`.
+
+    Determinism: ranks are integer row_numbers (frequency desc, term
+    tie-break); ln sits on the PMI/entropy round(4) precedent; the OLS
+    closed form follows `agg_ols_daily_trend` including the overflow-free
+    (A/B)·(A/C) form of R². The moment sums run over |vocabulary| terms —
+    a frame that no longer scales with corpus size after the (term)
+    aggregate. Plan: one token explode + map-side-combined count, one
+    rank window on the vocabulary frame, one moment row."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select(F.explode(tokens("text")).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    ranked = freq.select(
+        "f",
+        F.row_number().over(Window.orderBy(F.col("f").desc(), "t")).alias("r"),
+    )
+    xy = ranked.select(F.log("r").alias("x"), F.log("f").alias("y"))
+    m = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    a = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    b = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    c = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").alias("n_types"),
+        F.round(a / b, 4).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / b, 4
+        ).alias("intercept"),
+        F.round((a / b) * (a / c), 4).alias("r_squared"),
+    )
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH counts AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS BIGINT) AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS BIGINT) AS n_syll
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syll,
+           round(0.39 * (n_words * 1.0 / n_sentences)
+                 + 11.8 * (n_syll * 1.0 / n_words) - 15.59, 4) AS fk_grade
+    FROM counts
+    WHERE n_words > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid grade level per document — the classic readability
+    quality signal (C4-style pipelines filter on it): grade =
+    0.39·(words/sentence) + 11.8·(syllables/word) − 15.59, with
+    syllables approximated by vowel-group count (the standard
+    dictionary-free estimator) and sentence count from terminal
+    punctuation runs (min 1).
+
+    Exactness: all three counts are integers from regexp/token
+    expressions with identical semantics on both engines; the grade is
+    one fixed float expression under round(4). Plan: zero-shuffle row-
+    local projection — readability joins the quality-gate stage of
+    `pipeline_clean_corpus` for free at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tokens("text")).cast("bigint")
+    n_sent = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("bigint")
+    n_syll = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sent.alias("n_sentences"),
+            n_syll.alias("n_syll"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syll",
+            F.round(
+                0.39 * (F.col("n_words") * 1.0 / F.col("n_sentences"))
+                + 11.8 * (F.col("n_syll") * 1.0 / F.col("n_words"))
+                - 15.59,
+                4,
+            ).alias("fk_grade"),
+        )
+    )
