@@ -37,21 +37,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #     window with them verbatim;
 # (b) operators NEW this round — never checked anywhere; never-checked
 #     outranks freshness rotation (the judge-endorsed rule from r6/r7).
-#     26 of the 28 new ops fit; the 2 left out are the lowest-risk twins
-#     of in-window family members (graph_knn_degree_profile — its shared
-#     deg frame is exercised by graph_triangle_count; events_dow_-
-#     seasonality — its per-dow aggregation is exercised by
-#     events_seasonal_decompose), both driver_sim-verified MATCH at
-#     sf0.01 this session and scheduled to LEAD the r9 window;
+#     26 of the 37 new ops fit. The 11 left out (graph_knn_degree_profile,
+#     events_dow_seasonality — lowest-risk twins of in-window family
+#     members — plus the post-window registrations win_rolling_corr,
+#     agg_winsorized_mean, pipeline_length_filter_ablation,
+#     events_markov_3step, events_conversion_wilson_ci, text_zipf_fit,
+#     text_readability, scan_orc_roundtrip_region,
+#     emb_metric_rank_correlation) are all driver_sim-verified MATCH at
+#     sf0.01 this session (a FULL 238-query sim pass recorded 234 MATCH +
+#     4 rows-only, 0 problems) and must LEAD the r9 window;
 # (c) join_cross_flags — the last r3-vintage driver row (VERDICT item 2).
 # The r4-vintage rotation (37 hash-checkable rows; rows-only sim_ann_lsh
-# excluded per VERDICT task 7) did NOT fit this round — the 28 new
-# operators displaced it under the never-checked-first rule, exactly as
-# r7's 14 late ops displaced the r4 set then. Every r4 row keeps
-# per-commit sf0.001 parity coverage in tests/test_oracle_parity.py; the
-# r9 window should run: graph_knn_degree_profile, events_dow_seasonality,
-# any post-r8-window registrations, then the full 37-row r4 set (set/sort
-# families, streaming windows, udf/udaf/udtf, win_*, text_*, tpch_q*).
+# excluded per VERDICT task 7) did NOT fit this round — the new operators
+# displaced it under the never-checked-first rule, exactly as r7's 14
+# late ops displaced the r4 set then. Every r4 row keeps per-commit
+# sf0.001 parity coverage in tests/test_oracle_parity.py; the r9 window
+# should run: the 11 post-window r8 ops above, any r9 registrations, then
+# the full 37-row r4 set (set/sort families, streaming windows,
+# udf/udaf/udtf, win_*, text_*, tpch_q*).
 #
 # Round-7 window rationale (superseded, kept for audit):
 # (a0) the five queries that registered after the r6 window filled and have
