@@ -1,0 +1,259 @@
+"""Independent numpy/pure-Python replays of the r8 statistical and graph
+operators. Oracle parity proves Spark == DuckDB; these tests prove both
+equal the TEXTBOOK definition computed a third way (the r7 water-filling
+lesson: two engines can share the same wrong formula)."""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import Counter, defaultdict
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _events():
+    return pq.read_table(os.path.join(SF_DIR, "events.parquet")).to_pylist()
+
+
+def _daily_counts():
+    c = Counter(r["ts"].date() for r in _events())
+    days = sorted(c)
+    return days, np.array([c[d] for d in days], dtype=np.int64)
+
+
+def test_acf_matches_numpy(spark):
+    from spark_ibm_mq_spark.operators.events_analytics import events_acf_daily
+
+    _days, x = _daily_counts()
+    mu = x.mean()
+    den = ((x - mu) ** 2).sum()
+    got = {r["lag"]: r for r in events_acf_daily(spark, SF_DIR).collect()}
+    for k in range(1, 8):
+        want = ((x[:-k] - mu) * (x[k:] - mu)).sum() / den
+        assert abs(got[k]["acf"] - want) < 5e-5, (k, got[k]["acf"], want)
+        assert got[k]["n_pairs"] == len(x) - k
+
+
+def test_ols_trend_matches_numpy(spark):
+    from spark_ibm_mq_spark.operators.aggregations import agg_ols_daily_trend
+
+    orders = pq.read_table(os.path.join(SF_DIR, "orders.parquet")).to_pylist()
+    c = Counter(r["o_orderdate"].date() for r in orders)
+    days = sorted(c)
+    t = np.array([(d - days[0]).days for d in days], dtype=np.float64)
+    y = np.array([c[d] for d in days], dtype=np.float64)
+    slope, intercept = np.polyfit(t, y, 1)
+    r = np.corrcoef(t, y)[0, 1]
+    row = agg_ols_daily_trend(spark, SF_DIR).collect()[0]
+    assert abs(row["slope"] - slope) < 5e-4
+    assert abs(row["intercept"] - intercept) < 5e-3
+    assert abs(row["r_squared"] - r * r) < 5e-4
+    assert row["n_days"] == len(days)
+
+
+def test_rolling_corr_matches_numpy(spark):
+    from spark_ibm_mq_spark.operators.windows import win_rolling_corr
+
+    ev = _events()
+    clicks = Counter(r["ts"].date() for r in ev if r["event_type"] == "click")
+    buys = Counter(r["ts"].date() for r in ev if r["event_type"] == "purchase")
+    days = sorted(set(r["ts"].date() for r in ev))
+    x = np.array([clicks.get(d, 0) for d in days], dtype=np.float64)
+    y = np.array([buys.get(d, 0) for d in days], dtype=np.float64)
+    got = {r["d"]: r["rolling_corr"] for r in win_rolling_corr(spark, SF_DIR).collect()}
+    checked = 0
+    for i in range(13, len(days)):
+        xs, ys = x[i - 13 : i + 1], y[i - 13 : i + 1]
+        if xs.std() == 0 or ys.std() == 0:
+            assert days[i] not in got
+            continue
+        want = np.corrcoef(xs, ys)[0, 1]
+        assert abs(got[days[i]] - want) < 5e-5, (days[i], got[days[i]], want)
+        checked += 1
+    assert checked == len(got) and checked > 0
+
+
+def test_survival_km_matches_manual(spark):
+    from spark_ibm_mq_spark.operators.events_analytics import events_survival_km
+
+    per_user = defaultdict(list)
+    for r in _events():
+        per_user[r["user_id"]].append(r)
+    durs = []
+    for evs in per_user.values():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        t0 = evs[0]["ts"].date()
+        errs = [r["ts"].date() for r in evs if r["event_type"] == "error"]
+        if errs:
+            durs.append(((min(errs) - t0).days, 1))
+        else:
+            durs.append(((evs[-1]["ts"].date() - t0).days, 0))
+    rows = events_survival_km(spark, SF_DIR).collect()
+    s = 1.0
+    manual = {}
+    for t in sorted({d for d, e in durs if e == 1}):
+        n = sum(1 for d, _ in durs if d >= t)
+        dd = sum(1 for d, e in durs if d == t and e == 1)
+        s *= 1 - dd / n
+        manual[t] = (n, dd, s)
+    assert len(rows) == len(manual)
+    for r in rows:
+        n, dd, s = manual[r["t_days"]]
+        assert (r["n_at_risk"], r["n_deaths"]) == (n, dd)
+        assert abs(r["survival"] - s) < 5e-5, (r["t_days"], r["survival"], s)
+
+
+def test_wilson_ci_matches_manual(spark):
+    from spark_ibm_mq_spark.operators.events_analytics import (
+        events_conversion_wilson_ci,
+    )
+
+    for r in events_conversion_wilson_ci(spark, SF_DIR).collect():
+        n, k, z = r["n_users"], r["n_converted"], 1.96
+        p = k / n
+        denom = 1 + z * z / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        assert abs(r["ci_low"] - (center - half) / denom) < 5e-5
+        assert abs(r["ci_high"] - (center + half) / denom) < 5e-5
+        assert 0.0 <= r["ci_low"] <= r["p_hat"] <= r["ci_high"] <= 1.0
+
+
+def test_winsorized_mean_matches_numpy(spark):
+    from spark_ibm_mq_spark.operators.aggregations import agg_winsorized_mean
+
+    orders = pq.read_table(os.path.join(SF_DIR, "orders.parquet")).to_pylist()
+    by_prio = defaultdict(list)
+    for r in orders:
+        by_prio[r["o_orderpriority"]].append(
+            math.floor(r["o_totalprice"] * 100 + 0.5)
+        )
+    got = {r["priority"]: r for r in agg_winsorized_mean(spark, SF_DIR).collect()}
+    for prio, cents in by_prio.items():
+        a = np.array(cents, dtype=np.float64)
+        lo, hi = np.percentile(a, [5, 95], method="linear")
+        want = np.clip(a, lo, hi).mean() / 100.0
+        assert abs(got[prio]["winsorized_mean"] - want) < 5e-3, prio
+        assert got[prio]["n_clamped"] == int(((a < lo) | (a > hi)).sum())
+
+
+def test_markov_3step_matches_numpy(spark):
+    from spark_ibm_mq_spark.operators.events_analytics import events_markov_3step
+
+    per_user = defaultdict(list)
+    for r in _events():
+        per_user[r["user_id"]].append(r)
+    trans = Counter()
+    types = sorted({r["event_type"] for r in _events()})
+    idx = {t: i for i, t in enumerate(types)}
+    for evs in per_user.values():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for a, b in zip(evs, evs[1:]):
+            trans[(a["event_type"], b["event_type"])] += 1
+    P = np.zeros((len(types), len(types)))
+    for (a, b), n in trans.items():
+        P[idx[a], idx[b]] = n
+    P = P / P.sum(axis=1, keepdims=True)
+    pi = np.full(len(types), 1.0 / len(types))
+    got = defaultdict(dict)
+    for r in events_markov_3step(spark, SF_DIR).collect():
+        got[r["step"]][r["event_type"]] = r["prob"]
+    for step in (1, 2, 3):
+        pi = pi @ P
+        for t in types:
+            assert abs(got[step][t] - pi[idx[t]]) < 5e-5, (step, t)
+        assert abs(sum(got[step].values()) - 1.0) < 5e-3
+
+
+def test_zipf_fit_matches_numpy(spark):
+    from spark_ibm_mq_spark.operators.text_analysis import text_zipf_fit
+
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+    freq = Counter(t for r in docs for t in r["text"].strip().split())
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.log(np.arange(1, len(ranked) + 1, dtype=np.float64))
+    y = np.log(np.array([f for _, f in ranked], dtype=np.float64))
+    slope, intercept = np.polyfit(x, y, 1)
+    row = text_zipf_fit(spark, SF_DIR).collect()[0]
+    assert row["n_types"] == len(ranked)
+    assert abs(row["zipf_slope"] - slope) < 5e-4
+    assert abs(row["intercept"] - intercept) < 5e-4
+    r = np.corrcoef(x, y)[0, 1]
+    assert abs(row["r_squared"] - r * r) < 5e-4
+
+
+def _knn_graph_sets():
+    """Pure-Python rebuild of the top-5 co-purchase graph."""
+    li = pq.read_table(
+        os.path.join(SF_DIR, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"]
+    ).to_pylist()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    w = Counter()
+    for parts in baskets.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    w[(a, b)] += 1
+    by_u = defaultdict(list)
+    for (u, v), n in w.items():
+        by_u[u].append((-n, v))
+    adj = defaultdict(set)
+    for u, lst in by_u.items():
+        for _negn, v in sorted(lst)[:5]:
+            adj[u].add(v)
+            adj[v].add(u)
+    return adj
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from spark_ibm_mq_spark.operators.graph_analytics import graph_triangle_count
+
+    adj = _knn_graph_sets()
+    tri = Counter()
+    nodes = sorted(adj)
+    for u in nodes:
+        for v in adj[u]:
+            if v <= u:
+                continue
+            common = adj[u] & adj[v]
+            for wv in common:
+                if wv > v:
+                    tri[u] += 1
+                    tri[v] += 1
+                    tri[wv] += 1
+    got = {r["part"]: r for r in graph_triangle_count(spark, SF_DIR).collect()}
+    assert set(got) == {u for u in nodes if len(adj[u]) >= 2}
+    for u, r in got.items():
+        assert r["degree"] == len(adj[u])
+        assert r["n_triangles"] == tri.get(u, 0), (u, r["n_triangles"], tri.get(u, 0))
+        want_cc = 2 * tri.get(u, 0) / (len(adj[u]) * (len(adj[u]) - 1))
+        assert abs(r["clustering_coeff"] - want_cc) < 5e-5
+
+
+def test_spearman_matches_manual(spark):
+    from spark_ibm_mq_spark.operators.similarity import emb_metric_rank_correlation
+
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).to_pylist()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    q = vecs[0]
+    ids = sorted(i for i in vecs if i != 0)
+    cos_key = {
+        i: (-math.floor(float(vecs[i] @ q) / math.sqrt(float(vecs[i] @ vecs[i])) * 1e6), i)
+        for i in ids
+    }
+    euc_key = {i: (math.floor(float(((vecs[i] - q) ** 2).sum()) * 1e6), i) for i in ids}
+    r_cos = {i: r + 1 for r, i in enumerate(sorted(ids, key=lambda i: cos_key[i]))}
+    r_euc = {i: r + 1 for r, i in enumerate(sorted(ids, key=lambda i: euc_key[i]))}
+    n = len(ids)
+    sd2 = sum((r_cos[i] - r_euc[i]) ** 2 for i in ids)
+    rho = 1 - 6 * sd2 / (n * (n * n - 1))
+    row = emb_metric_rank_correlation(spark, SF_DIR).collect()[0]
+    assert row["n_vectors"] == n
+    assert row["sum_sq_rank_diff"] == sd2
+    assert abs(row["spearman_rho"] - rho) < 5e-5
