@@ -1409,3 +1409,68 @@ def pipeline_length_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFra
         "r.doc_survival",
         "r.token_survival",
     )
+
+
+@register(
+    "pipeline_bpe_first_merge",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    pr AS (
+        SELECT substr(t, CAST(u.i AS INTEGER), 2) AS pair
+        FROM tok, LATERAL unnest(range(1, length(t))) AS u(i)
+        WHERE length(t) >= 2
+    ),
+    counted AS (
+        SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM pr GROUP BY pair
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS BIGINT)
+               AS merge_rank,
+           pair, n_occurrences
+    FROM counted
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 10
+    """,
+)
+def pipeline_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first round of BPE tokenizer training as a query: adjacent
+    character-pair frequencies WITHIN words across the corpus — the exact
+    statistic byte-pair encoding maximizes to pick its first merge — and
+    the top-10 merge candidates. A full trainer iterates this after
+    rewriting the corpus with each merge; round one is the
+    embarrassingly-relational part a Spark pipeline runs at corpus scale
+    to seed (or audit) a tokenizer, and the ranking alone exposes
+    vocabulary skew (`text_zipf_fit`'s sibling at the subword level).
+
+    Plan shape: token explode → in-row pair explode (sequence/transform,
+    stays in the scan stage) → ONE map-side-combinable (pair) count —
+    the aggregate collapses the character-level blow-up to |alphabet|²
+    partials before the shuffle; top-10 is a TakeOrdered on the tiny
+    counts frame. All counts integer; ties break lexicographically."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select(F.explode(tokens("text")).alias("t"))
+    pairs = tok.filter(F.length("t") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.col("t").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    return (
+        counted.withColumn(
+            "merge_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("n_occurrences").desc(), "pair"))
+            .cast("bigint"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(10)
+        .select("merge_rank", "pair", "n_occurrences")
+    )

@@ -785,3 +785,120 @@ def stream_cdc_merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_deletes",
         )
     )
+
+
+@register(
+    "stream_tpch_q1_incremental",
+    oracle=None,  # set below to the flagship oracle verbatim
+)
+def stream_tpch_q1_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP query (TPC-H Q1 pricing summary) maintained
+    INCREMENTALLY: lineitem replays in 4 micro-batches through a
+    foreachBatch merge that folds each batch's partial (sums + counts
+    per flag/status) into a running snapshot; averages derive from the
+    merged sums only at read time. The final snapshot must equal the
+    one-shot batch aggregate — the incremental-view-maintenance
+    guarantee, stated by reusing `pricing_summary`'s oracle verbatim.
+
+    This is the pattern that turns the reference's consume-then-
+    aggregate batch jobs (README.md:10-17) into a continuously-fresh
+    dashboard WITHOUT a table format: every TPC-H Q1 aggregate is a
+    commutative monoid (sum/count), so the merge is
+    unionByName → groupBy → sum — associative, replay-idempotent via
+    batch_id-keyed snapshot commits (the `stream_foreachbatch_upsert`
+    discipline). Scale shape: each micro-batch pre-aggregates to
+    ≤|flag×status| rows BEFORE touching the snapshot, so the merge
+    shuffles a handful of rows regardless of batch size."""
+    import os
+
+    from spark_ibm_mq_spark.operators.flagship import _CUTOFF
+    from spark_ibm_mq_spark.operators.mq_source import _scratch
+
+    d = _scratch("fb_q1_")
+    src = os.path.join(d, "src")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    )
+    li.repartition(4).write.parquet(src)
+
+    applied: dict[int, str] = {}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:
+            return
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        charge = disc_price * (1 + F.col("l_tax"))
+        agg = (
+            batch_df.filter(F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("s_qty"),
+                F.sum("l_extendedprice").alias("s_base"),
+                F.sum(disc_price).alias("s_disc"),
+                F.sum(charge).alias("s_charge"),
+                F.sum("l_discount").alias("s_disc_rate"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        prev_ids = [b for b in applied if b < batch_id]
+        if prev_ids:
+            prev = batch_df.sparkSession.read.parquet(applied[max(prev_ids)])
+            agg = (
+                prev.unionByName(agg)
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    F.sum("s_qty").alias("s_qty"),
+                    F.sum("s_base").alias("s_base"),
+                    F.sum("s_disc").alias("s_disc"),
+                    F.sum("s_charge").alias("s_charge"),
+                    F.sum("s_disc_rate").alias("s_disc_rate"),
+                    F.sum("n").alias("n"),
+                )
+            )
+        path = os.path.join(d, f"snap_b{batch_id}")
+        agg.write.mode("overwrite").parquet(path)
+        applied[batch_id] = path
+
+    q = (
+        spark.readStream.schema(
+            "l_returnflag string, l_linestatus string, l_quantity double, "
+            "l_extendedprice double, l_discount double, l_tax double, "
+            "l_shipdate timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(applied) >= 4, f"expected >=4 merge rounds, got {len(applied)}"
+    snap = spark.read.parquet(applied[max(applied)])
+    return snap.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("s_qty", 4).alias("sum_qty"),
+        F.round("s_base", 4).alias("sum_base_price"),
+        F.round("s_disc", 4).alias("sum_disc_price"),
+        F.round("s_charge", 4).alias("sum_charge"),
+        F.round(F.col("s_qty") / F.col("n"), 4).alias("avg_qty"),
+        F.round(F.col("s_base") / F.col("n"), 4).alias("avg_price"),
+        F.round(F.col("s_disc_rate") / F.col("n"), 4).alias("avg_disc"),
+        F.col("n").alias("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+# reuse the flagship oracle verbatim: the incremental snapshot's contract is
+# equality with the one-shot batch aggregate (importing the module first so
+# this also works when streaming_analytics is imported standalone)
+from spark_ibm_mq_spark.operators import flagship as _flagship  # noqa: E402,F401
+from spark_ibm_mq_spark.registry import ORACLE as _ORACLE_REG  # noqa: E402
+
+_ORACLE_REG["stream_tpch_q1_incremental"] = _ORACLE_REG["pricing_summary"]
