@@ -1757,3 +1757,143 @@ def events_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 4).alias("ci_low"),
         F.round((center + half) / denom, 4).alias("ci_high"),
     )
+
+
+@register(
+    "events_anomaly_stl_residual",
+    oracle=_DAILY_CTE + """,
+    win AS (
+        SELECT d, x,
+               CAST(sum(x) OVER (ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+               count(*) OVER (ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
+        FROM daily
+    ),
+    res AS (SELECT d, x, 7 * x - s7 AS num FROM win WHERE w = 7),
+    med AS (
+        SELECT quantile_cont(num, 0.5) AS m FROM res
+    ),
+    mad AS (
+        SELECT m, quantile_cont(abs(num - m), 0.5) AS mad FROM res CROSS JOIN med
+        GROUP BY m
+    )
+    SELECT r.d AS day, r.x AS n_events,
+           round(r.num / 7.0, 4) AS residual,
+           round((r.num - m.m) / nullif(m.mad, 0), 4) AS mad_score
+    FROM res r CROSS JOIN mad m
+    WHERE abs(r.num - m.m) > 2 * m.mad
+    """,
+)
+def events_anomaly_stl_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous days by DETRENDED residual — the robust composite of
+    `events_seasonal_decompose` + `agg_mad_robust`: daily volume is
+    detrended with the centered 7-day MA, and days whose residual sits
+    more than 3 MADs from the median residual are flagged. Detrending
+    first is what separates 'weekend dip' (trend/seasonal, expected)
+    from genuine incidents; the MAD threshold survives the outliers it
+    hunts (a z-score's σ is inflated by its own anomalies).
+
+    Exactness: residual numerators 7x−S₇ are bigint; the median and MAD
+    come from `quantile_cont`/`percentile` (matching interpolation, the
+    `win_rolling_median` precedent) over integers; the 2-MAD test
+    compares integers against exact medians. Plan: one centered window,
+    two tiny percentile aggregates, one row-local filter."""
+    daily, _tot = _daily_counts(spark, sf_dir)
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    res = (
+        daily.select(
+            "d",
+            "x",
+            F.sum("x").over(w7).cast("bigint").alias("s7"),
+            F.count(F.lit(1)).over(w7).alias("w"),
+        )
+        .filter(F.col("w") == 7)
+        .select("d", "x", (7 * F.col("x") - F.col("s7")).alias("num"))
+    )
+    med = res.agg(F.expr("percentile(num, 0.5)").alias("m"))
+    mad = (
+        res.crossJoin(F.broadcast(med))
+        .agg(
+            F.first("m").alias("m"),
+            F.expr("percentile(abs(num - m), 0.5)").alias("mad"),
+        )
+    )
+    return (
+        res.crossJoin(F.broadcast(mad))
+        .filter(F.abs(F.col("num") - F.col("m")) > 2 * F.col("mad"))
+        .select(
+            F.col("d").alias("day"),
+            F.col("x").alias("n_events"),
+            F.round(F.col("num") / 7.0, 4).alias("residual"),
+            F.round(
+                (F.col("num") - F.col("m")) / F.nullif(F.col("mad"), F.lit(0.0)), 4
+            ).alias("mad_score"),
+        )
+    )
+
+
+@register(
+    "events_audience_overlap",
+    oracle=f"""
+    {EVENTS_CTE},
+    aud AS (SELECT DISTINCT event_type, user_id FROM ev),
+    sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM aud GROUP BY 1),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM aud a JOIN aud b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           round(p.n_common * 1.0 / (sa.n + sb.n - p.n_common), 4)
+               AS audience_jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.type_a = sa.event_type
+    JOIN sizes sb ON p.type_b = sb.event_type
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: the Jaccard of the
+    distinct-user sets behind every pair of behaviors — the matrix a
+    growth team reads to find which actions share (or split) an
+    audience, and the same shared-key equi-join shape as
+    `graph_jaccard_link_prediction` applied to behavioral cohorts.
+
+    Plan shape: ONE distinct (type, user) projection feeds both the
+    per-type sizes and the pair counts; the pair join keys on user_id
+    so volume is Σ_user |types(user)|² ≤ 25·|users| — never |users|².
+    All counts bigint; the Jaccard is one division under round(4)."""
+    ev = _events(spark, sf_dir)
+    aud = ev.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
+    b = aud.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("audience_jaccard"),
+        )
+    )

@@ -1474,3 +1474,58 @@ def pipeline_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("merge_rank", "pair", "n_occurrences")
     )
+
+
+@register(
+    "pipeline_interleave_sources",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY rk, source, doc_id) AS BIGINT)
+               AS interleave_pos
+    FROM ranked
+    ORDER BY rk, source, doc_id
+    LIMIT 200
+    """,
+)
+def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleave across sources — the global
+    training order a multi-source data loader materializes so no source
+    clusters at the start of an epoch (early-training batches otherwise
+    overfit whichever domain sorts first): position k of each source
+    precedes position k+1 of every source. First 200 positions of the
+    plan (the driver-checkable prefix; the full manifest is the same
+    frame unlimited).
+
+    Determinism: both ranks are row_numbers with total-order tie-breaks
+    ((source, doc_id)) — no randomness, so the interleave is
+    reproducible across runs/engines/repartitioning (the same property
+    `pipeline_train_test_split` buys with hash thresholds). Plan: one
+    window per rank — the per-source rank partitions by source; the
+    global position is a TakeOrdered prefix, never a full sort at
+    output time."""
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .alias("rk"),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "source",
+            F.row_number()
+            .over(Window.orderBy("rk", "source", "doc_id"))
+            .cast("bigint")
+            .alias("interleave_pos"),
+        )
+        .orderBy("interleave_pos")
+        .limit(200)
+        .select("doc_id", "source", "interleave_pos")
+    )
