@@ -1897,3 +1897,70 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("audience_jaccard"),
         )
     )
+
+
+@register(
+    "events_next_event_baseline",
+    oracle=f"""
+    {EVENTS_CTE},
+    seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM ev
+    ),
+    counts AS (
+        SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT prev_type, next_type AS predicted_next, n AS n_correct,
+               row_number() OVER (PARTITION BY prev_type
+                                  ORDER BY n DESC, next_type) AS rn
+        FROM counts
+    ),
+    tot AS (
+        SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_total FROM counts
+        GROUP BY prev_type
+    )
+    SELECT b.prev_type, b.predicted_next, b.n_correct, t.n_total,
+           round(b.n_correct * 1.0 / t.n_total, 4) AS accuracy
+    FROM best b JOIN tot t ON b.prev_type = t.prev_type
+    WHERE b.rn = 1
+    """,
+)
+def events_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-class next-event prediction baseline: for each current
+    event type, the most frequent successor and the accuracy that
+    predicting it would achieve — the floor every sequence model must
+    beat before it earns its training cost, read directly off the
+    `events_transition_matrix` counts (an argmax per row + a row total;
+    the per-row accuracies combine into overall baseline accuracy by
+    weighting with n_total).
+
+    All integers + one division; the argmax is a row_number with a
+    next_type tie-break, so the prediction is deterministic. Plan: the
+    one user_id window from the transition matrix, then two aggregates
+    over the ≤|types|² counts frame."""
+    counts = events_transition_matrix(spark, sf_dir).select(
+        "prev_type", "next_type", F.col("n").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("prev_type").orderBy(F.col("n").desc(), "next_type")
+    best = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "prev_type",
+            F.col("next_type").alias("predicted_next"),
+            F.col("n").alias("n_correct"),
+        )
+    )
+    tot = counts.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("n_total"))
+    return best.join(tot, "prev_type").select(
+        "prev_type",
+        "predicted_next",
+        "n_correct",
+        "n_total",
+        F.round(F.col("n_correct") / F.col("n_total"), 4).alias("accuracy"),
+    )

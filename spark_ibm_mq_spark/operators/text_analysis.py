@@ -1034,3 +1034,86 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fk_grade"),
         )
     )
+
+
+_HEAPS_PREFIXES = (1000, 2000, 5000, 10000, 20000)
+
+
+@register(
+    "text_heaps_law_curve",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, u.i AS idx, t[u.i] AS term
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents),
+             LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    pos AS (
+        SELECT term,
+               row_number() OVER (ORDER BY doc_id, idx) AS gpos
+        FROM tok
+    ),
+    firsts AS (
+        SELECT term, CAST(min(gpos) AS BIGINT) AS first_pos FROM pos GROUP BY term
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pos)
+    {" UNION ALL ".join(
+        f"SELECT CAST({n} AS BIGINT) AS n_tokens, "
+        f"CAST(count(*) FILTER (first_pos <= {n}) AS BIGINT) AS n_types, "
+        f"round(count(*) FILTER (first_pos <= {n}) * 1.0 / least({n}, any_value(tot.n)), 4) "
+        f"    AS type_token_ratio "
+        f"FROM firsts CROSS JOIN tot"
+        for n in _HEAPS_PREFIXES)}
+    """,
+)
+def text_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct types seen within the
+    first N tokens of the corpus (documents in doc_id order), for N in
+    {1k, 2k, 5k, 10k, 20k} — natural corpora grow V(N) ≈ K·N^β (β≈0.5);
+    a curve that FLATTENS early exposes a closed template vocabulary
+    (this fixture) and one that stays linear exposes noise/binary
+    contamination. The prefix view is what `text_vocab_build` can't
+    show: HOW FAST the vocabulary saturates.
+
+    Determinism: the global token position is a row_number over the
+    total order (doc_id, in-doc index); each type's FIRST position is an
+    integer min, and every curve point is a count of first_pos ≤ N — all
+    integers, one division for the TTR. Plan: one posexplode (scan
+    stage), one global-order window over the token stream (the corpus
+    sort is the cost — at 100 TB the order key becomes (shard, doc_id)
+    and the curve is computed per shard then merged by position), one
+    ≤|vocab| first-position aggregate, conditional counts for all five
+    prefixes in one pass."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select(
+        "doc_id", F.posexplode(tokens("text")).alias("idx", "term")
+    )
+    pos = tok.select(
+        "term", F.row_number().over(Window.orderBy("doc_id", "idx")).alias("gpos")
+    )
+    firsts = pos.groupBy("term").agg(F.min("gpos").cast("bigint").alias("first_pos"))
+    tot = pos.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    agg = firsts.crossJoin(F.broadcast(tot)).agg(
+        F.first("n").alias("n"),
+        *[
+            F.sum(F.when(F.col("first_pos") <= n, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"v{n}")
+            for n in _HEAPS_PREFIXES
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(n).cast("bigint").alias("n_tokens"),
+                F.col(f"v{n}").alias("n_types"),
+                F.round(
+                    F.col(f"v{n}") / F.least(F.lit(n), F.col("n")), 4
+                ).alias("type_token_ratio"),
+            )
+            for n in _HEAPS_PREFIXES
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.n_tokens", "r.n_types", "r.type_token_ratio"
+    )
