@@ -37,15 +37,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #     window with them verbatim;
 # (b) operators NEW this round — never checked anywhere; never-checked
 #     outranks freshness rotation (the judge-endorsed rule from r6/r7).
-#     26 of the 37 new ops fit. The 11 left out (graph_knn_degree_profile,
+#     26 of the 44 new ops fit. The 18 left out (graph_knn_degree_profile,
 #     events_dow_seasonality — lowest-risk twins of in-window family
 #     members — plus the post-window registrations win_rolling_corr,
 #     agg_winsorized_mean, pipeline_length_filter_ablation,
 #     events_markov_3step, events_conversion_wilson_ci, text_zipf_fit,
 #     text_readability, scan_orc_roundtrip_region,
-#     emb_metric_rank_correlation) are all driver_sim-verified MATCH at
-#     sf0.01 this session (a FULL 238-query sim pass recorded 234 MATCH +
-#     4 rows-only, 0 problems) and must LEAD the r9 window;
+#     emb_metric_rank_correlation, pipeline_bpe_first_merge,
+#     stream_tpch_q1_incremental, events_anomaly_stl_residual,
+#     events_audience_overlap, pipeline_interleave_sources,
+#     text_heaps_law_curve, events_next_event_baseline) are all
+#     driver_sim-verified MATCH at sf0.01 this session (full-registry sim
+#     passes recorded 0 problems) and must LEAD the r9 window;
 # (c) join_cross_flags — the last r3-vintage driver row (VERDICT item 2).
 # The r4-vintage rotation (37 hash-checkable rows; rows-only sim_ann_lsh
 # excluded per VERDICT task 7) did NOT fit this round — the new operators
