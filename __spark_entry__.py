@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     window with them verbatim;
 # (b) operators NEW this round — never checked anywhere; never-checked
 #     outranks freshness rotation (the judge-endorsed rule from r6/r7).
-#     26 of the 44 new ops fit. The 18 left out (graph_knn_degree_profile,
+#     26 of the 46 new ops fit. The 20 left out (graph_knn_degree_profile,
 #     events_dow_seasonality — lowest-risk twins of in-window family
 #     members — plus the post-window registrations win_rolling_corr,
 #     agg_winsorized_mean, pipeline_length_filter_ablation,
@@ -46,7 +46,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     emb_metric_rank_correlation, pipeline_bpe_first_merge,
 #     stream_tpch_q1_incremental, events_anomaly_stl_residual,
 #     events_audience_overlap, pipeline_interleave_sources,
-#     text_heaps_law_curve, events_next_event_baseline) are all
+#     text_heaps_law_curve, events_next_event_baseline,
+#     scale_dynamic_partition_pruning, agg_hhi_concentration) are all
 #     driver_sim-verified MATCH at sf0.01 this session (full-registry sim
 #     passes recorded 0 problems) and must LEAD the r9 window;
 # (c) join_cross_flags — the last r3-vintage driver row (VERDICT item 2).

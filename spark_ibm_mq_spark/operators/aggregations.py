@@ -1233,3 +1233,69 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(out_of, 1).otherwise(0)).cast("bigint").alias("n_clamped"),
         )
     )
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name AS nation, o.o_custkey AS cust,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    nat AS (
+        SELECT nation,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               sum((cents * 1.0) * cents) AS sq
+        FROM rev GROUP BY nation
+    )
+    SELECT nation, n_customers,
+           round(total_cents / 100.0, 4) AS total_revenue,
+           round(sq / ((total_cents * 1.0) * total_cents) * 10000, 4)
+               AS hhi_x10000
+    FROM nat
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index of customer
+    revenue per nation (×10 000, the antitrust scale: <1 500
+    competitive, >2 500 concentrated) — Σ share² over each nation's
+    customers, the one-number answer to "does this market depend on a
+    few whales" (the revenue-side sibling of `agg_pareto_revenue_deciles`).
+
+    Exactness: per-customer revenue is summed in integer CENTS; the
+    Σcents² numerator multiplies through a double ((c·1.0)·c — exact to
+    2⁵³, beyond which the ratio's low bits are already insignificant)
+    and divides by total² in the same op order both engines, under
+    round(4). Plan: one fact aggregate on (nation, cust) after two
+    broadcast dim joins, then a ≤|nations| rollup — partial-aggregable
+    end to end, no window."""
+    o = load_table(spark, sf_dir, "orders")
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_custkey").alias("cust"))
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    nat = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum((F.col("cents") * 1.0) * F.col("cents")).alias("sq"),
+    )
+    return nat.select(
+        "nation",
+        "n_customers",
+        F.round(F.col("total_cents") / 100.0, 4).alias("total_revenue"),
+        F.round(
+            F.col("sq") / ((F.col("total_cents") * 1.0) * F.col("total_cents")) * 10000,
+            4,
+        ).alias("hhi_x10000"),
+    )

@@ -526,3 +526,94 @@ def scale_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("bytes") / F.lit(262144.0), 4).alias("fill_ratio"),
         )
     )
+
+
+@register(
+    "scale_dynamic_partition_pruning",
+    oracle=f"""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, user_id
+                FROM events),
+    days AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS buys
+        FROM ev GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(buys) AS BIGINT) AS tb,
+               CAST(count(*) AS BIGINT) AS nd
+        FROM days
+    ),
+    peak AS (
+        SELECT d FROM days CROSS JOIN tot WHERE buys * nd > tb
+    )
+    SELECT CAST(date_trunc('day', e.ts) AS DATE) AS event_date,
+           e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM ev e JOIN peak p ON CAST(date_trunc('day', e.ts) AS DATE) = p.d
+    GROUP BY 1, 2
+    """,
+)
+def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the partitioned event table is joined
+    to a dimension whose membership is only known at RUNTIME (the
+    above-average purchase days, themselves computed by a query), so no
+    plan-time literal can prune — instead Spark broadcasts the dim,
+    derives the partition values from it, and injects them into the
+    fact scan's PartitionFilters as a dynamicpruning subquery: the
+    other ~25 day-directories are never opened. This is the read-path
+    half of every star-schema-on-a-date-partitioned-fact deployment
+    ("give me facts for the days the dim selects") — the static twin is
+    `scale_partitioned_scan_pruned`, whose cutoff is a driver-side
+    literal. Plan-asserted in tests (`dynamicpruning` present, fact
+    side NOT fully scanned).
+
+    Oracle states the identical join over the unpartitioned fixture.
+    Determinism: the above-average test is all-integer
+    (buys·n_days > total_buys) on both engines."""
+    tag = _tag(sf_dir, "events")
+    d = os.path.join(tempfile.gettempdir(), f"events_by_date_{tag}")
+    marker = os.path.join(d, "_LAYOUT_COMPLETE")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.col("ts").cast("date")
+        )
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(d)
+        with open(marker, "w") as f:
+            f.write("ok")
+        if not _SCRATCH:
+            atexit.register(
+                lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH]
+            )
+        _SCRATCH.append(d)
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("buys")
+    )
+    # The THRESHOLD (corpus-wide total/count) resolves driver-side to two
+    # scalars — the scale_partitioned_scan_pruned "templated literal"
+    # precedent — because DPP's selective-predicate detection wants a
+    # Filter directly over the dim aggregate (a crossJoin-carried
+    # threshold defeats the pattern). WHICH days pass remains runtime
+    # knowledge: the dim query still executes and feeds the fact scan's
+    # dynamicpruning subquery.
+    tb, nd = days.agg(
+        F.sum("buys").cast("bigint"), F.count(F.lit(1)).cast("bigint")
+    ).collect()[0]
+    peak = days.filter(F.col("buys") * F.lit(int(nd)) > F.lit(int(tb))).select(
+        F.col("d").alias("event_date")
+    )
+    fact = spark.read.parquet(d).withColumn(
+        "event_date", F.col("event_date").cast("date")
+    )
+    return (
+        fact.join(F.broadcast(peak), "event_date")
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

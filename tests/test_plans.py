@@ -572,3 +572,12 @@ def test_nearest_event_is_merge_not_pair_join(spark):
 def test_minhash_recall_eval_no_cartesian(spark):
     df = registry.QUERIES["dedup_minhash_recall_eval"](spark, SF_DIR)
     assert not has_cartesian(df)
+
+
+def test_dynamic_partition_pruning_subquery_present(spark):
+    """scale_dynamic_partition_pruning must carry a dynamicpruning
+    subquery on the partitioned fact scan — the runtime dim membership
+    reaching PartitionFilters, not a full scan filtered post-hoc."""
+    df = registry.QUERIES["scale_dynamic_partition_pruning"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
