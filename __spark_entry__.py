@@ -56,7 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # displaced it under the never-checked-first rule, exactly as r7's 14
 # late ops displaced the r4 set then. Every r4 row keeps per-commit
 # sf0.001 parity coverage in tests/test_oracle_parity.py; the r9 window
-# should run: the 11 post-window r8 ops above, any r9 registrations, then
+# should run: the 20 post-window r8 ops above, any r9 registrations, then
 # the full 37-row r4 set (set/sort families, streaming windows,
 # udf/udaf/udtf, win_*, text_*, tpch_q*).
 #
