@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     window with them verbatim;
 # (b) operators NEW this round — never checked anywhere; never-checked
 #     outranks freshness rotation (the judge-endorsed rule from r6/r7).
-#     26 of the 46 new ops fit. The 20 left out (graph_knn_degree_profile,
+#     26 of the 48 new ops fit. The 22 left out (graph_knn_degree_profile,
 #     events_dow_seasonality — lowest-risk twins of in-window family
 #     members — plus the post-window registrations win_rolling_corr,
 #     agg_winsorized_mean, pipeline_length_filter_ablation,
@@ -47,7 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     stream_tpch_q1_incremental, events_anomaly_stl_residual,
 #     events_audience_overlap, pipeline_interleave_sources,
 #     text_heaps_law_curve, events_next_event_baseline,
-#     scale_dynamic_partition_pruning, agg_hhi_concentration) are all
+#     scale_dynamic_partition_pruning, agg_hhi_concentration,
+#     win_skyline_orders, agg_abc_classification) are all
 #     driver_sim-verified MATCH at sf0.01 this session (full-registry sim
 #     passes recorded 0 problems) and must LEAD the r9 window;
 # (c) join_cross_flags — the last r3-vintage driver row (VERDICT item 2).
@@ -56,7 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # displaced it under the never-checked-first rule, exactly as r7's 14
 # late ops displaced the r4 set then. Every r4 row keeps per-commit
 # sf0.001 parity coverage in tests/test_oracle_parity.py; the r9 window
-# should run: the 20 post-window r8 ops above, any r9 registrations, then
+# should run: the 22 post-window r8 ops above, any r9 registrations, then
 # the full 37-row r4 set (set/sort families, streaming windows,
 # udf/udaf/udtf, win_*, text_*, tpch_q*).
 #

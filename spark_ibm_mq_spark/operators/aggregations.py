@@ -1299,3 +1299,77 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hhi_x10000"),
     )
+
+
+@register(
+    "agg_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey AS part,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS s FROM rev),
+    cum AS (
+        SELECT part, cents,
+               CAST(sum(cents) OVER (ORDER BY cents DESC, part) AS BIGINT)
+                   AS running
+        FROM rev
+    ),
+    classed AS (
+        SELECT part, cents,
+               CASE WHEN running * 5 <= s * 4 THEN 'A'
+                    WHEN running * 20 <= s * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM cum CROSS JOIN tot
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(cents) / 100.0, 4) AS class_revenue,
+           round(sum(cents) * 1.0 / any_value(s), 4) AS revenue_share
+    FROM classed CROSS JOIN tot
+    GROUP BY abc_class
+    """,
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by revenue: parts are ranked
+    by revenue and split at the classic cumulative-share cuts — A holds
+    the head to 80% of revenue, B to 95%, C the tail — the first
+    stratification every inventory/assortment process applies (the
+    categorical sibling of `agg_pareto_revenue_deciles`).
+
+    Exactness: revenue accumulates in integer CENTS; the class cuts are
+    INTEGER cross-multiplications (running·5 ≤ S·4, running·20 ≤ S·19),
+    so no row's class depends on float rounding; the running sum orders
+    by (cents DESC, part) — a total order. Headroom: running·20 at
+    TPC-H sf1 ≈ 4·10¹⁴, far inside int64. Plan: one fact aggregate on
+    the part key, one ordered window over the |parts| frame, a 3-group
+    rollup with the total as a 1-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("s"))
+    w = Window.orderBy(F.col("cents").desc(), "part").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.select(
+        "part", "cents", F.sum("cents").over(w).cast("bigint").alias("running")
+    )
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "s",
+        F.when(F.col("running") * 5 <= F.col("s") * 4, "A")
+        .when(F.col("running") * 20 <= F.col("s") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(F.sum("cents") / 100.0, 4).alias("class_revenue"),
+        F.round(F.sum("cents") / F.first("s"), 4).alias("revenue_share"),
+    )

@@ -719,3 +719,94 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 4).alias("rolling_corr"),
         )
     )
+
+
+@register(
+    "win_skyline_orders",
+    oracle="""
+    WITH metrics AS (
+        SELECT l.l_orderkey AS ok,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS rev_c,
+               CAST(max(datediff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE))) AS BIGINT)
+                   AS delay_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    ),
+    grp AS (
+        SELECT rev_c, CAST(min(delay_days) AS BIGINT) AS min_delay
+        FROM metrics GROUP BY rev_c
+    ),
+    runmin AS (
+        SELECT rev_c,
+               min_delay,
+               CAST(min(min_delay) OVER (ORDER BY rev_c DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT) AS prev_min
+        FROM grp
+    )
+    SELECT m.ok AS o_orderkey,
+           round(m.rev_c / 100.0, 4) AS revenue,
+           m.delay_days
+    FROM metrics m JOIN runmin r ON m.rev_c = r.rev_c
+    WHERE m.delay_days = r.min_delay
+      AND (r.prev_min IS NULL OR r.prev_min > m.delay_days)
+    """,
+)
+def win_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-frontier) operator: orders not dominated on
+    (revenue ↑, fulfillment delay ↓) — no other order earns at least as
+    much AND ships at least as fast with one strict improvement. The
+    classic multi-criteria "best trade-offs" query (Börzsönyi et al.'s
+    SKYLINE OF), expressed WITHOUT the naive O(n²) dominance self-join:
+    sort the (revenue → min-delay) groups once, and a running minimum
+    over strictly-greater revenues decides dominance — a row survives
+    iff it achieves its revenue group's min delay AND beats the best
+    delay seen at any higher revenue. O(n log n), one window over the
+    |distinct revenue| frame.
+
+    Exactness: revenue in integer cents, delay in integer days, ties
+    kept symmetrically (equal (rev, delay) rows don't dominate each
+    other) — every comparison is integer, no rank epsilons. At 100 TB:
+    the same two-step works partition-parallel (local skyline per
+    partition, then skyline-of-skylines — the standard distributed
+    rewrite), since dominance is transitive."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    metrics = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.sum(rev_c).cast("bigint").alias("rev_c"),
+            F.max(
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            )
+            .cast("bigint")
+            .alias("delay_days"),
+        )
+    )
+    grp = metrics.groupBy("rev_c").agg(
+        F.min("delay_days").cast("bigint").alias("min_delay")
+    )
+    w = Window.orderBy(F.col("rev_c").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    runmin = grp.select(
+        "rev_c", "min_delay", F.min("min_delay").over(w).cast("bigint").alias("prev_min")
+    )
+    return (
+        metrics.join(runmin, "rev_c")
+        .filter(
+            (F.col("delay_days") == F.col("min_delay"))
+            & (F.col("prev_min").isNull() | (F.col("prev_min") > F.col("delay_days")))
+        )
+        .select(
+            F.col("ok").alias("o_orderkey"),
+            F.round(F.col("rev_c") / 100.0, 4).alias("revenue"),
+            "delay_days",
+        )
+    )
