@@ -114,6 +114,20 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": _RUNS,
         "mq_source_msgs_per_sec": mq_rate,
+        # Run attribution (VERDICT r8 task 4): same-code runs on this host
+        # swing ±25% with ambient load, and builder-commit vs driver-final
+        # numbers were being cross-quoted as if comparable. Label every
+        # record with who ran it and when; compare only same-labelled runs
+        # (or scripts/ab_bench.py interleaved pairs) round-over-round.
+        "provenance": {
+            "run_label": os.environ.get("SPARK_GRAFT_BENCH_LABEL", "builder"),
+            "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            # mq warm-up protocol: v2 = one FULL drain before timing
+            # (r8+); v1 = limit(1) warm-up (≤r7). v1 and v2 msg/s numbers
+            # are NOT comparable (ADVICE r8 #4): v1 charged first-scan
+            # costs to the first measured run.
+            "mq_warmup_protocol": "v2-full-drain",
+        },
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_full.json"), "w") as f:

@@ -1789,7 +1789,7 @@ def events_anomaly_stl_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomalous days by DETRENDED residual — the robust composite of
     `events_seasonal_decompose` + `agg_mad_robust`: daily volume is
     detrended with the centered 7-day MA, and days whose residual sits
-    more than 3 MADs from the median residual are flagged. Detrending
+    more than 2 MADs from the median residual are flagged. Detrending
     first is what separates 'weekend dip' (trend/seasonal, expected)
     from genuine incidents; the MAD threshold survives the outliers it
     hunts (a z-score's σ is inflated by its own anomalies).

@@ -12,8 +12,10 @@ land as staging reads that immediately re-materialize to parquet.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -22,9 +24,37 @@ from pyspark.sql import DataFrame, SparkSession
 from spark_ibm_mq_spark.registry import register
 from spark_ibm_mq_spark.tables import load_table
 
+_SCRATCH: list[str] = []
+
+
+def _track_scratch(d: str) -> str:
+    if not _SCRATCH:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH]
+        )
+    _SCRATCH.append(d)
+    return d
+
+
+def _tag(sf_dir: str, tables: tuple[str, ...]) -> str:
+    """Cache key for a derived export: fixture path PLUS a content
+    fingerprint (size + mtime) of every source parquet involved — the
+    scale_layout._tag convention (ADVICE r5/r8): a path-only marker would
+    silently serve a stale derived copy if the fixture at the same path is
+    regenerated, while the oracle reads the fresh parquet."""
+    parts = [sf_dir]
+    for t in tables:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(src)
+            parts.append(f"{t}|{st.st_size}|{st.st_mtime_ns}")
+        except OSError:
+            parts.append(t)
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
 
 def _export_dir(sf_dir: str) -> str:
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tag = _tag(sf_dir, ("nation", "orders"))
     d = os.path.join(tempfile.gettempdir(), f"file_sources_{tag}")
     marker = os.path.join(d, ".complete")
     if os.path.exists(marker):
@@ -45,7 +75,7 @@ def _export_dir(sf_dir: str) -> str:
     )
     con.close()
     open(marker, "w").close()
-    return d
+    return _track_scratch(d)
 
 
 @register(
@@ -119,11 +149,7 @@ def scan_orc_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the choice between them is ecosystem (Hive/Trino affinity),
     not capability — this query exists so a user migrating an ORC lake
     has a tested path."""
-    import hashlib
-    import os
-    import tempfile
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tag = _tag(sf_dir, ("region", "nation"))
     d = os.path.join(tempfile.gettempdir(), f"orc_export_{tag}")
     marker = os.path.join(d, ".complete")
     if not os.path.exists(marker):
@@ -134,6 +160,7 @@ def scan_orc_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(d, "nation")
         )
         open(marker, "w").close()
+        _track_scratch(d)
     r = spark.read.orc(os.path.join(d, "region"))
     n = spark.read.orc(os.path.join(d, "nation"))
     return (
