@@ -20,10 +20,12 @@ from spark_ibm_mq_spark.session import get_spark
 registry.load_all_modules()
 
 
-def mq_source_throughput(spark, n_msgs: int = 50_000) -> float:
+def mq_source_throughput(spark, n_msgs: int = 50_000) -> dict[str, float]:
     """msgs/sec drained through the ibmmq batch source from the fake broker
     (BASELINE.md target: ≥10k msg/s, 10× the reference's configured 1k
-    ceiling). Includes broker file scan + key synthesis + Arrow transfer."""
+    ceiling). Includes broker file scan + key synthesis + Arrow transfer.
+    Returns the headline 50k-drain rate plus sustained/marginal companions
+    (see inline comment) keyed ready for the bench record."""
     import tempfile
 
     from spark_ibm_mq_spark.sources import FakeMQBroker, register_ibmmq
@@ -38,20 +40,52 @@ def mq_source_throughput(spark, n_msgs: int = 50_000) -> float:
     # Steady-state throughput is the metric; the floor compare (BASELINE.md)
     # is against the reference's sustained receiver rate.
     spark.read.format("ibmmq").option("path", d).option("queue", "BENCH.Q").load().count()
-    rates = []
-    for _ in range(_RUNS):
-        t0 = time.perf_counter()
-        got = (
-            spark.read.format("ibmmq")
-            .option("path", d)
-            .option("queue", "BENCH.Q")
-            .load()
-            .count()
-        )
-        dt = time.perf_counter() - t0
-        assert got == n_msgs, f"drained {got}/{n_msgs}"
-        rates.append(n_msgs / dt)
-    return round(statistics.median(rates), 1)
+
+    def _drain_times(path: str, n: int) -> list[float]:
+        times = []
+        for _ in range(_RUNS):
+            t0 = time.perf_counter()
+            got = (
+                spark.read.format("ibmmq")
+                .option("path", path)
+                .option("queue", "BENCH.Q")
+                .load()
+                .count()
+            )
+            dt = time.perf_counter() - t0
+            assert got == n, f"drained {got}/{n}"
+            times.append(dt)
+        return times
+
+    t_small = statistics.median(_drain_times(d, n_msgs))
+
+    # Sustained-rate companion (r9): the 50k drain is dominated by Spark's
+    # fixed per-job cost for a Python data source (~0.5 s: plan-worker
+    # partitions() roundtrip, task launch, Arrow handoff) — measured
+    # marginal throughput is ~9× the 50k headline. A 4× longer drain
+    # amortizes that fixed cost, and (t_big − t_small) cancels it exactly,
+    # which is what "sustained msg/s" means for the reference's
+    # continuously-running receiver. The 50k headline keeps its r7/r8
+    # protocol for round-over-round continuity.
+    n_big = n_msgs * 4
+    d2 = tempfile.mkdtemp(prefix="bench_mq_big_")
+    big = FakeMQBroker(d2, "BENCH.Q")
+    big.put_all(
+        (1_700_000_000_000 + i, 1, f'{{"n": {i}}}') for i in range(n_big)
+    )
+    spark.read.format("ibmmq").option("path", d2).option("queue", "BENCH.Q").load().count()
+    t_big = statistics.median(_drain_times(d2, n_big))
+
+    return {
+        "mq_source_msgs_per_sec": round(n_msgs / t_small, 1),
+        "mq_source_sustained_msgs_per_sec": round(n_big / t_big, 1),
+        "mq_source_marginal_msgs_per_sec": round(
+            (n_big - n_msgs) / max(t_big - t_small, 1e-9), 1
+        ),
+        "mq_source_fixed_overhead_sec": round(
+            max(t_small - (t_big - t_small) / 3.0, 0.0), 4
+        ),
+    }
 
 
 # Single-shot timings of queries that spin up streaming state stores swing up
@@ -100,7 +134,7 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
-    mq_rate = mq_source_throughput(spark)
+    mq_rates = mq_source_throughput(spark)
 
     # Full per-query map: too large for the driver's 2000-char stdout tail
     # (every BENCH_r{1..4}.json recorded parsed:null because the ~3.5 KB
@@ -113,7 +147,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": _RUNS,
-        "mq_source_msgs_per_sec": mq_rate,
+        **mq_rates,
         # Run attribution (VERDICT r8 task 4): same-code runs on this host
         # swing ±25% with ambient load, and builder-commit vs driver-final
         # numbers were being cross-quoted as if comparable. Label every

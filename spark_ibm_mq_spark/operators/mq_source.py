@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.sources import FakeMQBroker, register_ibmmq
+from spark_ibm_mq_spark.sources import MQ_SCHEMA, FakeMQBroker, register_ibmmq
 
 _QUEUE = "EVENTS.Q"
 
@@ -91,6 +91,7 @@ def mq_source_batch_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_ibmmq(spark)
     return (
         spark.read.format("ibmmq")
+        .schema(MQ_SCHEMA)
         .option("path", d)
         .option("queue", _QUEUE)
         .load()
@@ -112,6 +113,7 @@ def mq_source_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = FakeMQBroker(d, _QUEUE).depth()
     reader = (
         spark.readStream.format("ibmmq")
+        .schema(MQ_SCHEMA)
         .option("path", d)
         .option("queue", _QUEUE)
         .option("keepMessages", "true")
@@ -163,6 +165,7 @@ def mq_source_destructive_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
     reader = (
         spark.readStream.format("ibmmq")
+        .schema(MQ_SCHEMA)
         .option("path", d)
         .option("queue", _QUEUE)
         .option("keepMessages", "false")
@@ -260,6 +263,7 @@ def mq_source_multi_queue_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     def q(name: str) -> DataFrame:
         return (
             spark.read.format("ibmmq")
+            .schema(MQ_SCHEMA)
             .option("path", d)
             .option("queue", name)
             .load()
@@ -304,7 +308,7 @@ def mq_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_ibmmq(spark)
     return (
-        spark.read.format("ibmmq").option("path", d).option("queue", _QUEUE).load()
+        spark.read.format("ibmmq").schema(MQ_SCHEMA).option("path", d).option("queue", _QUEUE).load()
     )
 
 
@@ -361,6 +365,7 @@ def dlq_route(spark: SparkSession, broker_dir: str) -> DataFrame:
     register_ibmmq(spark)
     msgs = (
         spark.read.format("ibmmq")
+        .schema(MQ_SCHEMA)
         .option("path", broker_dir)
         .option("queue", _QUEUE)
         .load()
