@@ -32,7 +32,7 @@ from spark_ibm_mq_spark.tables import load_table
 
 
 def _run_to_memory(
-    stream_df: DataFrame, mode: str, shuffle_partitions: int = 8
+    stream_df: DataFrame, mode: str, shuffle_partitions: int = 4
 ) -> DataFrame:
     """Drain a streaming frame into a uniquely-named memory sink with
     availableNow and return the sink table.
@@ -40,7 +40,8 @@ def _run_to_memory(
     Stateful streaming tasks each open a state store per shuffle partition,
     so partition count is a latency/parallelism dial, not free: the fixture
     streams are thousands of rows, where 32 stores per operator is pure
-    overhead. 8 here; a real deployment sizes this to cores × state volume
+    overhead. 4 here (an interleaved family A/B at sf0.1 measured 8→4 as
+    −8%, r9); a real deployment sizes this to cores × state volume
     (the partition count is baked into the checkpoint on first run)."""
     spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
