@@ -1373,3 +1373,70 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("cents") / 100.0, 4).alias("class_revenue"),
         F.round(F.sum("cents") / F.first("s"), 4).alias("revenue_share"),
     )
+
+
+@register(
+    "agg_theil_index",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rev_c) AS BIGINT) AS s
+        FROM cust
+    ),
+    terms AS (
+        SELECT CAST(floor(
+                   ((c.rev_c * t.n) / t.s) * ln((c.rev_c * t.n) / t.s) * 1000000
+                   + 0.5) AS BIGINT) AS term_u
+        FROM cust c CROSS JOIN tot t
+    )
+    SELECT t.n AS n_customers,
+           round(t.s / 100.0, 4) AS total_revenue,
+           round(sum(term_u) / 1000000.0 / t.n, 4) AS theil_t
+    FROM terms CROSS JOIN tot t
+    GROUP BY t.n, t.s
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer revenue — the decomposable
+    companion to `agg_gini_coefficient`: T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ)
+    (0 = equal, ln n = maximal). Unlike Gini it splits exactly into
+    between-group + within-group terms, which is why corpus audits use
+    it to attribute concentration to source groups.
+
+    Exactness: per-customer revenue is an integer-cents bigint, the
+    ratio xᵢ/μ is computed as (xᵢ·n)/S — exact bigint product, ONE
+    IEEE division — and each term (ratio·ln ratio) is scaled to
+    integer micro-units (floor(t·10⁶ + 0.5)) BEFORE summation, so the
+    reduction is an order-free bigint sum (float sums of ln terms
+    would drift with engine reduction order); x>0 always (an order has
+    positive price), so ln never sees 0. Plan: one |customers| rollup,
+    a 1-row totals broadcast, one map-side-combinable integer sum."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rev_c").cast("bigint").alias("s"),
+    )
+    ratio = (F.col("rev_c") * F.col("n")) / F.col("s")
+    term_u = F.floor(ratio * F.log(ratio) * 1000000 + F.lit(0.5)).cast("bigint")
+    return (
+        cust.crossJoin(F.broadcast(tot))
+        .select(F.col("n"), F.col("s"), term_u.alias("term_u"))
+        .groupBy("n", "s")
+        .agg(F.sum("term_u").alias("su"))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.round(F.col("s") / 100.0, 4).alias("total_revenue"),
+            F.round(F.col("su") / 1000000.0 / F.col("n"), 4).alias("theil_t"),
+        )
+    )

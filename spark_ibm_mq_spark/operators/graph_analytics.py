@@ -443,3 +443,78 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("jaccard").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=_KNN_GRAPH_CTE + """,
+    cand AS (
+        SELECT s1.t AS x, s2.t AS y,
+               CAST(count(*) AS BIGINT) AS common,
+               CAST(sum(CAST(floor(1000000 / ln(dz.d) + 0.5) AS BIGINT))
+                    AS BIGINT) AS aa_u
+        FROM sym s1
+        JOIN sym s2 ON s1.s = s2.s AND s1.t < s2.t
+        JOIN deg dz ON s1.s = dz.node
+        GROUP BY 1, 2
+    ),
+    nonadj AS (
+        SELECT c.* FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM canon e WHERE e.u = c.x AND e.v = c.y)
+    )
+    SELECT x AS part_a, y AS part_b, common AS common_neighbors,
+           round(aa_u / 1000000.0, 4) AS adamic_adar
+    FROM nonadj
+    ORDER BY aa_u DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the k-NN co-purchase graph:
+    score(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/ln(deg z) for non-adjacent pairs,
+    top 50 — the rare-shared-neighbor refinement of
+    `graph_jaccard_link_prediction` (a niche part shared by two others
+    is stronger evidence than a hub everyone buys).
+
+    Exactness: each 1/ln(deg z) term is quantized to integer
+    micro-units (floor(10⁶/ln d + 0.5)) at the WEDGE row before
+    aggregation, so the per-pair score is an order-free bigint sum and
+    the top-50 cut orders by that exact integer (date-free total order
+    with the (a,b) tiebreak); a shared neighbor always has deg ≥ 2
+    (it touches both x and y), so ln is never 0. Plan: same wedge
+    equi-join as the Jaccard scorer — candidates from the shared-
+    neighbor key (volume Σ deg(z)², k-NN-capped, never all-pairs), the
+    degree of the WEDGE CENTER joined before the groupBy, one left-anti
+    against the edge list, TakeOrdered for the limit."""
+    sym, canon, deg = _knn_graph(spark, sf_dir)
+    bdeg = size_gated_broadcast(deg)
+    s1 = sym.select("s", F.col("t").alias("x"))
+    s2 = sym.select("s", F.col("t").alias("y"))
+    aa_term = F.floor(F.lit(1000000) / F.log(F.col("dz.d")) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    cand = (
+        s1.join(s2, "s")
+        .filter(F.col("x") < F.col("y"))
+        .join(bdeg.alias("dz"), F.col("s") == F.col("dz.node"))
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common"),
+            F.sum(aa_term).cast("bigint").alias("aa_u"),
+        )
+    )
+    nonadj = cand.join(
+        canon, (cand.x == canon.u) & (cand.y == canon.v), "left_anti"
+    )
+    return (
+        nonadj.select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            F.col("common").alias("common_neighbors"),
+            F.round(F.col("aa_u") / 1000000.0, 4).alias("adamic_adar"),
+            F.col("aa_u"),
+        )
+        .orderBy(F.col("aa_u").desc(), "part_a", "part_b")
+        .limit(50)
+        .drop("aa_u")
+    )

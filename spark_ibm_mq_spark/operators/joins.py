@@ -546,3 +546,62 @@ def join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, chosen_id).alias("nearest_click_id"),
         F.when(in_window, chosen_delta).alias("delta_ms"),
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT p_id, user_id, c_id, gap_s FROM (
+        SELECT p.event_id AS p_id, p.user_id AS user_id, c.event_id AS c_id,
+               round((epoch_ms(c.ts) - epoch_ms(p.ts)) / 1000.0, 4) AS gap_s,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.ts ASC, c.event_id ASC) AS rn
+        FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts >= p.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: the EARLIEST click ≥ each purchase per user —
+    the direction='forward' twin of `join_asof_click_before_purchase`
+    (post-purchase re-engagement: how soon does the user come back).
+    Together the pair covers pandas' merge_asof backward/forward
+    semantics on Spark.
+
+    Shape: the same union-interleave merge, mirrored — one per-user
+    sequence sorted by (ts, kind, event_id) with purchases ordering
+    BEFORE same-timestamp clicks (kind 0 < 1) so the inclusive ``>=``
+    bound holds, and a ``first(click, ignorenulls)`` window over the
+    FOLLOWING frame carries the next click back onto each purchase row.
+    One shuffle on user_id, O(n log n) per user, no pair blowup —
+    identical cost profile to the backward variant at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    # kind 0 = purchase, 1 = click: purchases order before equal-ts clicks
+    merged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click = F.when(F.col("kind") == 1, F.struct("ts", "event_id"))
+    return (
+        merged.withColumn("next_click", F.first(click, ignorenulls=True).over(w))
+        .filter((F.col("kind") == 0) & F.col("next_click").isNotNull())
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.col("next_click.event_id").alias("c_id"),
+            F.round(
+                (F.unix_millis(F.col("next_click.ts").cast("timestamp"))
+                 - F.unix_millis(F.col("ts").cast("timestamp"))) / 1000.0,
+                4,
+            ).alias("gap_s"),
+        )
+    )

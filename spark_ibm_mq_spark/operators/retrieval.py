@@ -514,3 +514,64 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.select(F.explode(rows).alias("r")).select(
         "r.cutoff", "r.dcg", "r.idcg", "r.ndcg"
     )
+
+
+_PHRASE = ("table", "hash")  # adjacent-token query phrase
+
+
+@register(
+    "retrieval_phrase_match",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS term
+        FROM toks, LATERAL unnest(range(1, len(t) + 1)) r(i)
+        WHERE t[i] IN ('{_PHRASE[0]}', '{_PHRASE[1]}')
+    )
+    SELECT a.doc_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(a.p) AS BIGINT) AS first_pos
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    WHERE a.term = '{_PHRASE[0]}' AND b.term = '{_PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+)
+def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("table hash") via POSITIONAL postings — the
+    operator that separates a real search index from bag-of-words
+    ranking: a document matches only where the two terms are adjacent
+    in order, found by self-joining the positional posting lists on
+    (doc, position+1).
+
+    Plan shape: tokenize-with-position is a per-row posexplode inside
+    the scan stage, and the QUERY-TERM FILTER lands before the shuffle
+    — only postings of the phrase's own terms travel (two terms ≈
+    2/|vocab| of the corpus), joined on integer (doc_id, pos) keys,
+    then one map-side-combinable per-doc count. That is exactly how a
+    distributed index executes phrase queries at 100 TB: position
+    arrays stay columnar, candidates come from the rarest term's
+    postings, adjacency is an integer equi-join, never a string scan.
+    All-integer output — no float anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select(
+        "doc_id", F.posexplode(tokens("text")).alias("p0", "term")
+    )
+    pos = tok.filter(F.col("term").isin(*_PHRASE)).select(
+        "doc_id", (F.col("p0") + 1).cast("bigint").alias("p"), "term"
+    )
+    a = pos.filter(F.col("term") == _PHRASE[0]).select("doc_id", F.col("p").alias("pa"))
+    b = pos.filter(F.col("term") == _PHRASE[1]).select("doc_id", F.col("p").alias("pb"))
+    return (
+        a.join(b, (a.doc_id == b.doc_id) & (F.col("pb") == F.col("pa") + 1))
+        .drop(b.doc_id)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("pa").cast("bigint").alias("first_pos"),
+        )
+    )
+

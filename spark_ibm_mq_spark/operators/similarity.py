@@ -1285,3 +1285,70 @@ def emb_metric_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spearman_rho"
         ),
     )
+
+
+@register(
+    "emb_dimension_variance_profile",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(i AS BIGINT) AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS qv
+        FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) r(i)
+    ),
+    agg AS (
+        SELECT dim,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(qv) AS BIGINT)      AS sq,
+               CAST(sum(qv * qv) AS BIGINT) AS sqq
+        FROM q GROUP BY 1
+    )
+    SELECT dim, n_vecs,
+           round(sq / 1000000.0 / n_vecs, 4) AS mean,
+           round((n_vecs * sqq - sq * sq) * 1.0
+                 / (n_vecs * n_vecs) / 1000000000000.0, 4) AS variance
+    FROM agg
+    """,
+)
+def emb_dimension_variance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding matrix — the
+    feature-health profile run before any ANN index build: dead
+    dimensions (variance ≈ 0) waste index bits, and dominant ones tell
+    you whether `sim_prefix_dim_eval`'s matryoshka truncation is safe.
+
+    Exactness: each float32 coordinate converts to double EXACTLY, is
+    quantized to integer micro-units at the row (floor(x·10⁶ + 0.5) —
+    the op is defined over micro-quantized values, so both engines sum
+    identical bigints in any order), and population variance comes from
+    the integer identity n·Σq² − (Σq)² with divisions only at the end.
+    Bigint headroom: |q| ≤ 10⁶ ⇒ (Σq)² fits up to ~3M vectors per
+    dimension; past that the same sums run on decimal(38,0) unchanged.
+    Plan: one posexplode inside the scan stage (integer (dim, q) pairs
+    shuffle — never vectors), one map-side-combinable groupBy(dim) to
+    |dims| rows."""
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    q = spread(e).select(
+        F.posexplode("embedding").alias("d0", "x")
+    ).select(
+        (F.col("d0") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("qv"),
+    )
+    agg = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("qv").cast("bigint").alias("sq"),
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("sqq"),
+    )
+    return agg.select(
+        "dim",
+        "n_vecs",
+        F.round(F.col("sq") / 1000000.0 / F.col("n_vecs"), 4).alias("mean"),
+        F.round(
+            (F.col("n_vecs") * F.col("sqq") - F.col("sq") * F.col("sq"))
+            * 1.0
+            / (F.col("n_vecs") * F.col("n_vecs"))
+            / 1000000000000.0,
+            4,
+        ).alias("variance"),
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 import uuid
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
 from spark_ibm_mq_spark.registry import register
@@ -950,3 +950,60 @@ def stream_tpch_q1_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s_disc_rate") / 100.0 / F.col("n"), 4).alias("avg_disc"),
         F.col("n").alias("count_order"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+@register(
+    "stream_windowed_topk",
+    oracle=f"""
+    {EVENTS_CTE},
+    closed AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               count(*) AS n
+        FROM ev
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+              <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM ev)
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT window_start, event_type, n,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM closed
+    ) WHERE rk <= 3
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per closed hourly window — the streaming
+    leaderboard: a watermark-closed APPEND-mode windowed count (state
+    bounded by open windows × keys, each window emitted exactly once on
+    eviction) feeding a rank over the tiny emitted rollup. The rank
+    runs on the SINK side — that is the honest scale shape: ranking
+    inside the stream would need every key's count before the window
+    closes anyway, so a leaderboard materializes the closed-window
+    aggregate (≤ |event types| rows per window) and ranks that, not the
+    raw stream.
+
+    Determinism: ties rank by (n DESC, event_type) — a total order —
+    and the emission boundary is the same watermark-passed predicate
+    `stream_tumbling_counts_append` verifies against Spark's state
+    eviction. Counts are integers; no floats anywhere."""
+    ev = events_file_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(agg, "append")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        out.select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )

@@ -1117,3 +1117,49 @@ def text_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.explode(rows).alias("r")).select(
         "r.n_tokens", "r.n_types", "r.type_token_ratio"
     )
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT)
+               AS bpe_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           round(sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) * 1.0
+                 / sum(len(string_split_regex(trim(text), '\\s+'))), 4)
+               AS fertility,
+           round(sum(length(text)) * 1.0
+                 / sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))), 4)
+               AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword tokens emitted
+    per whitespace word, plus chars per subword token — the
+    tokenizer-equity metric multilingual pipelines audit (a language
+    whose fertility is 2× pays 2× the context budget for the same text,
+    and quality filters keyed on token counts silently bias against
+    it). Same lexer as `text_token_counts`, cut by `lang` instead of
+    `source` and reduced to the two ratios that matter.
+
+    Exactness: all three sums are bigint token/char counts — order-free
+    — and each ratio is ONE division under round(4). Plan: one scan,
+    per-row regexp counts inside codegen, one tiny groupBy(lang)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.sum(F.size(tokens("text")))
+    bpe = F.sum(F.size(bpe_ish_tokens("text")))
+    ch = F.sum(F.length("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        ws.cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_tokens"),
+        ch.cast("bigint").alias("n_chars"),
+        F.round(bpe * 1.0 / ws, 4).alias("fertility"),
+        F.round(ch * 1.0 / bpe, 4).alias("chars_per_token"),
+    )

@@ -810,3 +810,152 @@ def win_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delay_days",
         )
     )
+
+
+_DAILY_REV_CTE = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(count(*) AS BIGINT)  AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT)           AS rev_c
+        FROM orders GROUP BY 1
+    )
+"""
+
+
+@register(
+    "win_spearman_daily",
+    oracle=_DAILY_REV_CTE + """,
+    ranked AS (
+        SELECT d,
+               CAST(row_number() OVER (ORDER BY n_orders, d) AS BIGINT) AS rx,
+               CAST(row_number() OVER (ORDER BY rev_c, d) AS BIGINT)    AS ry
+        FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+           round(1.0 - 6.0 * sum((rx - ry) * (rx - ry))
+                 / (count(*) * (CAST(count(*) AS BIGINT) * count(*) - 1)), 4)
+               AS spearman_rho
+    FROM ranked
+    """,
+)
+def win_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily order COUNT and daily
+    revenue over the whole order history — the monotone-association
+    check that survives outliers Pearson chokes on (one mega-order day
+    cannot drag the coefficient; only its RANK moves).
+
+    Exactness: ranks are `row_number` with the DATE as the stated
+    tiebreak (deterministic total order both engines; classic
+    average-rank ties would force fractional ranks and float sums),
+    Σd² is a bigint sum of integer squares — order-free — and
+    ρ = 1 − 6Σd²/(n³−n) is one fixed expression under round(4).
+    Plan: one groupBy(day) partial-agg scan (revenue pre-scaled to
+    integer cents at the row level), two rank windows over the ~|days|
+    frame, one 1-row aggregate. At 100 TB the daily rollup is the only
+    full-data pass; everything after runs on ≤ date-range rows."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c"),
+    )
+    ranked = daily.select(
+        F.row_number().over(Window.orderBy("n_orders", "d")).cast("bigint").alias("rx"),
+        F.row_number().over(Window.orderBy("rev_c", "d")).cast("bigint").alias("ry"),
+    )
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    n = F.count(F.lit(1)).cast("bigint")
+    return ranked.agg(
+        n.alias("n_days"),
+        F.sum(d2).cast("bigint").alias("sum_d2"),
+        F.round(
+            F.lit(1.0) - F.lit(6.0) * F.sum(d2) / (n * (n * n - F.lit(1))), 4
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "win_mann_kendall_trend",
+    oracle=_DAILY_REV_CTE + """,
+    s AS (
+        SELECT CAST(sum(CASE WHEN b.rev_c > a.rev_c THEN 1
+                             WHEN b.rev_c < a.rev_c THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    n AS (SELECT s_stat, n_pairs,
+                 CAST(floor((1 + sqrt(1 + 8.0 * n_pairs)) / 2 + 0.5) AS BIGINT)
+                     AS n_days
+          FROM s)
+    SELECT n_days, n_pairs, s_stat,
+           round(s_stat * 1.0 / n_pairs, 4) AS kendall_tau,
+           round((s_stat - CASE WHEN s_stat > 0 THEN 1
+                                WHEN s_stat < 0 THEN -1 ELSE 0 END)
+                 / sqrt(n_days * (n_days - 1.0) * (2 * n_days + 5) / 18.0), 4)
+               AS z_score
+    FROM n
+    """,
+)
+def win_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the daily-revenue series:
+    S = Σ_{i<j} sign(x_j − x_i), Kendall's τ = S / C(n,2), and the
+    normal-approximation z with continuity correction — the
+    distribution-free "is revenue drifting" answer that needs no slope
+    model (complement to `agg_ols_daily_trend`, which assumes
+    linearity).
+
+    Exactness: S and the pair count are integer sums over the ordered
+    self-join — order-free — and τ/z are fixed expressions of (S, n)
+    under round(4) (sqrt is IEEE correctly-rounded, so both engines
+    agree bit-for-bit). Plan/scale: the O(|days|²) pair join is bounded
+    by the DATE RANGE (~2.4k days → ~3M integer pairs), not by row
+    count — the full-data pass is the one groupBy(day) rollup; at
+    100 TB the pair join still runs on calendar-bounded rows (and a
+    longer calendar would switch to the merge-sort variant counting
+    inversions in O(n log n))."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c"),
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("rev_c").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("rev_c").alias("xb"))
+    sgn = (
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(sgn).cast("bigint").alias("s_stat"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    cc = (
+        F.when(F.col("s_stat") > 0, 1).when(F.col("s_stat") < 0, -1).otherwise(0)
+    )
+    # n_days recovered from the pair count (p = n(n-1)/2 is injective):
+    # saves a third scan of orders + a cross join; sqrt(1+8p) is exact in
+    # double far past any calendar (p < 2^52), and the +0.5 floor absorbs
+    # the one-ulp case where the perfect square roots a hair low.
+    nd = F.floor((F.lit(1) + F.sqrt(F.lit(1.0) + F.lit(8.0) * F.col("n_pairs"))) / 2 + F.lit(0.5)).cast("bigint")
+    return (
+        s.withColumn("n_days", nd)
+        .select(
+            "n_days",
+            "n_pairs",
+            "s_stat",
+            F.round(F.col("s_stat") * 1.0 / F.col("n_pairs"), 4).alias("kendall_tau"),
+            F.round(
+                (F.col("s_stat") - cc)
+                / F.sqrt(nd * (nd - F.lit(1.0)) * (2 * nd + F.lit(5)) / F.lit(18.0)),
+                4,
+            ).alias("z_score"),
+        )
+    )

@@ -581,3 +581,68 @@ def test_dynamic_partition_pruning_subquery_present(spark):
     df = registry.QUERIES["scale_dynamic_partition_pruning"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_adamic_adar_no_all_pairs(spark):
+    """Candidates must come from the shared-neighbor wedge equi-join —
+    never an all-pairs product; the AA term joins the wedge CENTER's
+    degree, which must stay a hash join."""
+    df = registry.QUERIES["graph_adamic_adar"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_phrase_match_filters_terms_before_join(spark):
+    """The positional self-join must run on query-term postings only:
+    the term IN (...) filter sits below the join, the adjacency test is
+    an equi-join on (doc_id, pos+1), and no cartesian appears."""
+    df = registry.QUERIES["retrieval_phrase_match"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_spearman_single_scan_two_rank_windows(spark):
+    """One daily rollup scan feeds both rank windows — no second pass
+    over orders."""
+    df = registry.QUERIES["win_spearman_daily"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_mann_kendall_pair_join_is_calendar_bounded(spark):
+    """The O(n²) pair join must join DAILY ROLLUPS (calendar-bounded),
+    not raw orders: both join inputs aggregate before the non-equi
+    condition, so each side is ≤ |days| rows regardless of data scale."""
+    df = registry.QUERIES["win_mann_kendall_trend"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the pair join is a BNLJ by construction (range condition) — the
+    # safety property is that the daily HashAggregates sit BELOW it, so
+    # each BNLJ input is <= |days| rows regardless of data scale, and
+    # n_days derives from the pair count (no third scan, no cross join)
+    assert plan.count("Scan parquet") == 2, plan[:2000]
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan[:2000]
+    assert "HashAggregate" in plan
+
+
+def test_dimension_variance_prunes_to_embedding(spark):
+    """posexplode must read only the embedding column; integer (dim, q)
+    pairs shuffle, never vectors."""
+    df = registry.QUERIES["emb_dimension_variance_profile"](spark, SF_DIR)
+    for cols in read_schema_columns(df):
+        assert cols == ["embedding"], cols
+
+
+def test_asof_forward_is_merge_not_pair_join(spark):
+    df = registry.QUERIES["join_asof_forward"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
+    assert "Window" in plan
+
+
+def test_tokenizer_fertility_single_scan(spark):
+    df = registry.QUERIES["text_tokenizer_fertility"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:2000]

@@ -257,3 +257,144 @@ def test_spearman_matches_manual(spark):
     assert row["n_vectors"] == n
     assert row["sum_sq_rank_diff"] == sd2
     assert abs(row["spearman_rho"] - rho) < 5e-5
+
+
+def test_daily_spearman_matches_scipy_formula(spark):
+    from spark_ibm_mq_spark.operators.windows import win_spearman_daily
+
+    orders = pq.read_table(os.path.join(SF_DIR, "orders.parquet")).to_pylist()
+    per_day = defaultdict(lambda: [0, 0])
+    for r in orders:
+        d = r["o_orderdate"].date()
+        per_day[d][0] += 1
+        per_day[d][1] += math.floor(r["o_totalprice"] * 100 + 0.5)
+    days = sorted(per_day)
+    n = len(days)
+    rx = {d: i + 1 for i, d in enumerate(sorted(days, key=lambda d: (per_day[d][0], d)))}
+    ry = {d: i + 1 for i, d in enumerate(sorted(days, key=lambda d: (per_day[d][1], d)))}
+    sd2 = sum((rx[d] - ry[d]) ** 2 for d in days)
+    rho = 1 - 6 * sd2 / (n * (n * n - 1))
+    row = win_spearman_daily(spark, SF_DIR).collect()[0]
+    assert row["n_days"] == n
+    assert row["sum_d2"] == sd2
+    assert abs(row["spearman_rho"] - rho) < 5e-5
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    from spark_ibm_mq_spark.operators.windows import win_mann_kendall_trend
+
+    orders = pq.read_table(os.path.join(SF_DIR, "orders.parquet")).to_pylist()
+    per_day = Counter()
+    for r in orders:
+        per_day[r["o_orderdate"].date()] += math.floor(r["o_totalprice"] * 100 + 0.5)
+    xs = [per_day[d] for d in sorted(per_day)]
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    var_s = n * (n - 1) * (2 * n + 5) / 18.0
+    z = (s - (1 if s > 0 else -1 if s < 0 else 0)) / math.sqrt(var_s)
+    row = win_mann_kendall_trend(spark, SF_DIR).collect()[0]
+    assert row["n_days"] == n
+    assert row["n_pairs"] == n * (n - 1) // 2
+    assert row["s_stat"] == s
+    assert abs(row["kendall_tau"] - s / (n * (n - 1) / 2)) < 5e-5
+    assert abs(row["z_score"] - z) < 5e-5
+
+
+def test_theil_matches_numpy(spark):
+    from spark_ibm_mq_spark.operators.aggregations import agg_theil_index
+
+    orders = pq.read_table(os.path.join(SF_DIR, "orders.parquet")).to_pylist()
+    rev = Counter()
+    for r in orders:
+        rev[r["o_custkey"]] += math.floor(r["o_totalprice"] * 100 + 0.5)
+    x = np.array([rev[c] for c in sorted(rev)], dtype=np.float64)
+    mu = x.mean()
+    t = float(np.mean((x / mu) * np.log(x / mu)))
+    row = agg_theil_index(spark, SF_DIR).collect()[0]
+    assert row["n_customers"] == len(x)
+    # micro-unit quantization error per term < 1e-6; textbook value within 1e-4
+    assert abs(row["theil_t"] - t) < 1e-4
+    # Theil bounds: 0 <= T <= ln n
+    assert -1e-9 <= row["theil_t"] <= math.log(len(x))
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    from spark_ibm_mq_spark.operators.graph_analytics import graph_adamic_adar
+
+    li = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet")).to_pylist()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    w = Counter()
+    for parts in baskets.values():
+        for u in parts:
+            for v in parts:
+                if u != v:
+                    w[(u, v)] += 1
+    knn = set()
+    by_u = defaultdict(list)
+    for (u, v), c in w.items():
+        by_u[u].append((-c, v))
+    for u, lst in by_u.items():
+        for _c, v in sorted(lst)[:5]:
+            knn.add((u, v))
+    sym = knn | {(v, u) for (u, v) in knn}
+    nbrs = defaultdict(set)
+    for u, v in sym:
+        nbrs[u].add(v)
+    deg = {u: len(vs) for u, vs in nbrs.items()}
+    scores = {}
+    for z, vs in nbrs.items():
+        for x in vs:
+            for y in vs:
+                if x < y and (x, y) not in sym:
+                    scores.setdefault((x, y), [0, 0])
+                    scores[(x, y)][0] += 1
+                    scores[(x, y)][1] += math.floor(1e6 / math.log(deg[z]) + 0.5)
+    want = sorted(
+        ((aa, x, y, com) for (x, y), (com, aa) in scores.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:50]
+    got = graph_adamic_adar(spark, SF_DIR).collect()
+    assert len(got) == min(50, len(want))
+    for row, (aa, x, y, com) in zip(got, want):
+        assert (row["part_a"], row["part_b"]) == (x, y)
+        assert row["common_neighbors"] == com
+        assert abs(row["adamic_adar"] - aa / 1e6) < 5e-5
+
+
+def test_dimension_variance_matches_numpy(spark):
+    from spark_ibm_mq_spark.operators.similarity import (
+        emb_dimension_variance_profile,
+    )
+
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).to_pylist()
+    mat = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    q = np.floor(mat * 1e6 + 0.5)
+    got = {r["dim"]: r for r in emb_dimension_variance_profile(spark, SF_DIR).collect()}
+    assert set(got) == set(range(1, mat.shape[1] + 1))
+    for j in range(mat.shape[1]):
+        col = q[:, j]
+        assert got[j + 1]["n_vecs"] == len(col)
+        assert abs(got[j + 1]["mean"] - col.mean() / 1e6) < 5e-5
+        assert abs(got[j + 1]["variance"] - col.var() / 1e12) < 5e-5
+
+
+def test_phrase_match_matches_python_scan(spark):
+    from spark_ibm_mq_spark.operators.retrieval import retrieval_phrase_match
+
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+    want = {}
+    for r in docs:
+        toks = r["text"].split()
+        hits = [i + 1 for i in range(len(toks) - 1)
+                if toks[i] == "table" and toks[i + 1] == "hash"]
+        if hits:
+            want[r["doc_id"]] = (len(hits), hits[0])
+    got = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+           for r in retrieval_phrase_match(spark, SF_DIR).collect()}
+    assert got == want
