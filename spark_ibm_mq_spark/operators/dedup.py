@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from spark_ibm_mq_spark.functions.vector import dot, l2_norm
+from spark_ibm_mq_spark.functions.text import tokens
 from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
 from spark_ibm_mq_spark.registry import register
 from spark_ibm_mq_spark.tables import (
@@ -1114,4 +1115,72 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall_at_095"),
         )
+    )
+
+
+@register(
+    "dedup_soft_weighting",
+    oracle=_CLUSTER_LABELS_CTE + """,
+    csize AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cs
+              FROM labels GROUP BY 1),
+    doc_w AS (
+        SELECT d.source,
+               coalesce(c.cs, 1) AS cs,
+               len(string_split_regex(trim(d.text), '\\s+')) AS tok
+        FROM documents d
+        LEFT JOIN labels l ON d.doc_id = l.v
+        LEFT JOIN csize c ON l.cluster_id = c.cluster_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN cs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           round(sum(1000000 // cs) / 1000000.0, 4) AS effective_docs,
+           CAST(sum(tok) AS BIGINT) AS raw_tokens,
+           round(sum((tok * 1000000) // cs) / 1000000.0, 4)
+               AS effective_tokens
+    FROM doc_w GROUP BY source
+    """,
+)
+def dedup_soft_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup per-source budget: instead of DROPPING near-duplicates
+    (`pipeline_canonicalize_dedup`), weight every document by
+    1/|its duplicate cluster| and report each source's EFFECTIVE doc and
+    token mass — the soft-dedup accounting (e.g. SlimPajama-style
+    sampling weights) that keeps duplicated text trainable at
+    down-weighted rate rather than discarded, and shows per source how
+    much of its raw volume is genuinely novel.
+
+    Exactness: cluster sizes come from the shared connected-components
+    engine (`_resolve_duplicate_labels`, memoized per session); each
+    doc's weight contribution quantizes to integer micro-units via
+    EXACT integer division ((tok·10⁶) div cs — both engines' integer
+    div, no float path), so per-source sums are order-free bigints.
+    Plan: labels + cluster sizes are |dup docs|-bounded broadcasts onto
+    the narrow (doc_id, source, token-count) scan; one groupBy(source)."""
+    labels = _resolve_duplicate_labels(spark, sf_dir).select("v", "label")
+    csize = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cs")
+    )
+    lab_cs = labels.join(size_gated_broadcast(csize), "label").select(
+        F.col("v").alias("doc_id"), "cs"
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("tok")
+    )
+    w = d.join(size_gated_broadcast(lab_cs), "doc_id", "left").select(
+        "source", "tok", F.coalesce("cs", F.lit(1)).alias("cs")
+    )
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("cs") > 1, 1).otherwise(0)).cast("bigint").alias(
+            "n_dup_docs"
+        ),
+        F.round(F.sum(F.expr("1000000 div cs")) / 1000000.0, 4).alias(
+            "effective_docs"
+        ),
+        F.sum("tok").cast("bigint").alias("raw_tokens"),
+        F.round(F.sum(F.expr("(tok * 1000000) div cs")) / 1000000.0, 4).alias(
+            "effective_tokens"
+        ),
     )

@@ -518,3 +518,67 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("aa_u")
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=_KNN_GRAPH_CTE + """,
+    edge_deg AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM sym e
+        JOIN deg du ON e.s = du.node
+        JOIN deg dv ON e.t = dv.node
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT)      AS m,
+               CAST(sum(x) AS BIGINT)        AS sx,
+               CAST(sum(y) AS BIGINT)        AS sy,
+               CAST(sum(x * y) AS BIGINT)    AS sxy,
+               CAST(sum(x * x) AS BIGINT)    AS sxx,
+               CAST(sum(y * y) AS BIGINT)    AS syy
+        FROM edge_deg
+    )
+    SELECT m AS n_directed_edges,
+           round(sx * 1.0 / m, 4) AS mean_degree_at_edge,
+           round((m * sxy - sx * sy)
+                 / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 4)
+               AS assortativity
+    FROM m
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the k-NN co-purchase graph — Pearson
+    correlation of endpoint degrees over the directed edge list
+    (Newman's r): positive means hubs link to hubs (assortative mixing),
+    negative means hubs fan out to leaves — the one-number structure
+    summary that predicts whether degree-targeted sampling or caching
+    will pay off.
+
+    Exactness: the five moments are bigint sums of integer degrees over
+    the symmetric edge list — order-free — and r is one fixed
+    sqrt/div expression under round(4) (the `win_rolling_corr`
+    identity). Plan: edges join the degree frame twice (broadcast), one
+    1-row reduction — no pair enumeration beyond the existing edges."""
+    sym, _canon, deg = _knn_graph(spark, sf_dir)
+    bdeg = size_gated_broadcast(deg)
+    ed = (
+        sym.join(bdeg.alias("du"), F.col("s") == F.col("du.node"))
+        .join(bdeg.alias("dv"), F.col("t") == F.col("dv.node"))
+        .select(F.col("du.d").alias("x"), F.col("dv.d").alias("y"))
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("m").alias("n_directed_edges"),
+        F.round(F.col("sx") * 1.0 / F.col("m"), 4).alias("mean_degree_at_edge"),
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 4).alias("assortativity"),
+    )

@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from spark_ibm_mq_spark.functions.text import STOPWORDS_EN, tokens
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import load_table, size_gated_broadcast, spread
+from spark_ibm_mq_spark.tables import (
+    durable_checkpoint,
+    load_table,
+    size_gated_broadcast,
+    spread,
+)
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
 
@@ -1528,4 +1533,115 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("interleave_pos")
         .limit(200)
         .select("doc_id", "source", "interleave_pos")
+    )
+
+
+# average-per-token logprob gates (micro-units): ln(1/31) ≈ -3.434, so the
+# sweep brackets the fixture's unigram scores
+_PPL_GATES_U = (-3350000, -3400000, -3450000, -3500000)
+
+
+@register(
+    "pipeline_perplexity_gate_ablation",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    freq AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM freq),
+    scored AS (
+        SELECT tok.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(CAST(floor(ln(freq.c * 1.0 / total.tot) * 1000000 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS su
+        FROM tok JOIN freq ON tok.t = freq.t CROSS JOIN total
+        GROUP BY tok.doc_id
+    ),
+    gates AS (SELECT unnest([{", ".join(str(g) for g in _PPL_GATES_U)}])
+                  AS gate_u),
+    corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n_tok) AS BIGINT) AS all_tok
+               FROM scored)
+    SELECT round(g.gate_u / 1000000.0, 4) AS gate_avg_logprob,
+           CAST(sum(CASE WHEN s.su >= g.gate_u * s.n_tok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep,
+           round(sum(CASE WHEN s.su >= g.gate_u * s.n_tok THEN 1 ELSE 0 END)
+                 * 1.0 / c.n_docs, 4) AS keep_rate,
+           CAST(sum(CASE WHEN s.su >= g.gate_u * s.n_tok THEN s.n_tok
+                         ELSE 0 END) AS BIGINT) AS kept_tokens,
+           round(sum(CASE WHEN s.su >= g.gate_u * s.n_tok THEN s.n_tok
+                          ELSE 0 END) * 1.0 / c.all_tok, 4) AS token_keep_rate
+    FROM scored s CROSS JOIN gates g CROSS JOIN corpus c
+    GROUP BY g.gate_u, c.n_docs, c.all_tok
+    """,
+)
+def pipeline_perplexity_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter ablation: for four average-per-token logprob
+    gates, how many documents (and tokens) survive scoring under the
+    corpus's own unigram model — the model-based twin of
+    `pipeline_length_filter_ablation`, answering "how aggressive can the
+    perplexity filter be before the corpus shrinks too far" BEFORE
+    committing a full filtering run.
+
+    Exactness: per-TOKEN logprobs quantize to integer micro-units at the
+    scoring row, so each doc's score is an order-free bigint sum, and
+    every gate decision is the integer cross-multiplication
+    su ≥ gate_u·n_tok — no float threshold can flip a doc between
+    engines (a float per-doc average would drift with reduction order
+    exactly at the gate boundary). Plan: ONE scoring pass (model
+    broadcast onto the exploded tokens, groupBy doc), then a 4-gate
+    conditional aggregate over the |docs| score frame — the sweep costs
+    one extra tiny aggregate, not four corpus passes."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select("doc_id", F.explode(tokens("text")).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    total = freq.agg(F.sum("c").cast("bigint").alias("tot"))
+    # checkpoint the per-doc score frame: both the corpus totals and the
+    # gate aggregate consume it, and Spark does not share subtrees across
+    # consumers — without this the corpus-scale scoring pass runs twice
+    scored = durable_checkpoint(
+        tok.join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum(
+                F.floor(
+                    F.log(F.col("c") * F.lit(1.0) / F.col("tot")) * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("su"),
+        ),
+        eager=False,
+    )
+    corpus = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("all_tok"),
+    )
+    gates = spark.createDataFrame(
+        [(g,) for g in _PPL_GATES_U], "gate_u long"
+    )
+    keep = F.col("su") >= F.col("gate_u") * F.col("n_tok")
+    return (
+        scored.crossJoin(F.broadcast(gates))
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("gate_u", "n_docs", "all_tok")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_keep"),
+            F.sum(F.when(keep, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .select(
+            F.round(F.col("gate_u") / 1000000.0, 4).alias("gate_avg_logprob"),
+            "n_keep",
+            F.round(F.col("n_keep") * 1.0 / F.col("n_docs"), 4).alias("keep_rate"),
+            "kept_tokens",
+            F.round(F.col("kept_tokens") * 1.0 / F.col("all_tok"), 4).alias(
+                "token_keep_rate"
+            ),
+        )
     )

@@ -575,3 +575,107 @@ def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+_QL_MU = 200.0  # Dirichlet smoothing mass (fixture docs are ~100 tokens)
+
+
+@register(
+    "retrieval_query_likelihood",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    coll AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS cf FROM tok
+        WHERE t IN ('hash', 'merge', 'window') GROUP BY 1
+    ),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS c_len FROM tok),
+    tf AS (
+        SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE t IN ('hash', 'merge', 'window') GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT dl.doc_id, coll.t,
+               ln((coalesce(tf.tf, 0) + {_QL_MU} * coll.cf / nc.c_len)
+                  / (dl.dl + {_QL_MU})) AS lw
+        FROM dl CROSS JOIN coll CROSS JOIN nc
+        LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.t = coll.t
+    ),
+    piv AS (
+        SELECT doc_id,
+               max(CASE WHEN t = 'hash'   THEN lw END) AS lh,
+               max(CASE WHEN t = 'merge'  THEN lw END) AS lm,
+               max(CASE WHEN t = 'window' THEN lw END) AS lww
+        FROM w GROUP BY doc_id
+    )
+    SELECT p.doc_id, dl.dl,
+           round(p.lh, 4) AS lp_hash,
+           round(p.lm, 4) AS lp_merge,
+           round(p.lww, 4) AS lp_window,
+           round(p.lh + p.lm + p.lww, 4) AS query_loglik
+    FROM piv p JOIN dl ON p.doc_id = dl.doc_id
+    """,
+)
+def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (μ=200) for
+    the fixed 3-term query — the language-modeling ranker that
+    complements `text_bm25_rank`: score(d) = Σ_t ln((tf + μ·cf_t/|C|) /
+    (dl + μ)). Smoothing means EVERY document scores (absent terms pull
+    from the collection model), which is what makes the scores
+    comparable across documents — and why this family wins when queries
+    carry terms the document paraphrases.
+
+    Exactness: per-term log-weights pivot to fixed columns and sum
+    LEFT-TO-RIGHT (the BM25/nDCG fixed-order discipline — 3 terms, no
+    engine-order float reduction); tf/cf/dl/|C| are bigints, each
+    weight is one fixed expression under round(4). Plan: the same ONE
+    (doc, term) aggregate as BM25 feeds tf + dl; the 3-row collection
+    stats broadcast; scoring is a broadcast left join onto the |docs|
+    frame — shuffle-free past the postings aggregate."""
+    piv, dl = _ql_frames(spark, sf_dir)
+    return piv.join(dl, "doc_id").select(
+        "doc_id",
+        "dl",
+        F.round(F.col("lh"), 4).alias("lp_hash"),
+        F.round(F.col("lm"), 4).alias("lp_merge"),
+        F.round(F.col("lww"), 4).alias("lp_window"),
+        F.round(F.col("lh") + F.col("lm") + F.col("lww"), 4).alias("query_loglik"),
+    )
+
+
+def _ql_frames(spark: SparkSession, sf_dir: str):
+    """(piv, dl) per-doc Dirichlet log-weights for the fixed query."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = list(_QUERY_TERMS)
+    tok = spread(d, "doc_id").select("doc_id", F.explode(tokens("text")).alias("t"))
+    tf_all = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dl = tf_all.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    coll = (
+        tf_all.filter(F.col("t").isin(terms))
+        .groupBy("t")
+        .agg(F.sum("tf").cast("bigint").alias("cf"))
+    )
+    c_len = dl.agg(F.sum("dl").cast("bigint").alias("c_len"))
+    tf = tf_all.filter(F.col("t").isin(terms))
+    w = (
+        dl.crossJoin(F.broadcast(coll))
+        .crossJoin(F.broadcast(c_len))
+        .join(tf, ["doc_id", "t"], "left")
+        .select(
+            "doc_id",
+            "t",
+            F.log(
+                (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(_QL_MU) * F.col("cf") / F.col("c_len"))
+                / (F.col("dl") + F.lit(_QL_MU))
+            ).alias("lw"),
+        )
+    )
+    piv = w.groupBy("doc_id").agg(
+        F.max(F.when(F.col("t") == "hash", F.col("lw"))).alias("lh"),
+        F.max(F.when(F.col("t") == "merge", F.col("lw"))).alias("lm"),
+        F.max(F.when(F.col("t") == "window", F.col("lw"))).alias("lww"),
+    )
+    return piv, dl

@@ -1163,3 +1163,102 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bpe * 1.0 / ws, 4).alias("fertility"),
         F.round(ch * 1.0 / bpe, 4).alias("chars_per_token"),
     )
+
+
+@register(
+    "text_js_divergence_sources",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    cnt AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+    grid AS (
+        SELECT s.source, v.t, coalesce(c.c, 0) AS c, s.tot
+        FROM tot s
+        CROSS JOIN (SELECT DISTINCT t FROM cnt) v
+        LEFT JOIN cnt c ON c.source = s.source AND c.t = v.t
+    ),
+    terms AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CASE WHEN a.c > 0 AND b.c > 0 THEN 1 ELSE 0 END AS shared,
+               CAST(floor((
+                   CASE WHEN a.c = 0 THEN 0.0
+                        ELSE 0.5 * (a.c * 1.0 / a.tot)
+                             * ln((a.c * 1.0 / a.tot)
+                                  / (((a.c * 1.0 / a.tot) + (b.c * 1.0 / b.tot)) / 2))
+                   END
+                 + CASE WHEN b.c = 0 THEN 0.0
+                        ELSE 0.5 * (b.c * 1.0 / b.tot)
+                             * ln((b.c * 1.0 / b.tot)
+                                  / (((a.c * 1.0 / a.tot) + (b.c * 1.0 / b.tot)) / 2))
+                   END) * 1000000 + 0.5) AS BIGINT) AS term_u
+        FROM grid a JOIN grid b ON a.t = b.t AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(sum(shared) AS BIGINT) AS n_shared_terms,
+           round(sum(term_u) / 1000000.0, 4) AS js_divergence
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of every source pair — the distribution-drift matrix
+    a corpus mixer reads before setting `pipeline_domain_mix` weights
+    (JSD is symmetric, bounded by ln 2, and defined even where one side
+    has zero mass — exactly why it beats KL for corpus comparison).
+
+    Exactness: each term's contribution ½p·ln(p/m) + ½q·ln(q/m)
+    (m = (p+q)/2; zero-mass sides contribute 0 by the CASE, not by a
+    ln(0) dodge) is quantized to integer micro-units at the (pair,
+    term) row, so per-pair sums are order-free bigints. The term grid
+    is DENSIFIED first (sources × observed vocab, absent counts = 0) so
+    the pair join needs no outer-join per pair. Plan: one token
+    aggregate to |sources|·|vocab| rows, a vocab-key self-join of the
+    tiny grid (|sources|²·|vocab| rows — model-sized, not corpus-
+    sized), one groupBy(pair)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select("source", F.explode(tokens("text")).alias("t"))
+    cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
+    vocab = cnt.select("t").distinct()
+    grid = (
+        tot.crossJoin(F.broadcast(vocab))
+        .join(cnt, ["source", "t"], "left")
+        .select("source", "t", F.coalesce("c", F.lit(0)).alias("c"), "tot")
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"),
+        "t",
+        F.col("c").alias("ca"),
+        F.col("tot").alias("ta"),
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"),
+        "t",
+        F.col("c").alias("cb"),
+        F.col("tot").alias("tb"),
+    )
+    p = F.col("ca") * 1.0 / F.col("ta")
+    q = F.col("cb") * 1.0 / F.col("tb")
+    m = (p + q) / 2
+    term = F.when(F.col("ca") == 0, 0.0).otherwise(0.5 * p * F.log(p / m)) + F.when(
+        F.col("cb") == 0, 0.0
+    ).otherwise(0.5 * q * F.log(q / m))
+    pairs = (
+        a.join(b, "t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(0).alias(
+                "shared"
+            ),
+            F.floor(term * 1000000 + F.lit(0.5)).cast("bigint").alias("term_u"),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.sum("shared").cast("bigint").alias("n_shared_terms"),
+        F.round(F.sum("term_u") / 1000000.0, 4).alias("js_divergence"),
+    )

@@ -959,3 +959,85 @@ def win_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z_score"),
         )
     )
+
+
+_BB_WIN = 14  # Bollinger window (days)
+
+
+@register(
+    "win_bollinger_bands",
+    oracle=_DAILY_REV_CTE + """,
+    roll AS (
+        SELECT d, rev_c,
+               CAST(count(*) OVER w AS BIGINT)                        AS n,
+               CAST(sum(rev_c) OVER w AS BIGINT)                      AS s,
+               sum(CAST(rev_c AS HUGEINT) * rev_c) OVER w             AS ss
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN """ + str(_BB_WIN - 1) + """ PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT d, round(rev_c / 100.0, 4) AS revenue,
+           round(s / 100.0 / n, 4) AS band_mid,
+           round((s + 2 * sqrt(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)))
+                 / n / 100.0, 4) AS band_upper,
+           round((s - 2 * sqrt(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)))
+                 / n / 100.0, 4) AS band_lower,
+           CASE WHEN CAST(n * rev_c - s AS HUGEINT) * (n * rev_c - s)
+                     > 4 * (n * ss - CAST(s AS HUGEINT) * s)
+                THEN 1 ELSE 0 END AS outside
+    FROM roll
+    WHERE n = """ + str(_BB_WIN) + """
+    """,
+)
+def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (14-day rolling mean ± 2σ) on daily revenue with
+    an exact outside-the-band flag — the volatility-scaled control chart
+    (a fixed threshold alarms constantly in busy seasons and never in
+    quiet ones; ±2σ adapts).
+
+    Exactness: the rolling moments (n, Σx, Σx²) are bigint window sums
+    of integer-cents revenue, and the band test is decided by INTEGER
+    cross-multiplication — (n·x − Σx)² > 4(n·Σx² − (Σx)²) — so the flag
+    can never flip on a float boundary; the displayed band edges do one
+    sqrt + one division each under round(4) (sqrt is IEEE
+    correctly-rounded). The quadratic moments (Σx², s², the
+    comparison) reach ~10¹⁹ in integer cents, so they carry in
+    decimal(38,0)/HUGEINT end-to-end (good to 10³⁸); the linear sums
+    stay bigint. Plan: one groupBy(day) rollup scan, one ordered
+    window over the calendar-bounded frame."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c"),
+    )
+    w = Window.orderBy("d").rowsBetween(-(_BB_WIN - 1), Window.currentRow)
+    roll = daily.select(
+        "d",
+        "rev_c",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("rev_c").over(w).cast("bigint").alias("s"),
+        # the quadratic moments reach ~10^19 — carry them in decimal(38,0)
+        # (HUGEINT in the oracle) so ANSI mode cannot overflow
+        F.sum(F.col("rev_c").cast("decimal(38,0)") * F.col("rev_c"))
+        .over(w)
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    dec = "decimal(38,0)"
+    var_n2 = F.col("n").cast(dec) * F.col("ss") - F.col("s").cast(dec) * F.col("s").cast(dec)
+    dev_n = F.col("n") * F.col("rev_c") - F.col("s")
+    dev2 = dev_n.cast(dec) * dev_n.cast(dec)
+    var4 = F.lit(4).cast(dec) * var_n2
+    return roll.filter(F.col("n") == _BB_WIN).select(
+        "d",
+        F.round(F.col("rev_c") / 100.0, 4).alias("revenue"),
+        F.round(F.col("s") / 100.0 / F.col("n"), 4).alias("band_mid"),
+        F.round(
+            (F.col("s") + 2 * F.sqrt(var_n2.cast("double"))) / F.col("n") / 100.0, 4
+        ).alias("band_upper"),
+        F.round(
+            (F.col("s") - 2 * F.sqrt(var_n2.cast("double"))) / F.col("n") / 100.0, 4
+        ).alias("band_lower"),
+        F.when(dev2 > var4, 1).otherwise(0).alias("outside"),
+    )

@@ -646,3 +646,45 @@ def test_tokenizer_fertility_single_scan(spark):
     df = registry.QUERIES["text_tokenizer_fertility"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_bollinger_single_scan(spark):
+    df = registry.QUERIES["win_bollinger_bands"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "Window" in plan
+
+
+def test_query_likelihood_no_cartesian_blowup(spark):
+    """The two crossJoins are a 3-row term frame and a 1-row stats frame —
+    both broadcast; the corpus-side shuffle is the one postings aggregate."""
+    df = registry.QUERIES["retrieval_query_likelihood"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_perplexity_ablation_one_scoring_pass(spark):
+    """Four gates must share ONE corpus scoring pass — the gate sweep is a
+    conditional aggregate over the per-doc score frame, not 4 scans."""
+    df = registry.QUERIES["pipeline_perplexity_gate_ablation"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2, plan[:2000]
+
+
+def test_js_divergence_pair_join_is_model_sized(spark):
+    """The pair join runs on the (source, term) grid — model-sized rows —
+    with the corpus touched once by the count aggregate."""
+    df = registry.QUERIES["text_js_divergence_sources"](spark, SF_DIR)
+    assert not has_cartesian(df)
+
+
+def test_soft_weighting_broadcasts_labels(spark):
+    df = registry.QUERIES["dedup_soft_weighting"](spark, SF_DIR)
+    assert not has_cartesian(df)
+
+
+def test_assortativity_single_reduction(spark):
+    df = registry.QUERIES["graph_degree_assortativity"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]

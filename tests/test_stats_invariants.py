@@ -398,3 +398,122 @@ def test_phrase_match_matches_python_scan(spark):
     got = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
            for r in retrieval_phrase_match(spark, SF_DIR).collect()}
     assert got == want
+
+
+def test_bollinger_matches_numpy(spark):
+    from spark_ibm_mq_spark.operators.windows import win_bollinger_bands
+
+    orders = pq.read_table(os.path.join(SF_DIR, "orders.parquet")).to_pylist()
+    per_day = Counter()
+    for r in orders:
+        per_day[r["o_orderdate"].date()] += math.floor(r["o_totalprice"] * 100 + 0.5)
+    days = sorted(per_day)
+    xs = np.array([per_day[d] for d in days], dtype=object)  # exact ints
+    got = {r["d"]: r for r in win_bollinger_bands(spark, SF_DIR).collect()}
+    for i in range(13, len(days)):
+        win = xs[i - 13 : i + 1]
+        n, s = 14, int(sum(win))
+        ss = int(sum(v * v for v in win))
+        var_n2 = n * ss - s * s
+        mid = s / 100.0 / n
+        sd = math.sqrt(var_n2)
+        row = got[days[i]]
+        assert abs(row["band_mid"] - round(mid, 4)) < 1e-9
+        assert abs(row["band_upper"] - round((s + 2 * sd) / n / 100.0, 4)) < 1e-9
+        want_out = 1 if (n * int(xs[i]) - s) ** 2 > 4 * var_n2 else 0
+        assert row["outside"] == want_out, days[i]
+
+
+def test_theil_gini_consistency(spark):
+    """Theil and Gini must order the same way on the same data: both zero
+    iff all customer revenues equal; both positive here."""
+    from spark_ibm_mq_spark.operators.aggregations import (
+        agg_gini_coefficient,
+        agg_theil_index,
+    )
+
+    t = agg_theil_index(spark, SF_DIR).collect()[0]["theil_t"]
+    g = agg_gini_coefficient(spark, SF_DIR).collect()[0]["gini"]
+    assert t > 0 and g > 0
+
+
+def test_js_divergence_matches_scipy_formula(spark):
+    from spark_ibm_mq_spark.operators.text_analysis import (
+        text_js_divergence_sources,
+    )
+
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+    cnt = defaultdict(Counter)
+    for r in docs:
+        cnt[r["source"]].update(r["text"].split())
+    vocab = sorted({t for c in cnt.values() for t in c})
+    got = {(r["source_a"], r["source_b"]): r["js_divergence"]
+           for r in text_js_divergence_sources(spark, SF_DIR).collect()}
+    srcs = sorted(cnt)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            ta, tb = sum(cnt[sa].values()), sum(cnt[sb].values())
+            jsd = 0.0
+            for t in vocab:
+                p, q = cnt[sa][t] / ta, cnt[sb][t] / tb
+                m = (p + q) / 2
+                if p > 0:
+                    jsd += 0.5 * p * math.log(p / m)
+                if q > 0:
+                    jsd += 0.5 * q * math.log(q / m)
+            assert abs(got[(sa, sb)] - jsd) < 1e-4, (sa, sb)
+            assert -1e-9 <= got[(sa, sb)] <= math.log(2) + 1e-9
+
+
+def test_assortativity_matches_numpy(spark):
+    from spark_ibm_mq_spark.operators.graph_analytics import (
+        graph_degree_assortativity,
+    )
+
+    li = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet")).to_pylist()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    w = Counter()
+    for parts in baskets.values():
+        for u in parts:
+            for v in parts:
+                if u != v:
+                    w[(u, v)] += 1
+    by_u = defaultdict(list)
+    for (u, v), c in w.items():
+        by_u[u].append((-c, v))
+    knn = {(u, v) for u, lst in by_u.items() for _c, v in sorted(lst)[:5]}
+    sym = knn | {(v, u) for (u, v) in knn}
+    deg = Counter()
+    for u, _v in sym:
+        deg[u] += 1
+    xs = np.array([deg[u] for u, v in sym], dtype=np.float64)
+    ys = np.array([deg[v] for u, v in sym], dtype=np.float64)
+    r = np.corrcoef(xs, ys)[0, 1]
+    row = graph_degree_assortativity(spark, SF_DIR).collect()[0]
+    assert row["n_directed_edges"] == len(sym)
+    assert abs(row["assortativity"] - r) < 5e-5
+
+
+def test_soft_weighting_conserves_mass(spark):
+    """Effective docs == n_clusters + n_singletons per corpus; effective
+    mass never exceeds raw mass; sources sum to the corpus totals."""
+    from spark_ibm_mq_spark.operators.dedup import (
+        dedup_cluster_resolve,
+        dedup_soft_weighting,
+    )
+
+    rows = dedup_soft_weighting(spark, SF_DIR).collect()
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+    n_docs = sum(r["n_docs"] for r in rows)
+    assert n_docs == len(docs)
+    clusters = dedup_cluster_resolve(spark, SF_DIR).collect()
+    n_in_clusters = sum(c["n_docs"] for c in clusters)
+    want_eff_docs = len(clusters) + (len(docs) - n_in_clusters)
+    got_eff = sum(r["effective_docs"] for r in rows)
+    # micro-unit floors can undershoot by < 1e-6 per doc
+    assert abs(got_eff - want_eff_docs) < 0.01
+    for r in rows:
+        assert r["effective_tokens"] <= r["raw_tokens"] + 1e-9
+        assert r["n_dup_docs"] <= r["n_docs"]
