@@ -47,13 +47,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # tpch_q7_nation_volume, tpch_q8_market_share, tpch_q15_top_supplier,
 # tpch_q17_small_quantity_revenue, tpch_q18_large_volume_customers,
 # tpch_q19_disjunctive_revenue, tpch_q22_global_sales_opportunity —
-# plus the FIFTEEN operators registered in r9 (win_spearman_daily,
+# plus the NINETEEN operators registered in r9 (win_spearman_daily,
 # win_mann_kendall_trend, agg_theil_index, graph_adamic_adar,
 # retrieval_phrase_match, emb_dimension_variance_profile,
 # join_asof_forward, text_tokenizer_fertility, stream_windowed_topk,
 # win_bollinger_bands, dedup_soft_weighting, retrieval_query_likelihood,
 # pipeline_perplexity_gate_ablation, graph_degree_assortativity,
-# text_js_divergence_sources — all fully oracled) must LEAD the r10 window
+# text_js_divergence_sources, emb_pca_power_iteration, sim_mmr_rerank,
+# win_rsi_indicator, text_ngram_novelty — all fully oracled) must LEAD
+# the r10 window
 # (never-checked first, then the nine tpch rows; sim_ann_lsh stays excluded from
 # windows per the r7 rows-only policy — it keeps its oracled twin +
 # per-commit parity sweep). Every displaced query keeps per-commit

@@ -20,7 +20,12 @@ from spark_ibm_mq_spark.functions.vector import cosine_similarity, dot
 from spark_ibm_mq_spark.operators.dedup import _COS_SQL
 from spark_ibm_mq_spark.registry import ORACLE as _ORACLE
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import load_table, spread
+from spark_ibm_mq_spark.tables import (
+    durable_checkpoint,
+    load_table,
+    size_gated_broadcast,
+    spread,
+)
 
 _TOP_K = 5
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -1351,4 +1356,255 @@ def emb_dimension_variance_profile(spark: SparkSession, sf_dir: str) -> DataFram
             / 1000000000000.0,
             4,
         ).alias("variance"),
+    )
+
+
+_PCA_ROUNDS = 3
+
+
+def _pca_round_cte(k: int) -> str:
+    """One integer-quantized power-iteration round as CTEs."""
+    return f"""
+    dot{k} AS (
+        SELECT q.vec_id,
+               CAST(sum(q.qv * v.qv) AS BIGINT) // 1000000 AS dt
+        FROM qx q JOIN v{k - 1} v ON q.dim = v.dim
+        GROUP BY q.vec_id
+    ),
+    w{k} AS (
+        SELECT q.dim, CAST(sum(q.qv * d.dt) AS BIGINT) AS w
+        FROM qx q JOIN dot{k} d ON q.vec_id = d.vec_id
+        GROUP BY q.dim
+    ),
+    n{k} AS (
+        SELECT CAST(floor(sqrt(CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE)))
+                    AS BIGINT) // 1000000 AS nd
+        FROM w{k}
+    ),
+    v{k} AS (SELECT dim, w // nd AS qv FROM w{k} CROSS JOIN n{k})"""
+
+
+@register(
+    "emb_pca_power_iteration",
+    oracle="""
+    WITH qx AS (
+        SELECT vec_id, CAST(i AS BIGINT) AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS qv
+        FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) r(i)
+    ),
+    v0 AS (SELECT DISTINCT dim, CAST(125000 AS BIGINT) AS qv FROM qx),"""
+    + ",".join(_pca_round_cte(k) for k in range(1, _PCA_ROUNDS + 1))
+    + f"""
+    SELECT dim, round(qv / 1000000.0, 4) AS loading
+    FROM v{_PCA_ROUNDS}
+    """,
+)
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal direction of the (uncentered) embedding matrix by
+    THREE power-iteration rounds — iterative linear algebra as pure
+    DataFrame joins/aggregates, the pattern that scales PCA/embedding
+    diagnostics to matrices far beyond single-node memory (each round is
+    one X·v and one Xᵀ·(Xv), both map-side-combinable aggregates over
+    the (vec, dim, value) triples; v rides as a |dims|-row frame, the
+    data is never collected).
+
+    Exactness — the whole iteration is INTEGER arithmetic: coordinates
+    quantize once to micro-units; each round's dot products are
+    order-free bigint sums rescaled by exact integer division (both
+    engines' `div` truncates toward zero, verified incl. negatives);
+    the normalizer floor(√Σw²) computes Σw² in decimal(38,0)/HUGEINT
+    (reaches ~10³⁵). Both engines therefore walk BIT-IDENTICAL integer
+    states — no float accumulation-order drift across three rounds
+    (start v₀ = 0.125·1 exactly). Headroom documented per term; at
+    larger scale the same chain runs with one more `div` rescale.
+    Convergence: each round provably raises the Rayleigh quotient
+    (invariant-tested); landing ON the top eigenvector additionally
+    needs a spectral gap — the fixture's near-isotropic synthetic
+    embeddings don't have one, so this op is the MECHANISM demo (plus
+    round count as a dial: one more round = one more CTE pair), not a
+    claim that 3 rounds diagonalize arbitrary data."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qx = spread(e).select(
+        "vec_id", F.posexplode("embedding").alias("d0", "x")
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("qv"),
+    )
+    qx = durable_checkpoint(qx, eager=False)
+    v = qx.select("dim").distinct().select(
+        "dim", F.lit(125000).cast("bigint").alias("qv")
+    )
+    for _k in range(_PCA_ROUNDS):
+        dot = (
+            qx.join(size_gated_broadcast(v.withColumnRenamed("qv", "vq")), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.expr("CAST(sum(qv * vq) AS BIGINT) div 1000000").alias("dt")
+            )
+        )
+        w = (
+            qx.join(size_gated_broadcast(dot), "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("qv") * F.col("dt")).cast("bigint").alias("w"))
+        )
+        n = w.agg(
+            F.expr(
+                "CAST(floor(sqrt(CAST(sum(CAST(w AS decimal(38,0)) * w) AS DOUBLE)))"
+                " AS BIGINT) div 1000000"
+            ).alias("nd")
+        )
+        v = (
+            w.crossJoin(F.broadcast(n))
+            .select("dim", F.expr("w div nd").cast("bigint").alias("qv"))
+        )
+        v = durable_checkpoint(v, eager=False)
+    return v.select("dim", F.round(F.col("qv") / 1000000.0, 4).alias("loading"))
+
+
+_MMR_POOL = 20   # relevance shortlist fed to the diversifier
+_MMR_K = 5       # picks
+_MMR_LAM = 7     # λ = 0.7 as an integer fraction (7/10)
+
+
+def _mmr_pick_cte(k: int) -> str:
+    """Round k (k ≥ 2): score unpicked candidates by
+    (λ·rel − (1−λ)·max-sim-to-selected) in micro-units, pick the argmax."""
+    union = " UNION ALL ".join(f"SELECT vec_id FROM s{j}" for j in range(1, k))
+    return f"""
+    sel{k - 1} AS ({union}),
+    s{k} AS (
+        SELECT c.vec_id,
+               (7 * c.rel_u - 3 * max(sm.sim_u)) // 10 AS mmr_u
+        FROM cand c
+        JOIN sims sm ON sm.va = c.vec_id
+        WHERE sm.vb IN (SELECT vec_id FROM sel{k - 1})
+          AND c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+        GROUP BY c.vec_id, c.rel_u
+        ORDER BY mmr_u DESC, c.vec_id
+        LIMIT 1
+    )"""
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cand AS (
+        SELECT vec_id, rel_u, embedding FROM (
+            SELECT e.vec_id, e.embedding,
+                   CAST(floor(("""
+    + _cos_sql("e.embedding", "q.qe")
+    + """) * 1000000) AS BIGINT) AS rel_u,
+                   row_number() OVER (ORDER BY floor(("""
+    + _cos_sql("e.embedding", "q.qe")
+    + """) * 1000000) DESC, e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != 0
+        ) WHERE rn <= 20
+    ),
+    sims AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(floor(("""
+    + _cos_sql("a.embedding", "b.embedding")
+    + """) * 1000000) AS BIGINT) AS sim_u
+        FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+    ),
+    s1 AS (
+        SELECT vec_id, rel_u AS mmr_u FROM cand
+        ORDER BY rel_u DESC, vec_id LIMIT 1
+    ),"""
+    + ",".join(_mmr_pick_cte(k) for k in range(2, _MMR_K + 1))
+    + """
+    SELECT pick, p.vec_id,
+           round(c.rel_u / 1000000.0, 4) AS relevance,
+           round(p.mmr_u / 1000000.0, 4) AS mmr_score
+    FROM ("""
+    + " UNION ALL ".join(
+        f"SELECT vec_id, mmr_u, {k} AS pick FROM s{k}" for k in range(1, _MMR_K + 1)
+    )
+    + """) p JOIN cand c ON p.vec_id = c.vec_id
+    """,
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (λ=0.7, k=5 picks from a
+    20-candidate relevance shortlist for query vector 0) — the
+    diversity-aware serving stage after ANN retrieval: each round picks
+    argmax λ·rel(c) − (1−λ)·max_{s∈picked} sim(c,s), so near-duplicate
+    neighbors can't monopolize the result page.
+
+    Exactness: relevance and pairwise similarities quantize ONCE to
+    floor(cos·10⁶) integers (the `sim_topk_bruteforce` rank-key
+    discipline); every round's MMR score is the integer expression
+    (7·rel_u − 3·max_sim_u) div 10 with (score, vec_id) total-order
+    tie-breaks — the greedy trajectory is therefore IDENTICAL in both
+    engines (a float argmax could diverge at round 1 and cascade).
+    Plan/scale: the O(pool²) similarity matrix is 400 pairs from the
+    shortlist — never the corpus; the corpus is touched once by the
+    relevance scan (broadcast query). Greedy rounds are k−1 tiny
+    join+argmax steps over ≤pool rows — the standard serve-time
+    funnel: ANN recall → shortlist → MMR."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    )
+    rel_u = F.floor(cosine_similarity(F.col("embedding"), F.col("qe")) * 1e6).cast(
+        "bigint"
+    )
+    wq = Window.orderBy(F.col("rel_u").desc(), "vec_id")
+    cand = F.broadcast(
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", "embedding", rel_u.alias("rel_u"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .drop("rn")
+    )
+    a = cand.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    sims = (
+        a.join(b, F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.floor(cosine_similarity(F.col("ea"), F.col("eb")) * 1e6)
+            .cast("bigint")
+            .alias("sim_u"),
+        )
+    )
+    slim = cand.select("vec_id", "rel_u")
+    picked = (
+        slim.orderBy(F.col("rel_u").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", F.col("rel_u").alias("mmr_u"), F.lit(1).alias("pick"))
+    )
+    for k in range(2, _MMR_K + 1):
+        sel = picked.select("vec_id")
+        nxt = (
+            slim.join(sel, "vec_id", "left_anti")
+            .join(sims, F.col("va") == F.col("vec_id"))
+            .join(sel.withColumnRenamed("vec_id", "vb"), "vb")
+            .groupBy("vec_id", "rel_u")
+            .agg(F.max("sim_u").alias("ms"))
+            .select(
+                "vec_id",
+                F.expr("(7 * rel_u - 3 * ms) div 10").alias("mmr_u"),
+            )
+            .orderBy(F.col("mmr_u").desc(), "vec_id")
+            .limit(1)
+            .select("vec_id", "mmr_u", F.lit(k).alias("pick"))
+        )
+        picked = picked.unionByName(nxt)
+    return picked.join(slim, "vec_id").select(
+        "pick",
+        "vec_id",
+        F.round(F.col("rel_u") / 1000000.0, 4).alias("relevance"),
+        F.round(F.col("mmr_u") / 1000000.0, 4).alias("mmr_score"),
     )

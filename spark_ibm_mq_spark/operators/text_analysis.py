@@ -1262,3 +1262,92 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("shared").cast("bigint").alias("n_shared_terms"),
         F.round(F.sum("term_u") / 1000000.0, 4).alias("js_divergence"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 2 = 0 AS base,
+               string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT base, n, doc_id,
+               list_aggregate(t[i:i+n-1], 'string_agg', ' ') AS g
+        FROM toks
+        CROSS JOIN (SELECT unnest([1, 2, 3]) AS n)
+        , LATERAL unnest(range(1, greatest(len(t) - n + 1, 0) + 1)) r(i)
+    ),
+    base_g AS (SELECT DISTINCT n, g FROM grams WHERE base),
+    new_g AS (
+        SELECT n, g, CAST(count(*) AS BIGINT) AS occurrences
+        FROM grams WHERE NOT base GROUP BY 1, 2
+    )
+    SELECT nw.n AS ngram_len,
+           CAST(count(*) AS BIGINT) AS distinct_grams,
+           CAST(sum(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel_grams,
+           round(sum(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS novelty_rate,
+           CAST(sum(CASE WHEN b.g IS NULL THEN occurrences ELSE 0 END)
+                AS BIGINT) AS novel_occurrences
+    FROM new_g nw LEFT JOIN base_g b ON nw.n = b.n AND nw.g = b.g
+    GROUP BY nw.n
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty of the held-out half against the base half (docs
+    split by doc_id parity) for n = 1, 2, 3 — the memorization/novelty
+    probe: a novelty rate near zero at n=3 says the incoming slice is
+    template-heavy rehash of the base corpus (pair with
+    `pipeline_dedup_incremental`), near one says genuinely new text.
+
+    Plan shape: one tokenize pass generates all three gram lengths
+    (explode over n — a 3× row multiplier inside the scan stage, not
+    three scans); the novelty test is a LEFT join of the new-half's
+    distinct grams against the base-half's distinct grams on the
+    (n, gram) key — shuffle carries distinct gram strings once, never
+    documents. All-integer counts, one division per row under
+    round(4)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = spread(d, "doc_id").select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("base"),
+        tokens("text").alias("t"),
+    )
+    ns = spark.range(1, 4).select(F.col("id").cast("int").alias("n"))
+    grams = (
+        toks.crossJoin(F.broadcast(ns))
+        .select(
+            "base",
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size("t") - F.col("n") + 1, F.lit(0)),
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, F.col("n"))),
+                )
+            ).alias("g"),
+        )
+    )
+    base_g = grams.filter("base").select("n", "g").distinct()
+    new_g = (
+        grams.filter(~F.col("base"))
+        .groupBy("n", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occurrences"))
+    )
+    joined = new_g.join(
+        base_g.withColumn("seen", F.lit(1)), ["n", "g"], "left"
+    )
+    novel = F.when(F.col("seen").isNull(), 1).otherwise(0)
+    return joined.groupBy(F.col("n").alias("ngram_len")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("distinct_grams"),
+        F.sum(novel).cast("bigint").alias("novel_grams"),
+        F.round(F.sum(novel) * 1.0 / F.count(F.lit(1)), 4).alias("novelty_rate"),
+        F.sum(F.when(F.col("seen").isNull(), F.col("occurrences")).otherwise(0))
+        .cast("bigint")
+        .alias("novel_occurrences"),
+    )

@@ -1041,3 +1041,79 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_lower"),
         F.when(dev2 > var4, 1).otherwise(0).alias("outside"),
     )
+
+
+_RSI_WIN = 14  # RSI lookback (days)
+
+
+@register(
+    "win_rsi_indicator",
+    oracle=_DAILY_REV_CTE + """,
+    delta AS (
+        SELECT d, rev_c,
+               rev_c - lag(rev_c) OVER (ORDER BY d) AS ch
+        FROM daily
+    ),
+    gl AS (
+        SELECT d, rev_c,
+               CAST(sum(CASE WHEN ch > 0 THEN ch ELSE 0 END)
+                    OVER w AS BIGINT) AS sg,
+               CAST(sum(CASE WHEN ch < 0 THEN -ch ELSE 0 END)
+                    OVER w AS BIGINT) AS sl,
+               CAST(count(ch) OVER w AS BIGINT) AS n
+        FROM delta
+        WINDOW w AS (ORDER BY d ROWS BETWEEN """ + str(_RSI_WIN - 1) + """ PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT d, round(rev_c / 100.0, 4) AS revenue,
+           round(sg / 100.0, 4) AS gains,
+           round(sl / 100.0, 4) AS losses,
+           round(100.0 * sg / (sg + sl), 4) AS rsi
+    FROM gl
+    WHERE n = """ + str(_RSI_WIN) + """ AND sg + sl > 0
+    """,
+)
+def win_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI (Cutler's simple-average form) on daily revenue:
+    100·Σgains/(Σgains+Σlosses) over the trailing window — the
+    momentum oscillator (RSI > 70 ≈ overheated, < 30 ≈ depressed)
+    applied to the revenue series; the simple-average form is chosen
+    over Wilder's EWMA recursion because it is windowed prefix sums
+    (parallel, oracle-exact) rather than sequential state.
+
+    Exactness: deltas, gains and losses are bigint integer cents; the
+    two window sums are order-free; RSI is ONE division under round(4).
+    Windows with zero movement are excluded (0/0). Plan: one
+    groupBy(day) rollup, one lag + one windowed conditional sum over
+    the calendar-bounded frame."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c"),
+    )
+    wl = Window.orderBy("d")
+    delta = daily.withColumn("ch", F.col("rev_c") - F.lag("rev_c").over(wl))
+    w = Window.orderBy("d").rowsBetween(-(_RSI_WIN - 1), Window.currentRow)
+    gl = delta.select(
+        "d",
+        "rev_c",
+        F.sum(F.when(F.col("ch") > 0, F.col("ch")).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("sg"),
+        F.sum(F.when(F.col("ch") < 0, -F.col("ch")).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("sl"),
+        F.count("ch").over(w).cast("bigint").alias("n"),
+    )
+    return gl.filter((F.col("n") == _RSI_WIN) & (F.col("sg") + F.col("sl") > 0)).select(
+        "d",
+        F.round(F.col("rev_c") / 100.0, 4).alias("revenue"),
+        F.round(F.col("sg") / 100.0, 4).alias("gains"),
+        F.round(F.col("sl") / 100.0, 4).alias("losses"),
+        F.round(F.lit(100.0) * F.col("sg") / (F.col("sg") + F.col("sl")), 4).alias(
+            "rsi"
+        ),
+    )

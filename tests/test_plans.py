@@ -688,3 +688,29 @@ def test_assortativity_single_reduction(spark):
     assert not has_cartesian(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_pca_no_collect_no_cartesian(spark):
+    """The power-iteration rounds must stay distributed: v rides as a
+    broadcast frame, never a collected literal; no cartesian anywhere."""
+    df = registry.QUERIES["emb_pca_power_iteration"](spark, SF_DIR)
+    assert not has_cartesian(df)
+
+
+def test_mmr_corpus_touched_once(spark):
+    """The O(pool^2) similarity matrix joins the 20-row shortlist with
+    itself — the corpus-scale scan feeds only the relevance stage."""
+    df = registry.QUERIES["sim_mmr_rerank"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_rsi_single_scan(spark):
+    df = registry.QUERIES["win_rsi_indicator"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_ngram_novelty_no_cartesian(spark):
+    df = registry.QUERIES["text_ngram_novelty"](spark, SF_DIR)
+    assert not has_cartesian(df)

@@ -517,3 +517,117 @@ def test_soft_weighting_conserves_mass(spark):
     for r in rows:
         assert r["effective_tokens"] <= r["raw_tokens"] + 1e-9
         assert r["n_dup_docs"] <= r["n_docs"]
+
+
+def test_pca_power_iteration_matches_numpy(spark):
+    """The integer-quantized power iteration must land near numpy's true
+    dominant eigenvector of XtX (uncentered), up to sign and the
+    micro-unit quantization the op defines."""
+    from spark_ibm_mq_spark.operators.similarity import emb_pca_power_iteration
+
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).to_pylist()
+    X = np.floor(np.array([r["embedding"] for r in emb], dtype=np.float64) * 1e6 + 0.5)
+    # replay the exact integer chain
+    v = np.full(X.shape[1], 125000, dtype=object)
+    Xi = X.astype(object)
+    for _ in range(3):
+        dt = np.array([int(r @ v) // 1000000 for r in Xi], dtype=object)
+        w = np.array([int(c @ dt) for c in Xi.T], dtype=object)
+        nd = int(math.floor(math.sqrt(float(sum(int(x) * int(x) for x in w))))) // 1000000
+        v = np.array([int(x) // nd if x >= 0 else -((-int(x)) // nd) for x in w], dtype=object)
+    got = {r["dim"]: r["loading"] for r in emb_pca_power_iteration(spark, SF_DIR).collect()}
+    for j in range(X.shape[1]):
+        assert abs(got[j + 1] - round(int(v[j]) / 1e6, 4)) < 1e-9, j
+    # and each round genuinely climbed: the Rayleigh quotient vAv/vv under
+    # A = XtX must be non-decreasing round over round (the power-iteration
+    # guarantee that holds regardless of the spectral gap; the fixture's
+    # near-isotropic spectrum makes "equals numpy's top eigenvector" an
+    # unreachable bar in 3 rounds, so monotone ascent is the right check)
+    Xf = X / 1e6
+    A = Xf.T @ Xf
+
+    def rq(u):
+        u = np.array([float(x) for x in u])
+        u = u / np.linalg.norm(u)
+        return float(u @ A @ u)
+
+    v_chk = np.full(X.shape[1], 125000, dtype=object)
+    rqs = [rq(v_chk)]
+    for _ in range(3):
+        dt = np.array([int(r @ v_chk) // 1000000 for r in Xi], dtype=object)
+        w = np.array([int(c @ dt) for c in Xi.T], dtype=object)
+        nd = int(math.floor(math.sqrt(float(sum(int(x) * int(x) for x in w))))) // 1000000
+        v_chk = np.array(
+            [int(x) // nd if x >= 0 else -((-int(x)) // nd) for x in w], dtype=object
+        )
+        rqs.append(rq(v_chk))
+    assert all(rqs[i + 1] >= rqs[i] - 1e-6 for i in range(3)), rqs
+    assert rqs[-1] > rqs[0], rqs
+
+
+def test_mmr_matches_greedy_replay(spark):
+    from spark_ibm_mq_spark.operators.similarity import sim_mmr_rerank
+
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).to_pylist()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    q = vecs[0]
+
+    def cos_u(a, b):
+        return math.floor(
+            float(a @ b) / (math.sqrt(float(a @ a)) * math.sqrt(float(b @ b))) * 1e6
+        )
+
+    rel = {i: cos_u(vecs[i], q) for i in vecs if i != 0}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:20]
+    picked = [min(pool, key=lambda i: (-rel[i], i))]
+    for _ in range(4):
+        rest = [i for i in pool if i not in picked]
+        scores = {}
+        for c in rest:
+            ms = max(cos_u(vecs[c], vecs[s]) for s in picked)
+            # python // floors; both engines truncate toward zero
+            num = 7 * rel[c] - 3 * ms
+            scores[c] = num // 10 if num >= 0 else -((-num) // 10)
+        picked.append(min(rest, key=lambda i: (-scores[i], i)))
+    got = sorted(sim_mmr_rerank(spark, SF_DIR).collect(), key=lambda r: r["pick"])
+    assert [r["vec_id"] for r in got] == picked
+
+
+def test_rsi_matches_manual(spark):
+    from spark_ibm_mq_spark.operators.windows import win_rsi_indicator
+
+    orders = pq.read_table(os.path.join(SF_DIR, "orders.parquet")).to_pylist()
+    per_day = Counter()
+    for r in orders:
+        per_day[r["o_orderdate"].date()] += math.floor(r["o_totalprice"] * 100 + 0.5)
+    days = sorted(per_day)
+    xs = [per_day[d] for d in days]
+    got = {r["d"]: r["rsi"] for r in win_rsi_indicator(spark, SF_DIR).collect()}
+    for i in range(14, len(days)):
+        deltas = [xs[j] - xs[j - 1] for j in range(i - 13, i + 1)]
+        sg = sum(d for d in deltas if d > 0)
+        sl = sum(-d for d in deltas if d < 0)
+        if sg + sl == 0:
+            assert days[i] not in got
+            continue
+        assert abs(got[days[i]] - round(100.0 * sg / (sg + sl), 4)) < 1e-9
+
+
+def test_ngram_novelty_matches_python(spark):
+    from spark_ibm_mq_spark.operators.text_analysis import text_ngram_novelty
+
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+    got = {r["ngram_len"]: r for r in text_ngram_novelty(spark, SF_DIR).collect()}
+    for n in (1, 2, 3):
+        base, new = set(), Counter()
+        for r in docs:
+            toks = r["text"].split()
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if r["doc_id"] % 2 == 0:
+                base.update(grams)
+            else:
+                new.update(grams)
+        novel = [g for g in new if g not in base]
+        assert got[n]["distinct_grams"] == len(new)
+        assert got[n]["novel_grams"] == len(novel)
+        assert got[n]["novel_occurrences"] == sum(new[g] for g in novel)
