@@ -47,15 +47,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # tpch_q7_nation_volume, tpch_q8_market_share, tpch_q15_top_supplier,
 # tpch_q17_small_quantity_revenue, tpch_q18_large_volume_customers,
 # tpch_q19_disjunctive_revenue, tpch_q22_global_sales_opportunity —
-# plus the NINETEEN operators registered in r9 (win_spearman_daily,
+# plus the TWENTY-FOUR operators registered in r9 (win_spearman_daily,
 # win_mann_kendall_trend, agg_theil_index, graph_adamic_adar,
 # retrieval_phrase_match, emb_dimension_variance_profile,
 # join_asof_forward, text_tokenizer_fertility, stream_windowed_topk,
 # win_bollinger_bands, dedup_soft_weighting, retrieval_query_likelihood,
 # pipeline_perplexity_gate_ablation, graph_degree_assortativity,
 # text_js_divergence_sources, emb_pca_power_iteration, sim_mmr_rerank,
-# win_rsi_indicator, text_ngram_novelty — all fully oracled) must LEAD
-# the r10 window
+# win_rsi_indicator, text_ngram_novelty, join_interval_overlap,
+# agg_rfm_migration_matrix, text_rake_keywords,
+# scale_partition_evolution_plan, sim_hnsw_layer_plan — all fully
+# oracled) must LEAD the r10 window: 24 + 9 tpch = 33 of the 50 slots,
+# leaving 17 for the next-oldest rotation rows (r5-vintage first)
 # (never-checked first, then the nine tpch rows; sim_ann_lsh stays excluded from
 # windows per the r7 rows-only policy — it keeps its oracled twin +
 # per-commit parity sweep). Every displaced query keeps per-commit

@@ -1440,3 +1440,88 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("su") / 1000000.0 / F.col("n"), 4).alias("theil_t"),
         )
     )
+
+
+_RFM_SPLIT = "1995-07-01"  # first/second-half boundary of the order history
+
+
+@register(
+    "agg_rfm_migration_matrix",
+    oracle=f"""
+    WITH halves AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderdate < TIMESTAMP '{_RFM_SPLIT}' THEN 0 ELSE 1 END
+                   AS half,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1, 2
+    ),
+    tiled AS (
+        SELECT o_custkey, half,
+               ntile(4) OVER (PARTITION BY half ORDER BY rev_c, o_custkey)
+                   AS m_tile
+        FROM halves
+    ),
+    moved AS (
+        SELECT a.m_tile AS tile_h1, b.m_tile AS tile_h2
+        FROM tiled a JOIN tiled b
+          ON a.o_custkey = b.o_custkey AND a.half = 0 AND b.half = 1
+    )
+    SELECT tile_h1, tile_h2,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY tile_h1), 4)
+               AS row_share
+    FROM moved GROUP BY 1, 2
+    """,
+)
+def agg_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-tier MIGRATION matrix: monetary quartile in the
+    first half of the order history vs the second half (fixed split
+    date), for customers active in both — the churn/upgrade dashboard
+    behind `agg_rfm_segments` ("how many top-quartile customers slid to
+    the bottom"), with each origin tier's row normalized to shares.
+
+    Determinism: per-half revenue is integer cents; ntile ties break on
+    custkey (the RFM precedent — a total order, so tile boundaries are
+    engine-identical); shares are one division under round(4). Plan:
+    one conditional groupBy builds both halves in a single scan, two
+    rank windows partitioned by half, one self-join on custkey, one
+    16-cell aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    halves = o.groupBy(
+        "o_custkey",
+        F.when(F.col("o_orderdate") < F.lit(_RFM_SPLIT).cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("half"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    tiled = halves.select(
+        "o_custkey",
+        "half",
+        F.ntile(4)
+        .over(Window.partitionBy("half").orderBy("rev_c", "o_custkey"))
+        .alias("m_tile"),
+    )
+    a = tiled.filter(F.col("half") == 0).select(
+        "o_custkey", F.col("m_tile").alias("tile_h1")
+    )
+    b = tiled.filter(F.col("half") == 1).select(
+        "o_custkey", F.col("m_tile").alias("tile_h2")
+    )
+    moved = a.join(b, "o_custkey")
+    wrow = Window.partitionBy("tile_h1")
+    return (
+        moved.groupBy("tile_h1", "tile_h2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .select(
+            "tile_h1",
+            "tile_h2",
+            "n_customers",
+            F.round(
+                F.col("n_customers") * 1.0 / F.sum("n_customers").over(wrow), 4
+            ).alias("row_share"),
+        )
+    )

@@ -605,3 +605,166 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_s"),
         )
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    {EVENTS_CTE},
+    marks AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) > 1800000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev
+    ),
+    sessions AS (
+        SELECT user_id, session_id,
+               min(epoch_ms(ts)) AS s_start, max(epoch_ms(ts)) AS s_end
+        FROM (
+            SELECT user_id, ts,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_id
+            FROM marks
+        )
+        GROUP BY 1, 2
+    ),
+    emarks AS (
+        SELECT ts, event_id,
+               CASE WHEN lag(ts) OVER (ORDER BY ts, event_id) IS NULL
+                      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (ORDER BY ts, event_id))
+                         > 600000
+                    THEN 1 ELSE 0 END AS new_i
+        FROM ev WHERE event_type = 'error'
+    ),
+    incidents AS (
+        SELECT incident_id,
+               min(epoch_ms(ts)) AS i_start, max(epoch_ms(ts)) AS i_end
+        FROM (
+            SELECT ts,
+                   CAST(sum(new_i) OVER (ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS incident_id
+            FROM emarks
+        )
+        GROUP BY 1
+    ),
+    sb AS (SELECT s.*, unnest(range(s_start // 3600000, s_end // 3600000 + 1))
+                       AS bucket
+           FROM sessions s),
+    ib AS (SELECT i.*, unnest(range(i_start // 3600000, i_end // 3600000 + 1))
+                       AS bucket
+           FROM incidents i),
+    pairs AS (
+        SELECT DISTINCT sb.user_id, sb.session_id, ib.incident_id,
+               sb.s_start, sb.s_end, ib.i_start, ib.i_end
+        FROM sb JOIN ib ON sb.bucket = ib.bucket
+        WHERE sb.s_start <= ib.i_end AND ib.i_start <= sb.s_end
+    )
+    SELECT user_id, session_id, incident_id,
+           round((least(s_end, i_end) - greatest(s_start, i_start)) / 1000.0, 4)
+               AS overlap_s
+    FROM pairs
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join (the temporal join proper): user sessions
+    (30-min-gap sessionization) against global error INCIDENTS
+    (10-min-gap clustering of error events) — which sessions were
+    exposed to which outage windows, and for how long. Distinct from
+    `join_interval_bucketed` (point-in-interval): both sides here are
+    intervals, the classic hard case for relational engines.
+
+    Plan shape: each interval explodes to its covered HOUR buckets
+    (sequence inside the scan stage), the candidate join is a bucket
+    EQUI-join — never interval × interval — and the exact overlap
+    predicate + DISTINCT collapse multi-bucket matches. At 100 TB the
+    bucket width is the tuning dial (match it to median interval
+    length so each interval lands in O(1) buckets); skewed buckets
+    (a global outage hour) split under AQE. Overlap seconds derive
+    from integer epoch-millis min/max — one division under round(4)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts_ms").over(wu).isNull()
+        | (F.col("ts_ms") - F.lag("ts_ms").over(wu) > 1800000),
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("new_s", new_s)
+        .withColumn(
+            "session_id",
+            F.sum("new_s")
+            .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_ms").alias("s_start"),
+            F.max("ts_ms").alias("s_end"),
+        )
+    )
+    err = ev.filter(F.col("event_type") == "error")
+    wg = Window.orderBy("ts", "event_id")
+    new_i = F.when(
+        F.lag("ts_ms").over(wg).isNull()
+        | (F.col("ts_ms") - F.lag("ts_ms").over(wg) > 600000),
+        1,
+    ).otherwise(0)
+    incidents = (
+        err.withColumn("new_i", new_i)
+        .withColumn(
+            "incident_id",
+            F.sum("new_i")
+            .over(wg.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"),
+        )
+        .groupBy("incident_id")
+        .agg(
+            F.min("ts_ms").alias("i_start"),
+            F.max("ts_ms").alias("i_end"),
+        )
+    )
+    hour = 3600000
+    sb = sessions.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_start") / hour), F.floor(F.col("s_end") / hour)
+            )
+        ),
+    )
+    ib = incidents.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("i_start") / hour), F.floor(F.col("i_end") / hour)
+            )
+        ),
+    )
+    pairs = (
+        sb.join(ib, "bucket")
+        .filter(
+            (F.col("s_start") <= F.col("i_end"))
+            & (F.col("i_start") <= F.col("s_end"))
+        )
+        .select(
+            "user_id", "session_id", "incident_id",
+            "s_start", "s_end", "i_start", "i_end",
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "user_id",
+        "session_id",
+        "incident_id",
+        F.round(
+            (F.least("s_end", "i_end") - F.greatest("s_start", "i_start")) / 1000.0,
+            4,
+        ).alias("overlap_s"),
+    )

@@ -617,3 +617,77 @@ def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFra
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+_ROW_BYTES = 128          # modeled bytes per row (compaction-plan convention)
+_TARGET_FILE = 134217728  # 128 MiB target file
+_DAILY_MIN_BYTES = 4194304  # below 4 MiB/day, daily partitions are too small
+
+
+@register(
+    "scale_partition_evolution_plan",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT month,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(n_rows) * {_ROW_BYTES} AS BIGINT) AS bytes,
+               CAST(max(n_rows) AS BIGINT) AS peak_day_rows
+        FROM daily GROUP BY 1
+    )
+    SELECT month, n_days, n_rows, bytes,
+           CASE WHEN bytes >= n_days * {_DAILY_MIN_BYTES}
+                THEN 'daily' ELSE 'monthly' END AS granularity,
+           CAST(CASE WHEN bytes >= n_days * {_DAILY_MIN_BYTES}
+                THEN n_days * ((peak_day_rows * {_ROW_BYTES}
+                                + {_TARGET_FILE} - 1) // {_TARGET_FILE})
+                ELSE (bytes + {_TARGET_FILE} - 1) // {_TARGET_FILE}
+           END AS BIGINT) AS est_files
+    FROM monthly
+    """,
+)
+def scale_partition_evolution_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-granularity evolution plan: per month of the orders
+    fact, recommend DAILY vs MONTHLY partitioning by whether the
+    month's bytes clear a per-day minimum (tiny daily partitions are
+    the classic small-file disease; oversized monthly ones kill
+    pruning), plus an estimated file count at the 128 MiB target —
+    the planning artifact behind lakehouse partition-evolution
+    features (Iceberg-style), produced from row-count stats alone.
+
+    All decisions are INTEGER arithmetic (byte thresholds by
+    cross-multiplication, file counts by ceiling division (a+b−1) div
+    b), so the plan is engine-exact. Plan: one groupBy(day) rollup,
+    one groupBy(month) — stats-sized frames throughout."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("month"),
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    monthly = daily.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        (F.sum("n_rows") * _ROW_BYTES).cast("bigint").alias("bytes"),
+        F.max("n_rows").cast("bigint").alias("peak_day_rows"),
+    )
+    is_daily = F.col("bytes") >= F.col("n_days") * _DAILY_MIN_BYTES
+    daily_files = F.col("n_days") * F.expr(
+        f"(peak_day_rows * {_ROW_BYTES} + {_TARGET_FILE} - 1) div {_TARGET_FILE}"
+    )
+    monthly_files = F.expr(f"(bytes + {_TARGET_FILE} - 1) div {_TARGET_FILE}")
+    return monthly.select(
+        "month",
+        "n_days",
+        "n_rows",
+        "bytes",
+        F.when(is_daily, "daily").otherwise("monthly").alias("granularity"),
+        F.when(is_daily, daily_files).otherwise(monthly_files)
+        .cast("bigint")
+        .alias("est_files"),
+    )

@@ -1614,3 +1614,73 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rel_u") / 1000000.0, 4).alias("relevance"),
         F.round(F.col("mmr_u") / 1000000.0, 4).alias("mmr_score"),
     )
+
+
+@register(
+    "sim_hnsw_layer_plan",
+    oracle="""
+    WITH lv AS (
+        SELECT vec_id,
+               least(length(md5(CAST(vec_id AS VARCHAR)))
+                     - length(ltrim(md5(CAST(vec_id AS VARCHAR)), '0')),
+                     6) AS layer
+        FROM embeddings
+    ),
+    hist AS (
+        SELECT layer, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM lv GROUP BY 1
+    ),
+    entry AS (
+        SELECT min(vec_id) AS entry_vec
+        FROM lv WHERE layer = (SELECT max(layer) FROM lv)
+    )
+    SELECT h.layer, h.n_vectors,
+           CAST(sum(h.n_vectors) OVER (ORDER BY h.layer DESC) AS BIGINT)
+               AS reachable_vectors,
+           e.entry_vec
+    FROM hist h CROSS JOIN entry e
+    """,
+)
+def sim_hnsw_layer_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW layer-assignment plan: every vector's maximum layer is
+    drawn from the geometric distribution HNSW requires — here
+    DETERMINISTICALLY as the number of leading zero hex digits of
+    md5(vec_id), capped at 6 (P(layer ≥ k) = 16⁻ᵏ, i.e. mL = 1/ln 16)
+    — plus the per-layer census, the cumulative vectors reachable
+    descending from the top, and the entry point (smallest id on the
+    top layer). This is the index-BUILD planning artifact: layer
+    sizes decide per-layer graph memory and build fan-out sharding;
+    the content-addressed draw means re-planning the same corpus
+    yields the same index skeleton (reproducible builds — the same
+    md5-threshold trick as the sampling operators).
+
+    Engine-exact by construction (md5 and integer comparisons only).
+    Plan: one narrow scan, a |layers|-row aggregate, a 1-row entry
+    broadcast."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    h = F.md5(F.col("vec_id").cast("string"))
+    # NOT ltrim(str, '0'): Spark's two-arg ltrim takes (trimStr, str) —
+    # reversed vs DuckDB/ANSI — the standard TRIM(LEADING ...) is portable
+    stripped = F.expr("trim(LEADING '0' FROM md5(CAST(vec_id AS STRING)))")
+    layer = F.least(
+        F.length(h) - F.length(stripped), F.lit(6)
+    ).alias("layer")
+    lv = e.select("vec_id", layer)
+    hist = lv.groupBy("layer").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    top = lv.agg(F.max("layer").alias("top_layer"))
+    entry = (
+        lv.join(F.broadcast(top), lv.layer == top.top_layer)
+        .agg(F.min("vec_id").alias("entry_vec"))
+    )
+    wcum = Window.orderBy(F.col("layer").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.withColumn(
+            "reachable_vectors", F.sum("n_vectors").over(wcum).cast("bigint")
+        )
+        .crossJoin(F.broadcast(entry))
+        .select("layer", "n_vectors", "reachable_vectors", "entry_vec")
+    )

@@ -1351,3 +1351,131 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novel_occurrences"),
     )
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+                   AS pos
+        FROM documents
+    ),
+    flagged AS (
+        SELECT doc_id, pos, t,
+               CASE WHEN list_contains({_STOP_SQL}, t) THEN 1 ELSE 0 END
+                   AS is_stop
+        FROM toks
+    ),
+    numbered AS (
+        SELECT doc_id, pos, t, is_stop,
+               CAST(sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos)
+                    AS BIGINT) AS phrase_id
+        FROM flagged
+    ),
+    members AS (
+        SELECT doc_id, phrase_id, pos, t FROM numbered WHERE is_stop = 0
+    ),
+    plen AS (
+        SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS plen
+        FROM members GROUP BY 1, 2
+    ),
+    wstat AS (
+        SELECT m.t,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(p.plen) AS BIGINT) AS deg
+        FROM members m JOIN plen p
+          ON m.doc_id = p.doc_id AND m.phrase_id = p.phrase_id
+        GROUP BY m.t
+    ),
+    inst AS (
+        SELECT m.doc_id, m.phrase_id,
+               string_agg(m.t, ' ' ORDER BY m.pos) AS phrase,
+               CAST(sum((w.deg * 1000000) // w.freq) AS BIGINT) AS score_u
+        FROM members m JOIN wstat w ON m.t = w.t
+        GROUP BY m.doc_id, m.phrase_id
+    )
+    SELECT phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           round(max(score_u) / 1000000.0, 4) AS rake_score
+    FROM inst
+    GROUP BY phrase
+    ORDER BY max(score_u) DESC, phrase
+    LIMIT 10
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): candidate phrases are
+    maximal stopword-free token runs; each word scores deg/freq (deg =
+    Σ length of phrases containing it, freq = occurrences); a phrase
+    scores the sum of its words — top 10 corpus-wide. The classic
+    cheap keyword extractor that needs no model, used to label corpus
+    clusters and build weak-supervision vocabularies.
+
+    Exactness: word scores quantize via EXACT integer division
+    ((deg·10⁶) div freq — deg/freq are bigint counts), phrase scores
+    are order-free bigint sums of those units, and the top-10 cut
+    orders by the exact integer with the phrase text as tiebreak.
+    Phrase text is rebuilt position-ordered (string_agg ORDER BY pos /
+    sort_array) — deterministic. Plan: one tokenize pass, phrase ids
+    from a per-doc running sum of stopword marks (the sessionize
+    trick applied to text), word stats one groupBy(term), scoring a
+    broadcast join back onto phrase members."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    toks = spread(d, "doc_id").select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "t0")
+    ).select("doc_id", "pos", F.lower("t0").alias("t"))
+    flagged = toks.withColumn(
+        "is_stop", F.when(F.array_contains(stop, F.col("t")), 1).otherwise(0)
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    numbered = flagged.withColumn(
+        "phrase_id", F.sum("is_stop").over(wd).cast("bigint")
+    )
+    members = numbered.filter(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "pos", "t"
+    )
+    plen = members.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("plen")
+    )
+    wstat = (
+        members.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    inst = (
+        members.join(F.broadcast(wstat), "t")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                    lambda x: x.t,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum(F.expr("(deg * 1000000) div freq")).cast("bigint").alias(
+                "score_u"
+            ),
+        )
+    )
+    return (
+        inst.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.max("score_u").alias("score_u"),
+        )
+        .orderBy(F.col("score_u").desc(), "phrase")
+        .limit(10)
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.round(F.col("score_u") / 1000000.0, 4).alias("rake_score"),
+        )
+    )

@@ -714,3 +714,23 @@ def test_rsi_single_scan(spark):
 def test_ngram_novelty_no_cartesian(spark):
     df = registry.QUERIES["text_ngram_novelty"](spark, SF_DIR)
     assert not has_cartesian(df)
+
+
+def test_interval_overlap_is_bucket_equi_join(spark):
+    """The interval-overlap candidates must come from the hour-bucket
+    equi-join — never interval x interval."""
+    df = registry.QUERIES["join_interval_overlap"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_rfm_migration_single_scan(spark):
+    df = registry.QUERIES["agg_rfm_migration_matrix"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2, plan[:2000]
+
+
+def test_rake_no_cartesian(spark):
+    df = registry.QUERIES["text_rake_keywords"](spark, SF_DIR)
+    assert not has_cartesian(df)

@@ -631,3 +631,123 @@ def test_ngram_novelty_matches_python(spark):
         assert got[n]["distinct_grams"] == len(new)
         assert got[n]["novel_grams"] == len(novel)
         assert got[n]["novel_occurrences"] == sum(new[g] for g in novel)
+
+
+def test_interval_overlap_matches_python(spark):
+    from spark_ibm_mq_spark.operators.joins import join_interval_overlap
+
+    evs = sorted(_events(), key=lambda r: (r["ts"], r["event_id"]))
+    # sessions per user (30-min gap)
+    by_user = defaultdict(list)
+    for r in evs:
+        by_user[r["user_id"]].append(r)
+    sessions = []
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        sid = 0
+        cur = []
+        prev = None
+        for r in rs:
+            ms = int(r["ts"].timestamp() * 1000)
+            if prev is None or ms - prev > 1800000:
+                if cur:
+                    sessions.append((u, sid, cur[0], cur[-1]))
+                sid += 1
+                cur = []
+            cur.append(ms)
+            prev = ms
+        if cur:
+            sessions.append((u, sid, cur[0], cur[-1]))
+    # global incidents (10-min gap over error events)
+    errs = [r for r in evs if r["event_type"] == "error"]
+    incidents = []
+    iid = 0
+    cur = []
+    prev = None
+    for r in errs:
+        ms = int(r["ts"].timestamp() * 1000)
+        if prev is None or ms - prev > 600000:
+            if cur:
+                incidents.append((iid, cur[0], cur[-1]))
+            iid += 1
+            cur = []
+        cur.append(ms)
+        prev = ms
+    if cur:
+        incidents.append((iid, cur[0], cur[-1]))
+    want = set()
+    for u, sid, s0, s1 in sessions:
+        for i, i0, i1 in incidents:
+            if s0 <= i1 and i0 <= s1:
+                want.add((u, sid, i, round((min(s1, i1) - max(s0, i0)) / 1000.0, 4)))
+    got = {
+        (r["user_id"], r["session_id"], r["incident_id"], r["overlap_s"])
+        for r in join_interval_overlap(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_rake_scores_match_python(spark):
+    from spark_ibm_mq_spark.functions.text import STOPWORDS_EN
+    from spark_ibm_mq_spark.operators.text_analysis import text_rake_keywords
+
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+    stop = set(STOPWORDS_EN)
+    phrases = []
+    for r in docs:
+        cur = []
+        for t in r["text"].lower().split():
+            if t in stop:
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            phrases.append(tuple(cur))
+    freq, deg = Counter(), Counter()
+    for p in phrases:
+        for wd in p:
+            freq[wd] += 1
+            deg[wd] += len(p)
+    score_u = {p: sum((deg[wd] * 1000000) // freq[wd] for wd in p) for p in set(phrases)}
+    occ = Counter(phrases)
+    top = sorted(set(phrases), key=lambda p: (-score_u[p], " ".join(p)))[:10]
+    got = text_rake_keywords(spark, SF_DIR).collect()
+    assert [r["phrase"] for r in got] == [" ".join(p) for p in top]
+    for r, p in zip(got, top):
+        assert r["n_occurrences"] == occ[p]
+        assert abs(r["rake_score"] - round(score_u[p] / 1e6, 4)) < 1e-9
+
+
+def test_partition_plan_file_counts_consistent(spark):
+    from spark_ibm_mq_spark.operators.scale_layout import (
+        scale_partition_evolution_plan,
+    )
+
+    rows = scale_partition_evolution_plan(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["granularity"] in ("daily", "monthly")
+        assert r["est_files"] >= 1
+        if r["granularity"] == "monthly":
+            # ceiling division against the 128 MiB target
+            assert r["est_files"] == (r["bytes"] + 134217727) // 134217728
+
+
+def test_hnsw_layers_geometric(spark):
+    from spark_ibm_mq_spark.operators.similarity import sim_hnsw_layer_plan
+    import hashlib
+
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).to_pylist()
+    want = Counter()
+    for r in emb:
+        h = hashlib.md5(str(r["vec_id"]).encode()).hexdigest()
+        lz = len(h) - len(h.lstrip("0"))
+        want[min(lz, 6)] += 1
+    got = {r["layer"]: r for r in sim_hnsw_layer_plan(spark, SF_DIR).collect()}
+    assert {k: v["n_vectors"] for k, v in got.items()} == dict(want)
+    # reachable_vectors cumulates from the top layer down
+    tot = 0
+    for layer in sorted(got, reverse=True):
+        tot += got[layer]["n_vectors"]
+        assert got[layer]["reachable_vectors"] == tot
