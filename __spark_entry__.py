@@ -56,9 +56,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # text_js_divergence_sources, emb_pca_power_iteration, sim_mmr_rerank,
 # win_rsi_indicator, text_ngram_novelty, join_interval_overlap,
 # agg_rfm_migration_matrix, text_rake_keywords,
-# scale_partition_evolution_plan, sim_hnsw_layer_plan — all fully
-# oracled) must LEAD the r10 window: 24 + 9 tpch = 33 of the 50 slots,
-# leaving 17 for the next-oldest rotation rows (r5-vintage first)
+# scale_partition_evolution_plan, sim_hnsw_layer_plan,
+# win_seasonal_naive_eval, events_alert_debounce, agg_newcomer_share,
+# text_compression_ratio_proxy, emb_centroid_drift — TWENTY-NINE in all,
+# every one fully oracled) must LEAD the r10 window: 29 + 9 tpch = 38 of
+# the 50 slots, leaving 12 for the next-oldest rotation rows (r5-vintage
+# first)
 # (never-checked first, then the nine tpch rows; sim_ann_lsh stays excluded from
 # windows per the r7 rows-only policy — it keeps its oracled twin +
 # per-commit parity sweep). Every displaced query keeps per-commit

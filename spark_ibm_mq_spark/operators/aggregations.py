@@ -1525,3 +1525,59 @@ def agg_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("row_share"),
         )
     )
+
+
+@register(
+    "agg_newcomer_share",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS first_month
+        FROM orders GROUP BY 1
+    ),
+    actives AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               o_custkey
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT a.month,
+           CAST(count(*) AS BIGINT) AS active_customers,
+           CAST(sum(CASE WHEN f.first_month = a.month THEN 1 ELSE 0 END)
+                AS BIGINT) AS newcomers,
+           round(sum(CASE WHEN f.first_month = a.month THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS newcomer_share
+    FROM actives a JOIN firsts f ON a.o_custkey = f.o_custkey
+    GROUP BY a.month
+    """,
+)
+def agg_newcomer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly newcomer share: of the customers active each month, how
+    many placed their FIRST-ever order that month — the growth-vs-
+    retention decomposition (a rising active count with a falling
+    newcomer share means retention is carrying growth; the opposite
+    means churn is being papered over by acquisition).
+
+    Plan shape: one groupBy(custkey) global min date, one distinct
+    (month, custkey) activity frame, an equi-join on custkey, one
+    monthly rollup — all-integer counts, one division under round(4).
+    This is two map-side-combinable passes over the fact at any
+    scale."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.trunc(F.min("o_orderdate"), "month").alias("first_month")
+    )
+    actives = o.select(
+        F.trunc("o_orderdate", "month").alias("month"), "o_custkey"
+    ).distinct()
+    newcomer = F.when(F.col("first_month") == F.col("month"), 1).otherwise(0)
+    return (
+        actives.join(firsts, "o_custkey")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_customers"),
+            F.sum(newcomer).cast("bigint").alias("newcomers"),
+            F.round(F.sum(newcomer) * 1.0 / F.count(F.lit(1)), 4).alias(
+                "newcomer_share"
+            ),
+        )
+    )

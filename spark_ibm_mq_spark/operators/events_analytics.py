@@ -1964,3 +1964,75 @@ def events_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.round(F.col("n_correct") / F.col("n_total"), 4).alias("accuracy"),
     )
+
+
+@register(
+    "events_alert_debounce",
+    oracle=f"""
+    {EVENTS_CTE},
+    marks AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) > 900000
+                    THEN 1 ELSE 0 END AS new_burst
+        FROM ev WHERE event_type = 'error'
+    ),
+    bursts AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(new_burst) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS burst_id
+        FROM marks
+    )
+    SELECT user_id, burst_id,
+           min(ts)  AS alert_ts,
+           CAST(min(event_id) AS BIGINT) AS alert_event_id,
+           CAST(count(*) AS BIGINT)      AS suppressed,
+           round((epoch_ms(max(ts)) - epoch_ms(min(ts))) / 1000.0, 4)
+               AS burst_span_s
+    FROM bursts
+    GROUP BY user_id, burst_id
+    """,
+)
+def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert debouncing: collapse per-user error STORMS into one alert
+    per burst (a burst ends after 15 error-free minutes), reporting the
+    alert timestamp, how many raw errors it suppressed, and the burst
+    span — the dedup-with-cooldown operator every alerting pipeline
+    needs (page once per incident, not once per stack trace).
+
+    Semantics note: gap-based burst closure (cooldown restarts with
+    every suppressed event) is exactly gap-sessionization applied to
+    the error stream — the `win_sessionize_events` running-sum trick,
+    so it parallelizes as one (user_id) shuffle + windows instead of
+    sequential state. All-integer outputs except the one rounded span
+    division. At scale, the same query runs incrementally as a
+    streaming session window (`stream_session_windows` family)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    err = ev.filter(F.col("event_type") == "error").withColumn(
+        "ts_ms", F.unix_millis("ts")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_burst = F.when(
+        F.lag("ts_ms").over(wu).isNull()
+        | (F.col("ts_ms") - F.lag("ts_ms").over(wu) > 900000),
+        1,
+    ).otherwise(0)
+    bursts = err.withColumn("new_burst", new_burst).withColumn(
+        "burst_id",
+        F.sum("new_burst")
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return bursts.groupBy("user_id", "burst_id").agg(
+        F.min("ts").alias("alert_ts"),
+        F.min("event_id").cast("bigint").alias("alert_event_id"),
+        F.count(F.lit(1)).cast("bigint").alias("suppressed"),
+        F.round((F.max("ts_ms") - F.min("ts_ms")) / 1000.0, 4).alias(
+            "burst_span_s"
+        ),
+    )

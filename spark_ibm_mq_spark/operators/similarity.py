@@ -1684,3 +1684,80 @@ def sim_hnsw_layer_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(entry))
         .select("layer", "n_vectors", "reachable_vectors", "entry_vec")
     )
+
+
+@register(
+    "emb_centroid_drift",
+    oracle="""
+    WITH q AS (
+        SELECT label, vec_id % 2 = 0 AS half_a, CAST(i AS BIGINT) AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS qv
+        FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) r(i)
+    ),
+    cent AS (
+        SELECT label, half_a, dim,
+               CAST(sum(qv) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+        FROM q GROUP BY 1, 2, 3
+    ),
+    diffs AS (
+        SELECT a.label, a.dim, a.c - b.c AS d
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.dim = b.dim AND a.half_a AND NOT b.half_a
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           round(sqrt(CAST(sum(d * d) AS DOUBLE)) / 1000000.0, 4)
+               AS drift_l2,
+           round(max(abs(d)) / 1000000.0, 4) AS drift_max_dim
+    FROM diffs GROUP BY label
+    """,
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid DRIFT between the even-id and odd-id halves of
+    the embedding table — the embedding-space stability check run when
+    a corpus (or encoder) is updated: a label whose centroid moved is a
+    class whose meaning shifted, and downstream k-NN/centroid
+    classifiers (`emb_centroid_per_label`) need recalibration.
+
+    Exactness: coordinates quantize to integer micro-units, per-half
+    centroids come from EXACT integer division of bigint sums, and the
+    L2 drift is one sqrt over an order-free bigint sum of squared
+    integer differences. Plan: one posexplode pass, one (label, half,
+    dim) aggregate — integer triples shuffle, never vectors — then a
+    |labels|·|dims| self-join on the tiny centroid frame."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = spread(e).select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("half_a"),
+        F.posexplode("embedding").alias("d0", "x"),
+    ).select(
+        "label",
+        "half_a",
+        (F.col("d0") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("qv"),
+    )
+    cent = q.groupBy("label", "half_a", "dim").agg(
+        F.expr("CAST(sum(qv) AS BIGINT) div CAST(count(*) AS BIGINT)").alias("c")
+    )
+    a = cent.filter(F.col("half_a")).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cent.filter(~F.col("half_a")).select(
+        "label", "dim", F.col("c").alias("cb")
+    )
+    d = F.col("ca") - F.col("cb")
+    return (
+        a.join(b, ["label", "dim"])
+        .select("label", "dim", d.alias("d"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+            F.round(
+                F.sqrt(F.sum(F.col("d") * F.col("d")).cast("double")) / 1000000.0, 4
+            ).alias("drift_l2"),
+            F.round(F.max(F.abs("d")) / 1000000.0, 4).alias("drift_max_dim"),
+        )
+    )

@@ -1479,3 +1479,72 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score_u") / 1000000.0, 4).alias("rake_score"),
         )
     )
+
+
+@register(
+    "text_compression_ratio_proxy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id, source,
+               t[i] || ' ' || t[i+1] AS bg
+        FROM toks, LATERAL unnest(range(1, greatest(len(t) - 1, 0) + 1)) r(i)
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               CAST(count(*) AS BIGINT)            AS n_bigrams,
+               CAST(count(DISTINCT bg) AS BIGINT)  AS n_distinct
+        FROM bigrams GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+           CAST(sum(n_bigrams - n_distinct) AS BIGINT) AS repeated_bigrams,
+           round(sum(n_bigrams - n_distinct) * 1.0 / sum(n_bigrams), 4)
+               AS repeat_mass,
+           round(avg(n_distinct * 1.0 / n_bigrams), 4) AS mean_uniqueness
+    FROM per_doc GROUP BY source
+    """,
+)
+def text_compression_ratio_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility proxy per source: the mass of REPEATED bigrams
+    (occurrences minus distinct types, per doc) — a cheap stand-in for
+    gzip ratio used as a quality gate (highly compressible text is
+    boilerplate/templates; `text_repetition_filter`'s corpus-level
+    twin). No compressor needed, so it stays a pure columnar pass.
+
+    Exactness: per-doc counts are bigints; `mean_uniqueness` averages
+    one-division ratios — bounded [0,1] magnitudes whose float sum
+    drift is absorbed by round(4) (the `text_unigram_logprob`
+    precedent); `repeat_mass` is integers + ONE division. Plan: one
+    tokenize pass, per-doc count/distinct aggregate, tiny source
+    rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = spread(d, "doc_id").select("doc_id", "source", tokens("text").alias("t"))
+    bigrams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
+            )
+        ).alias("bg"),
+    )
+    per_doc = bigrams.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.countDistinct("bg").cast("bigint").alias("n_distinct"),
+    )
+    rep = F.col("n_bigrams") - F.col("n_distinct")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+        F.sum(rep).cast("bigint").alias("repeated_bigrams"),
+        F.round(F.sum(rep) * 1.0 / F.sum("n_bigrams"), 4).alias("repeat_mass"),
+        F.round(F.avg(F.col("n_distinct") * 1.0 / F.col("n_bigrams")), 4).alias(
+            "mean_uniqueness"
+        ),
+    )

@@ -1117,3 +1117,59 @@ def win_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rsi"
         ),
     )
+
+
+@register(
+    "win_seasonal_naive_eval",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1
+    ),
+    pred AS (
+        SELECT d, n,
+               lag(n, 7) OVER (ORDER BY d) AS yhat
+        FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
+           round(sum(abs(n - yhat)) * 1.0 / count(*), 4) AS mae,
+           round(sum(abs(n - yhat) * 1000000 // n) / 1000000.0 / count(*), 4)
+               AS mape,
+           CAST(sum(CASE WHEN n = yhat THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_hits
+    FROM pred WHERE yhat IS NOT NULL AND n > 0
+    """,
+)
+def win_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each day's event
+    volume with the same weekday one week earlier (lag-7) and score
+    MAE/MAPE — the baseline every real forecasting model must beat
+    (the time-series twin of `events_next_event_baseline`; ship a
+    model only if it beats this number).
+
+    Exactness: counts and absolute errors are bigints; per-day
+    percentage errors quantize via exact integer division before the
+    sum (a float MAPE would drift with reduction order); final
+    divisions under round(4). Plan: one groupBy(day), one lag window
+    over the calendar-bounded series, a 1-row reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date(F.col("ts").cast("timestamp")).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    pred = daily.withColumn("yhat", F.lag("n", 7).over(Window.orderBy("d")))
+    err = F.abs(F.col("n") - F.col("yhat"))
+    scored = pred.filter(F.col("yhat").isNotNull() & (F.col("n") > 0))
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+        F.round(F.sum(err) * 1.0 / F.count(F.lit(1)), 4).alias("mae"),
+        F.round(
+            F.sum(F.expr("abs(n - yhat) * 1000000 div n")) / 1000000.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mape"),
+        F.sum(F.when(F.col("n") == F.col("yhat"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("exact_hits"),
+    )

@@ -734,3 +734,25 @@ def test_rfm_migration_single_scan(spark):
 def test_rake_no_cartesian(spark):
     df = registry.QUERIES["text_rake_keywords"](spark, SF_DIR)
     assert not has_cartesian(df)
+
+
+def test_alert_debounce_single_scan_windows(spark):
+    df = registry.QUERIES["events_alert_debounce"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "Window" in plan
+
+
+def test_centroid_drift_prunes_and_no_cartesian(spark):
+    df = registry.QUERIES["emb_centroid_drift"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    # ReadSchema strings truncate past ~2 fields, so assert the pruning
+    # negatively: the 3-column projection never widens to a full-row scan
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"label", "vec_id", "embedding"}, cols
+
+
+def test_compression_proxy_single_scan(spark):
+    df = registry.QUERIES["text_compression_ratio_proxy"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:2000]

@@ -751,3 +751,67 @@ def test_hnsw_layers_geometric(spark):
     for layer in sorted(got, reverse=True):
         tot += got[layer]["n_vectors"]
         assert got[layer]["reachable_vectors"] == tot
+
+
+def test_seasonal_naive_matches_python(spark):
+    from spark_ibm_mq_spark.operators.windows import win_seasonal_naive_eval
+
+    days_, xs = _daily_counts()
+    scored = [(int(xs[i]), int(xs[i - 7])) for i in range(7, len(xs)) if xs[i] > 0]
+    mae = sum(abs(n - y) for n, y in scored) / len(scored)
+    mape = sum((abs(n - y) * 1000000) // n for n, y in scored) / 1e6 / len(scored)
+    row = win_seasonal_naive_eval(spark, SF_DIR).collect()[0]
+    assert row["n_days_scored"] == len(scored)
+    assert abs(row["mae"] - round(mae, 4)) < 1e-9
+    assert abs(row["mape"] - round(mape, 4)) < 1e-9
+
+
+def test_alert_debounce_suppression_conserves_errors(spark):
+    from spark_ibm_mq_spark.operators.events_analytics import events_alert_debounce
+
+    errors = [r for r in _events() if r["event_type"] == "error"]
+    rows = events_alert_debounce(spark, SF_DIR).collect()
+    # every raw error is attributed to exactly one burst
+    assert sum(r["suppressed"] for r in rows) == len(errors)
+    # bursts are disjoint per user: alert events are distinct errors
+    assert len({r["alert_event_id"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["suppressed"] >= 1 and r["burst_span_s"] >= 0
+
+
+def test_newcomer_share_first_month_is_full(spark):
+    from spark_ibm_mq_spark.operators.aggregations import agg_newcomer_share
+
+    rows = sorted(agg_newcomer_share(spark, SF_DIR).collect(), key=lambda r: r["month"])
+    # in the first month of history every active customer is a newcomer
+    assert rows[0]["newcomer_share"] == 1.0
+    # newcomers across months sum to the distinct customer count
+    orders = pq.read_table(os.path.join(SF_DIR, "orders.parquet")).to_pylist()
+    assert sum(r["newcomers"] for r in rows) == len({r["o_custkey"] for r in orders})
+
+
+def test_centroid_drift_matches_numpy(spark):
+    from spark_ibm_mq_spark.operators.similarity import emb_centroid_drift
+
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).to_pylist()
+    by_label = defaultdict(lambda: ([], []))
+    for r in emb:
+        q = np.floor(np.array(r["embedding"], dtype=np.float64) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        by_label[r["label"]][0 if r["vec_id"] % 2 == 0 else 1].append(q)
+    got = {r["label"]: r for r in emb_centroid_drift(spark, SF_DIR).collect()}
+    for lbl, (ha, hb) in by_label.items():
+        if not ha or not hb:
+            assert lbl not in got
+            continue
+
+        def cent(h):
+            s = np.sum(h, axis=0)
+            n = len(h)
+            return np.array([int(x) // n if x >= 0 else -((-int(x)) // n) for x in s])
+
+        d = cent(ha) - cent(hb)
+        l2 = math.sqrt(float((d.astype(object) ** 2).sum())) / 1e6
+        assert abs(got[lbl]["drift_l2"] - round(l2, 4)) < 1e-9
+        assert got[lbl]["drift_max_dim"] == round(int(np.abs(d).max()) / 1e6, 4)
