@@ -154,7 +154,14 @@ def main() -> None:
         # record with who ran it and when; compare only same-labelled runs
         # (or scripts/ab_bench.py interleaved pairs) round-over-round.
         "provenance": {
-            "run_label": os.environ.get("SPARK_GRAFT_BENCH_LABEL", "builder"),
+            "run_label": os.environ.get(
+                "SPARK_GRAFT_BENCH_LABEL",
+                # An unset env var must be distinguishable from a genuine
+                # labelled run (ADVICE r9): driver/final runs were being
+                # stamped "builder". Fall back to the invoking user, never
+                # to a role name.
+                "unlabeled-" + os.environ.get("USER", "unknown"),
+            ),
             "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             # mq warm-up protocol: v2 = one FULL drain before timing
             # (r8+); v1 = limit(1) warm-up (≤r7). v1 and v2 msg/s numbers

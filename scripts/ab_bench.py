@@ -95,7 +95,14 @@ def main() -> None:
             "b_min": round(min(b_samples), 4),
             "b_max": round(max(b_samples), 4),
             "pairwise_ratio_median": round(statistics.median(ratios), 4),
-            "run_label": os.environ.get("SPARK_GRAFT_BENCH_LABEL", "builder"),
+            "run_label": os.environ.get(
+                "SPARK_GRAFT_BENCH_LABEL",
+                # An unset env var must be distinguishable from a genuine
+                # labelled run (ADVICE r9): driver/final runs were being
+                # stamped "builder". Fall back to the invoking user, never
+                # to a role name.
+                "unlabeled-" + os.environ.get("USER", "unknown"),
+            ),
             "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
     }

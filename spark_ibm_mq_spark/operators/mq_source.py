@@ -31,7 +31,10 @@ def _scratch(prefix: str) -> str:
     lazily from these dirs after the query returns, so cleanup must outlive
     the call — atexit, not try/finally (repeated bench/correctness runs were
     leaking one broker copy + sink per invocation, ADVICE r4)."""
-    d = tempfile.mkdtemp(prefix=prefix)
+    return _track_dir(tempfile.mkdtemp(prefix=prefix))
+
+
+def _track_dir(d: str) -> str:
     if not _SCRATCH:
         atexit.register(
             lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH]
@@ -51,11 +54,19 @@ _DRAIN_ORACLE = f"""
 
 
 def _broker_dir_for(sf_dir: str) -> str:
-    """Materialize (once per sf_dir) a fake-broker queue mirroring `events`.
+    """Materialize (once per fixture version) a fake-broker queue mirroring
+    `events`.
 
     DuckDB does the export — no Spark job needed to build the fixture, and
-    the line order (ts, event_id) is deterministic."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    the line order (ts, event_id) is deterministic.  The cache key is the
+    file_sources._tag convention (ADVICE r9): sf_dir PLUS size+mtime_ns of
+    events.parquet, so a regenerated fixture at the same path rebuilds the
+    queue instead of silently serving stale messages while the oracle reads
+    the fresh parquet.  Freshly-built dirs are atexit-tracked like every
+    other derived export (_track_scratch in file_sources.py)."""
+    from spark_ibm_mq_spark.operators.file_sources import _tag
+
+    tag = _tag(sf_dir, ("events",))
     d = os.path.join(tempfile.gettempdir(), f"ibmmq_fake_broker_{tag}")
     marker = os.path.join(d, ".complete")
     if os.path.exists(marker):
@@ -79,7 +90,7 @@ def _broker_dir_for(sf_dir: str) -> str:
             f.write(json.dumps({"put_ms": int(put_ms), "seq_no": int(seq_no), "body": body}) + "\n")
     os.replace(tmp, qfile)
     open(marker, "w").close()
-    return d
+    return _track_dir(d)
 
 
 @register("mq_source_batch_drain", oracle=_DRAIN_ORACLE)
@@ -203,8 +214,11 @@ _MULTI_QUEUES = ("EVENTS.EVEN", "EVENTS.ODD")
 def _broker_dir_multi(sf_dir: str) -> str:
     """Two-queue broker fixture: events split by user_id parity, each queue
     in its own (ts, event_id)-ordered stream — the reference's
-    one-receiver-per-queue topology (IBMMQReceiver.java:425)."""
-    tag = hashlib.md5((sf_dir + ":multi").encode()).hexdigest()[:12]
+    one-receiver-per-queue topology (IBMMQReceiver.java:425).  Same
+    size+mtime fingerprint key as _broker_dir_for (ADVICE r9)."""
+    from spark_ibm_mq_spark.operators.file_sources import _tag
+
+    tag = hashlib.md5((_tag(sf_dir, ("events",)) + ":multi").encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"ibmmq_fake_broker_{tag}")
     marker = os.path.join(d, ".complete")
     if os.path.exists(marker):
@@ -234,7 +248,7 @@ def _broker_dir_multi(sf_dir: str) -> str:
         os.replace(tmp, os.path.join(d, f"{qname}.jsonl"))
     con.close()
     open(marker, "w").close()
-    return d
+    return _track_dir(d)
 
 
 @register(

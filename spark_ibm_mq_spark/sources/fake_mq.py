@@ -173,7 +173,21 @@ class FakeMQBroker:
                 unexpected_field_behavior="ignore",
             ),
         )
-        ms = parsed["put_ms"].combine_chunks().to_numpy()
+        col = parsed["put_ms"].combine_chunks()
+        # Fail loudly on any broker-file anomaly (ADVICE r9): a blank line or
+        # a record missing put_ms desyncs the newline-offset array from the
+        # pyarrow record parse (and to_numpy on a null int64 raises a far
+        # less diagnosable ArrowInvalid downstream). Cheap O(1)/O(n) checks.
+        if col.null_count:
+            raise ValueError(
+                f"fake MQ: {col.null_count} record(s) in {qfile} missing put_ms"
+            )
+        ms = col.to_numpy()
+        if len(ms) != len(starts):
+            raise ValueError(
+                f"fake MQ: {qfile} parsed {len(ms)} records but has "
+                f"{len(starts)} non-empty lines — blank or malformed line in queue file"
+            )
         return ms[from_pos:].tolist(), starts[from_pos:].tolist()
 
     @staticmethod

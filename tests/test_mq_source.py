@@ -362,3 +362,66 @@ def test_dlq_routes_corrupt_bodies(spark, tmp_path):
     assert rows[("main", "ok")] == (1, 1, 1)
     assert rows[("dlq", "domain_violation")] == (1, 2, 2)
     assert rows[("dlq", "parse_error")] == (2, 3, 4)
+
+
+# ------------------------------------------------------- fixture cache safety
+
+
+def test_broker_fixture_rebuilds_when_events_regenerated(tmp_path):
+    """Regenerating events.parquet at the same path must rebuild the broker
+    queue (ADVICE r9 / VERDICT r9 task 3): the cache key is the size+mtime
+    fingerprint of the source parquet, not the path alone — a stale queue
+    here would silently diverge from the fresh parquet the oracle reads."""
+    import duckdb
+
+    from spark_ibm_mq_spark.operators.mq_source import _QUEUE, _broker_dir_for
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+
+    def write_events(n):
+        duckdb.connect().execute(
+            f"""COPY (SELECT make_timestamp(1700000000000000 + i*1000000) AS ts,
+                             i AS event_id, i AS user_id,
+                             'click' AS event_type, '{{}}' AS props
+                      FROM range(1, {n + 1}) r(i))
+                TO '{sf}/events.parquet' (FORMAT PARQUET)"""
+        )
+
+    write_events(3)
+    d1 = _broker_dir_for(sf)
+    with open(os.path.join(d1, f"{_QUEUE}.jsonl")) as f:
+        assert len(f.readlines()) == 3
+    # Same fixture content untouched: the cache must hit (same dir, no rebuild).
+    assert _broker_dir_for(sf) == d1
+    # Regenerate the fixture with different content at the SAME path.
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    write_events(5)
+    d2 = _broker_dir_for(sf)
+    assert d2 != d1, "path-only cache key served a stale broker queue"
+    with open(os.path.join(d2, f"{_QUEUE}.jsonl")) as f:
+        assert len(f.readlines()) == 5
+
+
+def test_vectorized_scan_rejects_blank_line(tmp_path):
+    """A blank line in the queue file desyncs newline offsets from the
+    pyarrow record parse — the scan must fail loudly (ADVICE r9 #4), not
+    surface misaligned offsets downstream."""
+    d = str(tmp_path / "q")
+    b = FakeMQBroker(d, "Q.BAD")
+    b.put_all([(1000, 1, "a"), (2000, 2, "b")])
+    with open(os.path.join(d, "Q.BAD.jsonl"), "a") as f:
+        f.write("\n")  # blank line
+        f.write('{"put_ms": 3000, "seq_no": 3, "body": "c"}\n')
+    with pytest.raises(ValueError, match="blank or malformed"):
+        b.put_ms_index_with_offsets(0)
+
+
+def test_vectorized_scan_rejects_missing_put_ms(tmp_path):
+    d = str(tmp_path / "q")
+    b = FakeMQBroker(d, "Q.BAD2")
+    b.put_all([(1000, 1, "a")])
+    with open(os.path.join(d, "Q.BAD2.jsonl"), "a") as f:
+        f.write('{"seq_no": 2, "body": "b"}\n')
+    with pytest.raises(ValueError, match="missing put_ms"):
+        b.put_ms_index_with_offsets(0)
