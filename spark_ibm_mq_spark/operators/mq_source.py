@@ -26,12 +26,35 @@ _QUEUE = "EVENTS.Q"
 _SCRATCH: list[str] = []
 
 
+def scratch_base() -> str:
+    """Base dir for per-call EPHEMERAL scratch (stream checkpoints, replay
+    sources, sink outputs that live only for one query invocation).
+
+    Prefers tmpfs (/dev/shm) when present: these dirs are created and
+    discarded within a single call, so durability buys nothing, and the
+    checkpoint/commit-log fsync traffic of availableNow micro-batch loops is
+    otherwise pure disk latency (the r9→r10 streaming-family adjudication
+    traced the family's drift to exactly this I/O). On a real cluster the
+    equivalent tier is local NVMe scratch/spill — while anything that must
+    survive a restart (production streaming checkpoints, sink tables) goes
+    to durable shared storage (HDFS/S3), NOT here. Override with
+    SPARK_GRAFT_SCRATCH; falls back to the system tempdir."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    return tempfile.gettempdir()
+
+
 def _scratch(prefix: str) -> str:
     """Per-call scratch dir, removed at interpreter exit. Results are read
     lazily from these dirs after the query returns, so cleanup must outlive
     the call — atexit, not try/finally (repeated bench/correctness runs were
     leaking one broker copy + sink per invocation, ADVICE r4)."""
-    return _track_dir(tempfile.mkdtemp(prefix=prefix))
+    return _track_dir(tempfile.mkdtemp(prefix=prefix, dir=scratch_base()))
 
 
 def _track_dir(d: str) -> str:
