@@ -1581,3 +1581,88 @@ def agg_newcomer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_hill_tail_index",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c, o_orderkey
+        FROM orders
+    ),
+    top AS (
+        SELECT c, CAST(row_number() OVER (ORDER BY c DESC, o_orderkey) AS BIGINT)
+                      AS rn
+        FROM (SELECT * FROM cents ORDER BY c DESC, o_orderkey LIMIT 101)
+    ),
+    ref AS (SELECT c AS ref_c FROM top WHERE rn = 101),
+    terms AS (
+        SELECT CAST(floor(ln(t.c * 1.0 / r.ref_c) * 1000000 + 0.5) AS BIGINT)
+                   AS term_mu
+        FROM top t CROSS JOIN ref r
+        WHERE t.rn <= 100
+    )
+    SELECT CAST(100 AS BIGINT)                          AS k,
+           round(r.ref_c / 100.0, 4)                    AS threshold_price,
+           CAST(sum(t.term_mu) AS BIGINT)               AS sum_log_mu,
+           round(sum(t.term_mu) / 100000000.0, 4)       AS hill_gamma,
+           round(100000000.0 / sum(t.term_mu), 4)       AS tail_alpha
+    FROM terms t CROSS JOIN ref r
+    GROUP BY r.ref_c
+    """,
+)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index over order values:
+    gamma = (1/k)·Σ ln(x_(i)/x_(k+1)) over the k=100 largest orders,
+    alpha = 1/gamma — the standard extreme-value answer to "how heavy is
+    the revenue tail", sharper than `agg_pareto_revenue_deciles`' coarse
+    decile shares and the regression-free cousin of `text_zipf_fit`.
+
+    Exactness: order values are quantized to integer cents BEFORE the
+    top-k selection (ordering by the double then taking cents could pick
+    a different tied boundary row), the order statistic is made total
+    with the o_orderkey tiebreak, and each log-ratio is independently
+    floor(·1e6+0.5)-quantized before the bigint sum — the Theil/JSD
+    fixed-point-log convention, so term order cannot move the result.
+    Plan: a global top-101 (TakeOrdered — no full sort, no shuffle of
+    the data, only k+1 rows reach the driver-side heap merge) then a
+    101-row frame with a 1-row broadcast threshold: at 100 TB the scan
+    is the only full pass and everything downstream is O(k)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
+        "o_orderkey",
+    )
+    top = (
+        cents.orderBy(F.col("c").desc(), "o_orderkey")
+        .limit(101)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "o_orderkey"))
+            .cast("bigint")
+            .alias("rn"),
+        )
+    )
+    ref = top.filter(F.col("rn") == 101).select(F.col("c").alias("ref_c"))
+    terms = (
+        top.filter(F.col("rn") <= 100)
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "ref_c",
+            F.floor(F.log(F.col("c") * 1.0 / F.col("ref_c")) * 1000000 + 0.5)
+            .cast("bigint")
+            .alias("term_mu"),
+        )
+    )
+    return (
+        terms.groupBy("ref_c")
+        .agg(F.sum("term_mu").cast("bigint").alias("sum_log_mu"))
+        .select(
+            F.lit(100).cast("bigint").alias("k"),
+            F.round(F.col("ref_c") / 100.0, 4).alias("threshold_price"),
+            "sum_log_mu",
+            F.round(F.col("sum_log_mu") / 100000000.0, 4).alias("hill_gamma"),
+            F.round(F.lit(100000000.0) / F.col("sum_log_mu"), 4).alias("tail_alpha"),
+        )
+    )

@@ -768,3 +768,93 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("overlap_s"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle=f"""
+    {EVENTS_CTE}
+    SELECT p_id, user_id, c_id, direction, gap_s FROM (
+        SELECT p.event_id AS p_id, p.user_id AS user_id, c.event_id AS c_id,
+               CASE WHEN c.ts <= p.ts THEN 'backward' ELSE 'forward' END
+                   AS direction,
+               round(abs(epoch_ms(c.ts) - epoch_ms(p.ts)) / 1000.0, 4) AS gap_s,
+               row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY abs(epoch_ms(c.ts) - epoch_ms(p.ts)),
+                            CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                            CASE WHEN c.ts <= p.ts THEN -c.event_id
+                                 ELSE c.event_id END) AS rn
+        FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: the click closest in time to each purchase in
+    EITHER direction, ties to the backward side — completing pandas'
+    merge_asof direction=backward/forward/nearest triple on Spark
+    (`join_asof_click_before_purchase` / `join_asof_forward` are the
+    other two).
+
+    Tie rules (stated, deterministic): equal |gap| across directions →
+    backward wins (the pandas convention); within a side, same-timestamp
+    clicks resolve by event_id (max for backward, min for forward — the
+    natural frame order of each window). A same-timestamp click counts
+    as backward (gap 0) and is claimed by that side only.
+
+    Shape: ONE union-interleave merge — clicks sort before equal-ts
+    purchases (kind 0 < 1), a PRECEDING-frame `last(click)` carries the
+    latest click ≤ ts onto each purchase and a FOLLOWING-frame
+    `first(click)` the earliest click > ts; the winner is an integer-ms
+    comparison between the two candidates. One shuffle on user_id,
+    O(n log n) per user, no pair blowup — the oracle's per-user cross
+    join is the semantic spec, not the plan. Exactness: gaps compared
+    as integer epoch-ms, the one float division is round(4)."""
+    ev = load_table(spark, sf_dir, "events")
+    # kind 0 = click, 1 = purchase: equal-ts clicks order BEFORE the
+    # purchase, so they sit in the PRECEDING frame (backward side) only.
+    merged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "event_id",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+    )
+    ww = Window.partitionBy("user_id").orderBy("ts_ms", "kind", "event_id")
+    click = F.when(F.col("kind") == 0, F.struct("ts_ms", "event_id"))
+    cand = (
+        merged.withColumn(
+            "prev_click",
+            F.last(click, ignorenulls=True).over(
+                ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "next_click",
+            F.first(click, ignorenulls=True).over(
+                ww.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            ),
+        )
+        .filter(F.col("kind") == 1)
+    )
+    bgap = F.col("ts_ms") - F.col("prev_click.ts_ms")
+    fgap = F.col("next_click.ts_ms") - F.col("ts_ms")
+    take_backward = F.col("prev_click").isNotNull() & (
+        F.col("next_click").isNull() | (bgap <= fgap)
+    )
+    return (
+        cand.filter(F.col("prev_click").isNotNull() | F.col("next_click").isNotNull())
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.when(take_backward, F.col("prev_click.event_id"))
+            .otherwise(F.col("next_click.event_id"))
+            .alias("c_id"),
+            F.when(take_backward, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("direction"),
+            F.round(
+                F.when(take_backward, bgap).otherwise(fgap) / 1000.0, 4
+            ).alias("gap_s"),
+        )
+    )

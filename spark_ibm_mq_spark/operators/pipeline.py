@@ -1645,3 +1645,90 @@ def pipeline_perplexity_gate_ablation(spark: SparkSession, sf_dir: str) -> DataF
             ),
         )
     )
+
+
+# (col_name, numeric SQL expr or None, string SQL expr or None) — the
+# logical profile spec shared by the Spark unpivot and the DuckDB oracle.
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS DOUBLE)", None),
+    ("o_custkey", "CAST(o_custkey AS DOUBLE)", None),
+    ("o_orderstatus", None, "o_orderstatus"),
+    ("o_totalprice", "CAST(o_totalprice AS DOUBLE)", None),
+    ("o_orderdate", "CAST(epoch_ms(o_orderdate) AS DOUBLE)", None),
+    ("o_orderpriority", None, "o_orderpriority"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, num, s in _PROFILE_COLS:
+        val = num if num is not None else s
+        parts.append(f"""
+        SELECT '{name}' AS col_name,
+               CAST(count(*) AS BIGINT)                    AS n_rows,
+               CAST(count(*) - count({val}) AS BIGINT)     AS n_nulls,
+               CAST(count(DISTINCT {val}) AS BIGINT)       AS n_distinct,
+               {f'min({num})' if num is not None else 'CAST(NULL AS DOUBLE)'}
+                   AS min_num,
+               {f'max({num})' if num is not None else 'CAST(NULL AS DOUBLE)'}
+                   AS max_num,
+               {f'min({s})' if s is not None else 'CAST(NULL AS VARCHAR)'}
+                   AS min_str,
+               {f'max({s})' if s is not None else 'CAST(NULL AS VARCHAR)'}
+                   AS max_str
+        FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@register("pipeline_profile_columns", oracle=_profile_oracle())
+def pipeline_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling pass (the `expectation suite` precursor every
+    ingestion pipeline runs before trusting a new drop): per column —
+    row count, null count, EXACT distinct cardinality, and typed
+    min/max — in one long-format frame, timestamps profiled on the
+    epoch-ms axis so the output schema is column-independent.
+
+    Shape: ONE scan unpivots the 6 profiled columns into (col_name,
+    num_val, str_val) rows via `stack` — 6× narrow rows instead of 6
+    passes or one 6-way multi-count_distinct (whose Expand would
+    replicate the FULL row width 6×; the unpivot replicates only the
+    single profiled value) — then a single groupBy(col_name) computes
+    every statistic. Exact distincts are the point of this operator
+    (dedup keys, join-key audits); at 100 TB swap count_distinct for
+    approx_count_distinct per the `agg_approx_distinct` pattern and the
+    same plan carries — the shuffle moves (col_name, value) pairs
+    either way. Min/max on doubles are exact parquet values (no
+    arithmetic), so cross-engine comparison is bitwise-safe."""
+    o = load_table(spark, sf_dir, "orders")
+    stack_args = []
+    for name, num, s in _PROFILE_COLS:
+        spark_num = (
+            num.replace("epoch_ms(o_orderdate)",
+                        "unix_millis(CAST(o_orderdate AS TIMESTAMP))")
+            if num is not None
+            else "CAST(NULL AS DOUBLE)"
+        )
+        spark_str = s if s is not None else "CAST(NULL AS STRING)"
+        stack_args.append(f"'{name}', {spark_num}, {spark_str}")
+    rows = o.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) "
+            "AS (col_name, num_val, str_val)"
+        )
+    )
+    return rows.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("num_val").isNull() & F.col("str_val").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_nulls"),
+        (F.countDistinct("num_val") + F.countDistinct("str_val"))
+        .cast("bigint")
+        .alias("n_distinct"),
+        F.min("num_val").alias("min_num"),
+        F.max("num_val").alias("max_num"),
+        F.min("str_val").alias("min_str"),
+        F.max("str_val").alias("max_str"),
+    )

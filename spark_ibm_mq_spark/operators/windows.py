@@ -1173,3 +1173,95 @@ def win_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("exact_hits"),
     )
+
+
+@register(
+    "win_stochastic_oscillator",
+    oracle=_DAILY_REV_CTE + """,
+    framed AS (
+        SELECT d, rev_c,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+               min(rev_c) OVER (ORDER BY d
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS l14,
+               max(rev_c) OVER (ORDER BY d
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS h14
+        FROM daily
+    ),
+    k AS (
+        SELECT d, rn, rev_c, l14, h14,
+               CASE WHEN rn < 14 THEN NULL
+                    WHEN h14 = l14 THEN CAST(50000000 AS BIGINT)
+                    ELSE CAST(((rev_c - l14) * 100000000) // (h14 - l14)
+                              AS BIGINT)
+               END AS k_mu
+        FROM framed
+    ),
+    d3 AS (
+        -- window BEFORE the rn filter: SQL windows run after WHERE, so
+        -- filtering first would drop rows 14-15 from rows 16-17's frames
+        SELECT d, rn, rev_c, l14, h14, k_mu,
+               sum(k_mu) OVER (ORDER BY d
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS k3
+        FROM k
+    )
+    SELECT d,
+           round(rev_c / 100.0, 4)    AS close_rev,
+           round(l14 / 100.0, 4)      AS low14_rev,
+           round(h14 / 100.0, 4)      AS high14_rev,
+           round(k_mu / 1000000.0, 4) AS pct_k,
+           round(k3 / 3000000.0, 4)   AS pct_d
+    FROM d3
+    WHERE rn >= 16
+    """,
+)
+def win_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator (%K/%D) over the daily-revenue series: %K
+    locates today's close inside the trailing 14-day high-low channel,
+    %D is its 3-day moving mean — the classic momentum indicator pair,
+    here applied to order revenue (complements `win_rsi_indicator` /
+    `win_bollinger_bands` which read the same daily rollup).
+
+    Exactness: revenue is integer cents, the channel bounds are integer
+    min/max, and %K is quantized ONCE to integer micro-units with
+    truncating integer division ((c-l)*1e8 div (h-l); DuckDB `//` and
+    Spark `div` both truncate toward zero — r9-verified) so %D is a sum
+    of integers divided and rounded in one final step: no float leaves
+    an aggregate unrounded, both engines walk bit-identical states. A
+    flat channel (h=l) pins %K at 50 by documented convention. Rows
+    before day 16 are withheld so both indicators ride full frames.
+    Plan: one groupBy(day) partial-agg scan, then windows over the
+    ~|days| frame — at 100 TB the rollup is the only full-data pass."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c"),
+    )
+    wd = Window.orderBy("d")
+    w14 = wd.rowsBetween(-13, Window.currentRow)
+    framed = daily.select(
+        "d",
+        "rev_c",
+        F.row_number().over(wd).cast("bigint").alias("rn"),
+        F.min("rev_c").over(w14).alias("l14"),
+        F.max("rev_c").over(w14).alias("h14"),
+    )
+    k_mu = (
+        F.when(F.col("rn") < 14, F.lit(None).cast("bigint"))
+        .when(F.col("h14") == F.col("l14"), F.lit(50000000).cast("bigint"))
+        .otherwise(
+            F.expr("CAST(((rev_c - l14) * 100000000) div (h14 - l14) AS BIGINT)")
+        )
+    )
+    k = framed.withColumn("k_mu", k_mu)
+    return k.select(
+        "d",
+        F.round(F.col("rev_c") / 100.0, 4).alias("close_rev"),
+        F.round(F.col("l14") / 100.0, 4).alias("low14_rev"),
+        F.round(F.col("h14") / 100.0, 4).alias("high14_rev"),
+        F.round(F.col("k_mu") / 1000000.0, 4).alias("pct_k"),
+        F.round(
+            F.sum("k_mu").over(wd.rowsBetween(-2, Window.currentRow)) / 3000000.0, 4
+        ).alias("pct_d"),
+        "rn",
+    ).filter(F.col("rn") >= 16).drop("rn")
