@@ -1184,3 +1184,76 @@ def dedup_soft_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_tokens"
         ),
     )
+
+
+@register(
+    "dedup_edit_distance_parts",
+    oracle="""
+    WITH catalog AS (
+        SELECT p_name,
+               CAST(count(*) AS BIGINT)          AS n_parts,
+               string_split(p_name, ' ')[-1]     AS noun,
+               CAST(length(p_name) AS BIGINT)    AS ln
+        FROM part GROUP BY p_name
+    )
+    SELECT a.p_name                        AS a_name,
+           b.p_name                        AS b_name,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+           a.n_parts                       AS a_parts,
+           b.n_parts                       AS b_parts
+    FROM catalog a JOIN catalog b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE abs(a.ln - b.ln) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def dedup_edit_distance_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate detection over the part-name CATALOG:
+    distinct-name pairs within Levenshtein distance 3, each annotated
+    with how many parts carry the name — the typo/variant-dedup
+    primitive (catalog normalization, entity resolution) the
+    shingle/MinHash family can't express because it scores CHARACTER
+    edits, not token overlap.
+
+    The catalog-first shape is the scale decision: names repeat heavily
+    (64 distinct among 2 000 fixture parts; the d=0 row-pair count alone
+    was 31 164), so the quadratic stage runs on DISTINCT values after a
+    groupBy — at 100 TB the name catalog is still tiny while row-level
+    pairing would be n². Blocking (stated recall contract, the
+    LSH-style trade): candidates share the trailing noun and sit within
+    2 chars in length — an equi-join on the noun key with integer
+    residuals, never a cross join; a pair whose noun was mistyped is
+    missed by design. Levenshtein runs only on survivors of both
+    pre-filters; Spark and DuckDB both implement the classic unweighted
+    edit distance, so the verify stage is engine-exact."""
+    p = load_table(spark, sf_dir, "part")
+    catalog = p.groupBy("p_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    ).select(
+        "p_name",
+        "n_parts",
+        F.element_at(F.split("p_name", " "), -1).alias("noun"),
+        F.length("p_name").cast("bigint").alias("ln"),
+    )
+    a = catalog.select(*[F.col(c).alias(f"a_{c}") for c in catalog.columns])
+    b = catalog.select(*[F.col(c).alias(f"b_{c}") for c in catalog.columns])
+    return (
+        a.join(
+            b,
+            (F.col("a_noun") == F.col("b_noun"))
+            & (F.col("a_p_name") < F.col("b_p_name")),
+        )
+        .filter(
+            (F.abs(F.col("a_ln") - F.col("b_ln")) <= 2)
+            & (F.levenshtein(F.col("a_p_name"), F.col("b_p_name")) <= 3)
+        )
+        .select(
+            F.col("a_p_name").alias("a_name"),
+            F.col("b_p_name").alias("b_name"),
+            F.levenshtein(F.col("a_p_name"), F.col("b_p_name"))
+            .cast("bigint")
+            .alias("edit_dist"),
+            F.col("a_n_parts").alias("a_parts"),
+            F.col("b_n_parts").alias("b_parts"),
+        )
+    )

@@ -2036,3 +2036,118 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "burst_span_s"
         ),
     )
+
+
+@register(
+    "events_bot_score",
+    oracle=f"""
+    {EVENTS_CTE},
+    base AS (
+        SELECT user_id, ts, event_id,
+               CAST(epoch_ms(ts) // 1000 AS BIGINT) AS s,
+               CASE WHEN hour(ts) BETWEEN 0 AND 5 THEN 1 ELSE 0 END AS night
+        FROM ev
+    ),
+    gapped AS (
+        SELECT user_id, s, night,
+               s - lag(s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS gap_s
+        FROM base
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT)       AS n_events,
+               CAST(sum(night) AS BIGINT)     AS night_events,
+               CAST(count(gap_s) AS BIGINT)   AS n_gaps,
+               CAST(sum(gap_s) AS BIGINT)     AS sg,
+               CAST(sum(gap_s * gap_s) AS BIGINT) AS sg2
+        FROM gapped GROUP BY user_id
+    ),
+    per_min AS (
+        SELECT user_id, CAST(max(c) AS BIGINT) AS max_per_min
+        FROM (SELECT user_id, s // 60 AS m, count(*) AS c
+              FROM base GROUP BY user_id, s // 60)
+        GROUP BY user_id
+    )
+    SELECT u.user_id, u.n_events, m.max_per_min, u.night_events,
+           round(u.sg * 1.0 / u.n_gaps, 4) AS mean_gap_s,
+           CASE WHEN u.sg = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE round(sqrt(CAST(u.n_gaps * u.sg2 - u.sg * u.sg
+                                     AS DOUBLE)) / u.sg, 4)
+           END AS gap_cv,
+           CASE WHEN m.max_per_min >= 3
+                     AND 4 * (u.n_gaps * u.sg2 - u.sg * u.sg) <= u.sg * u.sg
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+           END AS is_bot
+    FROM per_user u JOIN per_min m ON u.user_id = m.user_id
+    WHERE u.n_events >= 10
+    """,
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation scoring per user: burst rate (max events in any
+    calendar minute), night-activity count, inter-arrival mean and
+    coefficient of variation, and a composite flag — machine traffic
+    fires fast, round-the-clock, and with unnaturally REGULAR gaps
+    (low CV), the data-quality screen every training-data pipeline runs
+    before trusting engagement signals.
+
+    Exactness: timestamps collapse to integer epoch-seconds (truncating
+    div, both engines), so gap sums and squared-gap sums are bigint and
+    the variance numerator n·Σg²−(Σg)² is the events_acf integer-
+    centering trick — CV = √(that)/Σg costs one IEEE sqrt on an
+    integer-exact double (correctly rounded in both engines) under
+    round(4); the bot gate is a pure integer cross-multiplication
+    (4·var_num ≤ Σg², i.e. CV ≤ ½ — never a float compare). Zero-gap
+    users pin CV to 0 by stated convention. Plan: everything keys on
+    user_id — one lag window and one aggregate share a single user_id
+    shuffle, the minute rollup adds one narrow (user, minute) pass, and
+    the final join is per-user row counts. At 100 TB there is no
+    all-pairs surface anywhere; skewed mega-users are exactly the rows
+    this operator exists to flag."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(unix_millis(ts) div 1000 AS BIGINT)").alias("s"),
+        F.when(F.hour("ts").between(0, 5), 1).otherwise(0).alias("night"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = base.withColumn("gap_s", F.col("s") - F.lag("s").over(wu))
+    per_user = gapped.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("night").cast("bigint").alias("night_events"),
+        F.count("gap_s").cast("bigint").alias("n_gaps"),
+        F.sum("gap_s").cast("bigint").alias("sg"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("sg2"),
+    )
+    per_min = (
+        base.groupBy("user_id", F.expr("s div 60").alias("m"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").cast("bigint").alias("max_per_min"))
+    )
+    var_num = F.col("n_gaps") * F.col("sg2") - F.col("sg") * F.col("sg")
+    return (
+        per_user.join(per_min, "user_id")
+        .filter(F.col("n_events") >= 10)
+        .select(
+            "user_id",
+            "n_events",
+            "max_per_min",
+            "night_events",
+            F.round(F.col("sg") * 1.0 / F.col("n_gaps"), 4).alias("mean_gap_s"),
+            F.when(F.col("sg") == 0, F.lit(0.0).cast("double"))
+            .otherwise(F.round(F.sqrt(var_num.cast("double")) / F.col("sg"), 4))
+            .alias("gap_cv"),
+            F.when(
+                (F.col("max_per_min") >= 3) & (4 * var_num <= F.col("sg") * F.col("sg")),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_bot"),
+        )
+    )

@@ -13,6 +13,8 @@ without changing the join shape.
 
 from __future__ import annotations
 
+import hashlib
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -1760,4 +1762,105 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drift_l2"),
             F.round(F.max(F.abs("d")) / 1000000.0, 4).alias("drift_max_dim"),
         )
+    )
+
+
+_JL_K = 8          # target dimensionality of the JL projection
+_JL_DIM = 64       # fixture embedding width
+# Deterministic ±1 sign matrix (Achlioptas database-friendly JL variant),
+# content-addressed from md5 like the signed-LSH planes above: a
+# compile-time constant embedded as literals in BOTH engines, so there is
+# no in-engine hash-parity surface at all.
+_JL_SIGNS = [
+    [
+        1 if int(hashlib.md5(f"jl{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1
+        for i in range(_JL_DIM)
+    ]
+    for j in range(_JL_K)
+]
+
+
+def _jl_oracle() -> str:
+    comps = []
+    for j in range(_JL_K):
+        plus = [str(i + 1) for i in range(_JL_DIM) if _JL_SIGNS[j][i] == 1]
+        minus = [str(i + 1) for i in range(_JL_DIM) if _JL_SIGNS[j][i] == -1]
+        comps.append(
+            f"(list_sum(list_select(q, [{', '.join(plus)}]))"
+            f" - list_sum(list_select(q, [{', '.join(minus)}])))"
+        )
+    norm_proj = " + ".join(f"y[{j + 1}] * y[{j + 1}]" for j in range(_JL_K))
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT)
+                   AS norm2_q,
+               [{', '.join(comps)}] AS y
+        FROM q
+    )
+    SELECT vec_id, norm2_q,
+           CAST({norm_proj} AS BIGINT) AS norm2_proj,
+           round(({norm_proj}) * 1.0 / ({_JL_K} * norm2_q), 4)
+               AS norm_ratio
+    FROM proj
+    """
+
+
+@register("emb_random_projection_jl", oracle=_jl_oracle())
+def emb_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → 8 dims with a
+    deterministic ±1 sign matrix, reporting the per-vector norm-
+    preservation ratio ||Py||²/(k·||x||²) that the JL lemma says
+    concentrates near 1 — the dimensionality-reduction primitive that
+    turns 100 TB of wide embeddings into join-sized sketches (and the
+    front half of `sim_ann_lsh_signed`'s hyperplane trick, kept here as
+    a projection rather than a 1-bit quantization).
+
+    Exactness: coordinates quantize ONCE to integer micro-units, the
+    projection is then pure ±1 integer summation (order-free), and both
+    norms are bigint sums of integer squares — the single float division
+    is round(4). The sign matrix is an md5-derived compile-time literal
+    in both engines (signed-LSH convention), not an in-engine hash.
+    Plan: zero-shuffle — one narrow scan, per-row zip_with/aggregate
+    higher-order arrays, no explode, no join; at 100 TB this is a pure
+    map stage that pipelines with whatever consumes the sketches."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000 + 0.5).cast("long"),
+    )
+    qd = e.select("vec_id", q.alias("q"))
+    zero = F.lit(0).cast("long")
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(s).cast("long") for s in _JL_SIGNS[j]]),
+                lambda a, b: a * b,
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        ).alias(f"y{j}")
+        for j in range(_JL_K)
+    ]
+    norm2q = F.aggregate(
+        F.transform(F.col("q"), lambda v: v * v), zero, lambda acc, x: acc + x
+    )
+    proj = qd.select("vec_id", norm2q.alias("norm2_q"), *comps)
+    norm2p = sum(F.col(f"y{j}") * F.col(f"y{j}") for j in range(1, _JL_K)) + (
+        F.col("y0") * F.col("y0")
+    )
+    return proj.select(
+        "vec_id",
+        "norm2_q",
+        norm2p.cast("bigint").alias("norm2_proj"),
+        F.round(norm2p * 1.0 / (_JL_K * F.col("norm2_q")), 4).alias("norm_ratio"),
     )

@@ -1548,3 +1548,91 @@ def text_compression_ratio_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_uniqueness"
         ),
     )
+
+
+@register(
+    "text_good_turing_smoothing",
+    oracle="""
+    WITH tok AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ),
+    big AS (
+        SELECT ts[i] || ' ' || ts[i + 1] AS bg
+        FROM tok, LATERAL unnest(range(1, len(ts))) r(i)
+    ),
+    counts AS (SELECT bg, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY bg),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_bigrams FROM counts),
+    coc AS (
+        SELECT n AS r, CAST(count(*) AS BIGINT) AS n_r
+        FROM counts GROUP BY n
+    )
+    SELECT a.r, a.n_r,
+           CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r_next,
+           round((a.r + 1) * coalesce(b.n_r, 0) * 1.0 / a.n_r, 4) AS r_star,
+           round(a.r * a.n_r * 1.0 / t.n_bigrams, 4) AS raw_mass,
+           round((a.r + 1) * coalesce(b.n_r, 0) * 1.0
+                 / (a.n_r * t.n_bigrams), 8) AS gt_prob_per_type
+    FROM coc a
+    LEFT JOIN coc b ON b.r = a.r + 1
+    CROSS JOIN tot t
+    WHERE a.r <= 10
+    """,
+)
+def text_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing over the corpus BIGRAM
+    distribution: the count-of-counts table N_r and the adjusted count
+    r* = (r+1)·N_{r+1}/N_r for the rare tail (r ≤ 10) — the classic
+    answer to "how much probability mass do unseen n-grams deserve"
+    (the r=1 row IS the unseen-mass estimate N_1/N) and the discounting
+    machinery under Katz back-off LMs. Bigrams, not unigrams, because
+    smoothing only bites where a tail exists — the fixture vocabulary
+    is closed (31 types, min count 26) but its bigram table has a
+    genuine r=1..4 tail, exactly the regime GT was built for;
+    `text_bigram_logprob` is the unsmoothed MLE this corrects.
+
+    Exactness: bigram counts, count-of-counts, and the total are all
+    bigint (DuckDB sums CAST to BIGINT to dodge the HUGEINT→float64
+    trap); r* and the mass columns are single integer-ratio divisions
+    under round(4)/round(8). Plan: one tokenize pass → groupBy(bigram)
+    → groupBy(count); after the bigram rollup everything is ≤
+    max-count rows and the r+1 self-join touches ~10 broadcast rows.
+    At 100 TB the bigram rollup is the only heavy shuffle — identical
+    in shape to `text_vocab_build`'s, with (hash, int) shuffle rows."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = F.when(
+        F.size(F.col("trim_tokens")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(trim_tokens) - 1), "
+            "i -> concat(element_at(trim_tokens, i), ' ', "
+            "element_at(trim_tokens, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        d.select(tokens("text").alias("trim_tokens"))
+        .select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("n_bigrams"))
+    coc = counts.groupBy(F.col("n").alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    b = coc.select(F.col("r").alias("rb"), F.col("n_r").alias("n_r_b"))
+    nxt = F.coalesce(F.col("n_r_b"), F.lit(0))
+    return (
+        coc.filter(F.col("r") <= 10)
+        .join(F.broadcast(b), F.col("rb") == F.col("r") + 1, "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            nxt.cast("bigint").alias("n_r_next"),
+            F.round((F.col("r") + 1) * nxt * 1.0 / F.col("n_r"), 4).alias("r_star"),
+            F.round(F.col("r") * F.col("n_r") * 1.0 / F.col("n_bigrams"), 4).alias(
+                "raw_mass"
+            ),
+            F.round(
+                (F.col("r") + 1) * nxt * 1.0 / (F.col("n_r") * F.col("n_bigrams")), 8
+            ).alias("gt_prob_per_type"),
+        )
+    )
