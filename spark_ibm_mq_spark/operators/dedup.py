@@ -1257,3 +1257,88 @@ def dedup_edit_distance_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b_n_parts").alias("b_parts"),
         )
     )
+
+
+@register(
+    "dedup_winnowing_fingerprint",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, i,
+               md5(substr(text, CAST(i AS INTEGER), 12)) AS h
+        FROM documents,
+             LATERAL unnest(range(1, greatest(length(text) - 11, 0) + 1)) r(i)
+    ),
+    mins AS (
+        SELECT doc_id, i,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+               count(*) OVER (PARTITION BY doc_id) AS n_grams
+        FROM grams
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM mins WHERE i + 7 <= n_grams),
+    df AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp)
+    SELECT a.doc_id                 AS a_id,
+           b.doc_id                 AS b_id,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM fps a
+    JOIN df ON df.fp = a.fp AND df.c <= 20
+    JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+)
+def dedup_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every 12-char gram, keep the MINIMUM hash of
+    each 8-gram window, and report document pairs sharing ≥5 selected
+    fingerprints — the guarantee-bearing local-minutiae cousin of
+    MinHash: any shared substring of length ≥ 19 (k+w-1) is certain to
+    contribute a shared fingerprint, where MinHash only matches in
+    expectation.
+
+    Determinism: both engines select by the identical rule — lexical
+    min of the md5 hex over the same ROWS frame, full windows only —
+    so the fingerprint SETS are equal by construction; no tie-break
+    subtleties survive the set-valued distinct. Scale shape: the
+    selection windows partition by doc_id (shuffle rows carry 32-byte
+    hex, never text); winnowing keeps ~2/w of grams, document
+    frequency caps (df ≤ 20) drop boilerplate fingerprints exactly
+    like the band-frequency cap in `dedup_minhash_lsh`, and the pair
+    generator is an equi-join on the fingerprint key — candidate
+    volume ∝ Σ df², never n². At 100 TB the df cap is the knob that
+    bounds the join, and it is a stated recall contract: a substring
+    shared by >20 docs stops witnessing pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 11, F.lit(0)))
+        ).alias("i"),
+        "text",
+    ).select("doc_id", "i", F.expr("md5(substring(text, i, 12))").alias("h"))
+    wdoc = Window.partitionBy("doc_id")
+    mins = grams.select(
+        "doc_id",
+        "i",
+        F.min("h").over(wdoc.orderBy("i").rowsBetween(0, 7)).alias("fp"),
+        F.count(F.lit(1)).over(wdoc).alias("n_grams"),
+    )
+    fps = (
+        mins.filter(F.col("i") + 7 <= F.col("n_grams"))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    df_keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= 20)
+        .select("fp")
+    )
+    a = fps.join(df_keep, "fp").select("fp", F.col("doc_id").alias("a_id"))
+    b = fps.select("fp", F.col("doc_id").alias("b_id"))
+    return (
+        a.join(b, (a.fp == b.fp) & (F.col("a_id") < F.col("b_id")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 5)
+    )

@@ -1044,3 +1044,135 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
     )
+
+
+@register(
+    "stream_alert_debounce",
+    oracle=f"""
+    {EVENTS_CTE},
+    marks AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 15 MINUTE
+                    THEN 1 ELSE 0 END AS new_burst
+        FROM ev WHERE event_type = 'error'
+    ),
+    bursts AS (
+        SELECT user_id, ts, event_id,
+               sum(new_burst) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS burst_id
+        FROM marks
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP)       AS alert_ts,
+           CAST(min(event_id) AS BIGINT)    AS alert_event_id,
+           CAST(count(*) AS BIGINT)         AS suppressed,
+           round((epoch_ms(max(ts)) - epoch_ms(min(ts))) / 1000.0, 4)
+               AS burst_span_s
+    FROM bursts
+    GROUP BY user_id, burst_id
+    """,
+)
+def stream_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of `events_alert_debounce` (VERDICT r9 task 7's
+    named candidate): collapse each user's error storms into one alert
+    per burst ON THE STREAM, as a session-window aggregation with a
+    15-minute gap — the shape a real alerting pipeline deploys, where
+    the batch twin is the backfill/audit path. A burst's cooldown
+    restarts with every suppressed error (session semantics), matching
+    the batch twin's gap-sessionization exactly; the oracle is the
+    same running-sum burst construction.
+
+    State story: one session per (user, open burst) in the state
+    store, merged as events arrive and evicted once the watermark
+    passes the session end — bounded by ACTIVE bursts only, unlike the
+    complete-mode windowed counts (this query still drains complete
+    for a deterministic final table; the state-size argument is about
+    the session merge itself). Counts and ids are integers; the one
+    float division is round(4)."""
+    ev = events_file_stream(spark, sf_dir)
+    agg = (
+        ev.filter(F.col("event_type") == "error")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "15 minutes"), "user_id")
+        .agg(
+            F.min("ts").alias("min_ts"),
+            F.min("event_id").cast("bigint").alias("alert_event_id"),
+            F.count(F.lit(1)).cast("bigint").alias("suppressed"),
+            F.round(
+                (F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))) / 1000.0,
+                4,
+            ).alias("burst_span_s"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("min_ts").cast("timestamp_ntz").alias("alert_ts"),
+        "alert_event_id",
+        "suppressed",
+        "burst_span_s",
+    )
+
+
+@register(
+    "stream_windowed_topk_update",
+    oracle=f"""
+    {EVENTS_CTE},
+    counts AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT window_start, event_type, n,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM counts
+    ) WHERE rk <= 3
+    """,
+)
+def stream_windowed_topk_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-mode twin of `stream_windowed_topk` (VERDICT r9 task 7's
+    "top-k beyond append mode"): the same hourly per-type counts, but
+    emitting a refreshed row for every key the micro-batch CHANGED —
+    the live-leaderboard shape, where append mode can only report a
+    window after the watermark closes it (and so covers every window
+    here, not just watermark-closed ones). The watermark still evicts
+    closed-window state, so the state store stays bounded by open
+    windows × keys — update mode changes what is EMITTED, not what is
+    retained.
+
+    The memory sink accumulates one row per (key, emitting batch); the
+    final state per key is recovered with max(n) — counts are monotone
+    non-decreasing across a key's emissions, so max IS the last
+    emission, commutatively (no batch-ordering column needed). The
+    rank then runs over the recovered ≤ |windows|×|types| rollup with
+    the (n DESC, event_type) total order. All integers; the oracle is
+    the plain batch rollup because update mode emits every window at
+    least once on an in-order replay."""
+    ev = events_file_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    out = _run_to_memory(agg, "update")
+    state = (
+        out.select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.max("n").alias("n"))
+    )
+    w = Window.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        state.withColumn("rk", F.row_number().over(w).cast("integer"))
+        .filter(F.col("rk") <= 3)
+    )
