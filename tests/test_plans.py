@@ -756,3 +756,60 @@ def test_compression_proxy_single_scan(spark):
     df = registry.QUERIES["text_compression_ratio_proxy"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_winnowing_is_fingerprint_equi_join(spark):
+    """Winnowing pairs must come from the fingerprint equi-join — never
+    doc x doc — and the selection windows must not widen the scan."""
+    df = registry.QUERIES["dedup_winnowing_fingerprint"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_kcore_checkpoints_edges_and_stays_equi(spark):
+    """The peel rounds must run as equi-joins against the checkpointed
+    edge list; the only broadcast-nested-loop is the 1-row k threshold."""
+    df = registry.QUERIES["graph_kcore_peel"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the edge build is checkpointed once: the lineitem scan appears in
+    # the RDD scan lineage, not 4x in this plan
+    assert plan.count("Scan parquet") == 0, plan[:2000]
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_jl_projection_zero_shuffle(spark):
+    """The JL projection is a pure map stage: no Exchange anywhere."""
+    df = registry.QUERIES["emb_random_projection_jl"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("Scan parquet") == 1
+
+
+def test_hill_tail_uses_take_ordered(spark):
+    """Top-k selection must be TakeOrdered (heap), not a global sort."""
+    df = registry.QUERIES["agg_hill_tail_index"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Sort " not in plan or "SortMergeJoin" in plan
+
+
+def test_asof_nearest_single_user_shuffle(spark):
+    """The nearest as-of join is the union-interleave merge: one events
+    scan, windows over user_id, no pair join anywhere."""
+    df = registry.QUERIES["join_asof_nearest"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_edit_distance_blocks_on_catalog(spark):
+    """Levenshtein pairing must run on the distinct-name catalog after
+    an aggregate, joined on the noun block key — no row-level pairing."""
+    df = registry.QUERIES["dedup_edit_distance_parts"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
