@@ -177,3 +177,78 @@ def test_cms_counters_merge_across_micro_batches(spark, tmp_path):
         for r in sketch(spark.read.parquet(src)).collect()
     }
     assert merged == batch
+
+
+def test_topk_update_mode_emits_incrementally(spark):
+    """The update-mode aggregation must prove it is genuinely
+    incremental: over a 4-file replay (maxFilesPerTrigger=1), at least
+    one (window, type) key is emitted MORE than once (an early batch's
+    partial count, then a later refresh), and max-recovery equals the
+    batch ground truth for every key. No watermark here: the replay
+    files are unordered, so a watermark would drop genuinely-owed rows
+    — this test is about update-mode emission, not eviction (the
+    registered query replays in ts order and keeps its watermark)."""
+    import pyspark.sql.functions as F
+
+    from spark_ibm_mq_spark.operators.streaming_analytics import (
+        _replay_src,
+        _run_to_memory,
+    )
+    from spark_ibm_mq_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = _replay_src(ev, "topk_update_test", sf, ("events",))
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sink = _run_to_memory(agg, "update")
+    emissions = (
+        sink.groupBy("window", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_emissions"), F.max("n").alias("n_final"))
+        .collect()
+    )
+    assert any(r["n_emissions"] > 1 for r in emissions), (
+        "update mode never re-emitted a key: the drain is not exercising "
+        "incremental refinement"
+    )
+    truth = {
+        (r["w"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r["window"]["start"], r["event_type"]): r["n_final"] for r in emissions}
+    assert got == truth
+
+
+def test_alert_debounce_stream_equals_batch_twin(spark):
+    """Cross-twin consistency: the streaming session-window debounce and
+    the batch gap-sessionization twin must report the same bursts."""
+    from spark_ibm_mq_spark.operators.events_analytics import (
+        events_alert_debounce,
+    )
+    from spark_ibm_mq_spark.operators.streaming_analytics import (
+        stream_alert_debounce,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream_rows = {
+        (r["user_id"], r["alert_event_id"]): (r["suppressed"], r["burst_span_s"])
+        for r in stream_alert_debounce(spark, sf).collect()
+    }
+    batch_rows = {
+        (r["user_id"], r["alert_event_id"]): (r["suppressed"], r["burst_span_s"])
+        for r in events_alert_debounce(spark, sf).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
