@@ -1633,16 +1633,17 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
         "o_orderkey",
     )
-    top = (
-        cents.orderBy(F.col("c").desc(), "o_orderkey")
-        .limit(101)
-        .select(
-            "c",
-            F.row_number()
-            .over(Window.orderBy(F.col("c").desc(), "o_orderkey"))
-            .cast("bigint")
-            .alias("rn"),
-        )
+    # checkpoint the 101-row top-k so the ref row and the 100 term rows
+    # read ONE TakeOrdered pass — deriving both from the lazy frame would
+    # re-run the full scan per consumer (2 scans of orders at any scale)
+    top = durable_checkpoint(
+        cents.orderBy(F.col("c").desc(), "o_orderkey").limit(101), eager=False
+    ).select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "o_orderkey"))
+        .cast("bigint")
+        .alias("rn"),
     )
     ref = top.filter(F.col("rn") == 101).select(F.col("c").alias("ref_c"))
     terms = (

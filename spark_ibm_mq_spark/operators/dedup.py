@@ -1323,10 +1323,14 @@ def dedup_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").over(wdoc.orderBy("i").rowsBetween(0, 7)).alias("fp"),
         F.count(F.lit(1)).over(wdoc).alias("n_grams"),
     )
-    fps = (
+    # checkpoint the compact (doc_id, fp) set: three consumers below
+    # (df counts + both join sides) would otherwise each re-run the
+    # gram explode + md5 + selection windows — 3 full text passes
+    fps = durable_checkpoint(
         mins.filter(F.col("i") + 7 <= F.col("n_grams"))
         .select("doc_id", "fp")
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     df_keep = (
         fps.groupBy("fp")
