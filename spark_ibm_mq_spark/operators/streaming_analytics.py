@@ -32,10 +32,16 @@ from spark_ibm_mq_spark.streaming.readers import events_file_stream
 from spark_ibm_mq_spark.tables import load_table
 
 
-_REPLAY_MEMO: dict[tuple[str, str, str], str] = {}
+_REPLAY_MEMO: dict[tuple[str, str, str, str | None], str] = {}
 
 
-def _replay_src(df: DataFrame, key: str, sf_dir: str, tables: tuple[str, ...]) -> str:
+def _replay_src(
+    df: DataFrame,
+    key: str,
+    sf_dir: str,
+    tables: tuple[str, ...],
+    order_by: str | None = None,
+) -> str:
     """Memoized 4-file parquet export used as a deterministic micro-batch
     replay source (maxFilesPerTrigger=1 → 4 micro-batches).
 
@@ -46,16 +52,43 @@ def _replay_src(df: DataFrame, key: str, sf_dir: str, tables: tuple[str, ...]) -
     clock (r10 streaming-family adjudication). Checkpoints and snapshot
     dirs stay strictly per-call: those ARE the mutable streaming state.
     The file_sources._tag fingerprint in the key makes a mid-session
-    fixture regeneration rebuild the export."""
+    fixture regeneration rebuild the export.
+
+    ``order_by``: when set (e.g. "ts"), the export is range-partitioned on
+    that column so file part-0000i holds the i-th ascending range, and the
+    part files are re-stamped with ASCENDING mtimes — FileStreamSource
+    schedules files by modification time, not path (verified: same-mtime
+    files replayed out of order and a watermark dropped half the keys), so
+    the mtime stamp is what makes the replay arrive IN EVENT-TIME ORDER
+    and keeps a watermark from dropping genuinely-owed rows. Required by
+    any watermarked consumer; the unordered default is only for consumers
+    with no late-data semantics (the foreachBatch merges)."""
     from spark_ibm_mq_spark.operators.file_sources import _tag
     from spark_ibm_mq_spark.operators.mq_source import _scratch
 
-    k = (df.sparkSession.sparkContext.applicationId, _tag(sf_dir, tables), key)
+    k = (
+        df.sparkSession.sparkContext.applicationId,
+        _tag(sf_dir, tables),
+        key,
+        order_by,
+    )
     d = _REPLAY_MEMO.get(k)
     if d and os.path.exists(os.path.join(d, "_SUCCESS")):
         return d
     out = os.path.join(_scratch(f"replay_{key}_"), "src")
-    df.repartition(4).write.parquet(out)
+    part = df.repartitionByRange(4, order_by) if order_by else df.repartition(4)
+    part.write.parquet(out)
+    if order_by:
+        import time as _time
+
+        base = _time.time()
+        for i, f in enumerate(
+            sorted(
+                f for f in os.listdir(out)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+        ):
+            os.utime(os.path.join(out, f), (base + 10 * i, base + 10 * i))
     _REPLAY_MEMO[k] = out
     return out
 
@@ -1155,7 +1188,25 @@ def stream_windowed_topk_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (n DESC, event_type) total order. All integers; the oracle is
     the plain batch rollup because update mode emits every window at
     least once on an in-order replay."""
-    ev = events_file_stream(spark, sf_dir)
+    # a ts-ORDERED 4-file replay, not the single-file events stream: one
+    # file = one micro-batch = update mode degenerates to a single
+    # emission per key (indistinguishable from complete mode); the range
+    # partitioning keeps event time monotone across batches so the
+    # watermark evicts closed windows WITHOUT dropping owed rows, and
+    # boundary-straddling windows are genuinely re-emitted (asserted by
+    # tests/test_streaming_e2e.py's incrementality test)
+    base = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = _replay_src(base, "topk_update", sf_dir, ("events",), order_by="ts")
+    ev = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), "event_type")

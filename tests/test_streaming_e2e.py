@@ -181,13 +181,13 @@ def test_cms_counters_merge_across_micro_batches(spark, tmp_path):
 
 def test_topk_update_mode_emits_incrementally(spark):
     """The update-mode aggregation must prove it is genuinely
-    incremental: over a 4-file replay (maxFilesPerTrigger=1), at least
-    one (window, type) key is emitted MORE than once (an early batch's
-    partial count, then a later refresh), and max-recovery equals the
-    batch ground truth for every key. No watermark here: the replay
-    files are unordered, so a watermark would drop genuinely-owed rows
-    — this test is about update-mode emission, not eviction (the
-    registered query replays in ts order and keeps its watermark)."""
+    incremental: over the ts-ORDERED 4-file replay the registered query
+    uses (maxFilesPerTrigger=1, mtime-stamped range files, 10-min
+    watermark), at least one boundary-straddling (window, type) key is
+    emitted MORE than once (an early batch's partial count, then a later
+    refresh), and max-recovery equals the batch ground truth for EVERY
+    key — which simultaneously proves the in-order replay kept the
+    watermark from dropping owed rows."""
     import pyspark.sql.functions as F
 
     from spark_ibm_mq_spark.operators.streaming_analytics import (
@@ -196,11 +196,13 @@ def test_topk_update_mode_emits_incrementally(spark):
     )
     from spark_ibm_mq_spark.tables import load_table
 
-    sf = "/root/testdata/sf0.001"
+    # sf0.01: at sf0.001 the quartile range boundaries can land between
+    # hours, leaving no straddling window to re-emit
+    sf = "/root/testdata/sf0.01"
     ev = load_table(spark, sf, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    src = _replay_src(ev, "topk_update_test", sf, ("events",))
+    src = _replay_src(ev, "topk_update_test", sf, ("events",), order_by="ts")
     stream = (
         spark.readStream.schema(
             "event_id bigint, ts timestamp, user_id bigint, "
@@ -209,8 +211,10 @@ def test_topk_update_mode_emits_incrementally(spark):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
-        F.count(F.lit(1)).alias("n")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     sink = _run_to_memory(agg, "update")
     emissions = (
