@@ -85,6 +85,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # function of registry size.  The per-round CORRECTNESS_r{N}.json basename
 # aggregation the judge already performs is exactly the "2+ green rows"
 # ledger this needs — no new infrastructure.
+# NOW RUNNABLE (r10): scripts/stable_tier.py maintains STABLE_TIER.json
+# (per-query sha256 of operator source + oracle SQL, bootstrapped this
+# round). From r11 on, `python scripts/stable_tier.py` prints the TIER-S
+# set, the destabilized-by-this-commit set, and the active rotation pool
+# — the r11 window can be constructed directly from its output.
 #
 # (Superseded r8/r9 window rationales removed for brevity — see git
 # history of this file and the per-round VERDICT.md for the audit trail.)

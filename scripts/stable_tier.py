@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Stable-query-tier ledger (the VERDICT r9 task 5 proposal, made
+runnable).
+
+A query is TIER-S (stable) when:
+  1. it has hash-green driver rows from >= 2 distinct rounds,
+  2. its operator source + oracle SQL are byte-unchanged since the
+     earlier of those rounds (tracked here as a sha256 fingerprint), and
+  3. it is covered by the per-commit sf0.001 parity sweep (every oracled
+     query is, via tests/test_oracle_parity.py).
+
+TIER-S queries can leave the window rotation pool: any commit that
+changes their fingerprint re-enters them at never-checked priority, and
+a small sentinel sample guards against environment drift.
+
+Ledger: STABLE_TIER.json at the repo root —
+  {query: {"fingerprint": sha, "fingerprint_since_round": N}}
+Fingerprints are recorded from r10 on; condition (2) is therefore
+enforceable for green rows earned in rounds >= fingerprint_since_round.
+Run with --update after an operator batch to refresh the ledger (the
+diff shows exactly which queries a commit destabilized).
+
+Usage:
+  python scripts/stable_tier.py            # report tiers for the NEXT round
+  python scripts/stable_tier.py --update   # also rewrite STABLE_TIER.json
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER = os.path.join(REPO, "STABLE_TIER.json")
+sys.path.insert(0, REPO)
+
+
+def _current_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(f)))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _green_rounds() -> dict[str, list[int]]:
+    """Per-query list of rounds with a fully green driver row (basename
+    round aggregation — the judge's method)."""
+    greens: dict[str, set[int]] = {}
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(f))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        for name, row in json.load(open(f)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                greens.setdefault(name, set()).add(rnd)
+    return {k: sorted(v) for k, v in greens.items()}
+
+
+def _fingerprints() -> dict[str, str]:
+    from spark_ibm_mq_spark import registry
+
+    registry.load_all_modules()
+    fps = {}
+    for name, fn in registry.QUERIES.items():
+        src = inspect.getsource(getattr(fn, "__wrapped__", fn))
+        oracle = registry.ORACLE.get(name, "")
+        fps[name] = hashlib.sha256((src + "\x00" + oracle).encode()).hexdigest()
+    return fps
+
+
+def main() -> None:
+    update = "--update" in sys.argv
+    rnd = _current_round()
+    greens = _green_rounds()
+    fps = _fingerprints()
+    ledger = json.load(open(LEDGER)) if os.path.exists(LEDGER) else {}
+
+    changed, fresh = [], []
+    for name, fp in sorted(fps.items()):
+        prev = ledger.get(name)
+        if prev is None:
+            fresh.append(name)
+            ledger[name] = {"fingerprint": fp, "fingerprint_since_round": rnd}
+        elif prev["fingerprint"] != fp:
+            changed.append(name)
+            ledger[name] = {"fingerprint": fp, "fingerprint_since_round": rnd}
+    dropped = [n for n in ledger if n not in fps]
+    for n in dropped:
+        del ledger[n]
+
+    tier_s, tier_pending, tier_active = [], [], []
+    for name in sorted(fps):
+        since = ledger[name]["fingerprint_since_round"]
+        stable_greens = [r for r in greens.get(name, []) if r >= since]
+        if len(stable_greens) >= 2:
+            tier_s.append(name)
+        elif len(greens.get(name, [])) >= 2:
+            # green twice historically, but fingerprint provenance only
+            # starts at `since`: needs one more green at this fingerprint
+            tier_pending.append(name)
+        else:
+            tier_active.append(name)
+
+    print(f"round under construction: r{rnd}")
+    print(f"registered queries:       {len(fps)}")
+    print(f"TIER-S (out of rotation): {len(tier_s)}")
+    print(f"pending (1 more green at current fingerprint): {len(tier_pending)}")
+    print(f"active rotation pool:     {len(tier_active)}")
+    if changed:
+        print(f"destabilized this run ({len(changed)}): {', '.join(changed)}")
+    if fresh and os.path.exists(LEDGER):
+        print(f"newly tracked ({len(fresh)}): {', '.join(fresh)}")
+    never = [n for n in fps if not greens.get(n)]
+    print(f"never driver-green ({len(never)}): {', '.join(sorted(never))}")
+    if update:
+        json.dump(ledger, open(LEDGER, "w"), indent=1, sort_keys=True)
+        print(f"ledger written: {LEDGER}")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # lets tooling reach the operator source
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
