@@ -620,10 +620,16 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare is integer. Plan shape: the symmetric edge list is
     checkpointed ONCE; each round is two semi-joins of edges against
     the (shrinking) active set + a groupBy(src) count — shuffles carry
-    only (bigint, bigint) pairs, and the active set only ever shrinks,
-    so per-round cost is monotone non-increasing. At 100 TB this is
-    the textbook BSP peel; the equi-join never materializes pairs
-    beyond the live edge list."""
+    only (bigint, bigint) pairs, and per-round cost is bounded by the
+    live edge list. An A/B'd alternative that carries the INDUCED
+    SUBGRAPH forward (checkpointing the surviving edges each round)
+    measured 5.8 vs 4.2 s median-of-5 at sf0.1: this co-purchase
+    fixture is dense, the peel removes few edges, and re-materializing
+    a near-full edge copy per round costs more than the re-join saves.
+    On a sparse 100 TB graph where peeling sheds most edges early, flip
+    to that variant — the trade is the materialization-vs-rescan knob,
+    stated here so the choice is explicit. The equi-join never
+    materializes pairs beyond the live edge list either way."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
