@@ -1191,8 +1191,8 @@ def win_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d, rn, rev_c, l14, h14,
                CASE WHEN rn < 14 THEN NULL
                     WHEN h14 = l14 THEN CAST(50000000 AS BIGINT)
-                    ELSE CAST(((rev_c - l14) * 100000000) // (h14 - l14)
-                              AS BIGINT)
+                    ELSE CAST((CAST(rev_c - l14 AS HUGEINT) * 100000000)
+                              // (h14 - l14) AS BIGINT)
                END AS k_mu
         FROM framed
     ),
@@ -1250,7 +1250,14 @@ def win_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("rn") < 14, F.lit(None).cast("bigint"))
         .when(F.col("h14") == F.col("l14"), F.lit(50000000).cast("bigint"))
         .otherwise(
-            F.expr("CAST(((rev_c - l14) * 100000000) div (h14 - l14) AS BIGINT)")
+            # decimal(38,0)/HUGEINT carry for the scaled numerator: a 14-day
+            # revenue channel at sf100 reaches ~1e13 cents, and x*1e8 would
+            # overflow bigint ~1e19 (the Bollinger quadratic-moment lesson);
+            # decimal div and HUGEINT // truncate identically (verified)
+            F.expr(
+                "CAST((CAST(rev_c - l14 AS DECIMAL(38,0)) * 100000000) "
+                "div (h14 - l14) AS BIGINT)"
+            )
         )
     )
     k = framed.withColumn("k_mu", k_mu)
