@@ -2072,11 +2072,14 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT u.user_id, u.n_events, m.max_per_min, u.night_events,
            round(u.sg * 1.0 / u.n_gaps, 4) AS mean_gap_s,
            CASE WHEN u.sg = 0 THEN CAST(0.0 AS DOUBLE)
-                ELSE round(sqrt(CAST(u.n_gaps * u.sg2 - u.sg * u.sg
+                ELSE round(sqrt(CAST(CAST(u.n_gaps AS HUGEINT) * u.sg2
+                                     - CAST(u.sg AS HUGEINT) * u.sg
                                      AS DOUBLE)) / u.sg, 4)
            END AS gap_cv,
            CASE WHEN m.max_per_min >= 3
-                     AND 4 * (u.n_gaps * u.sg2 - u.sg * u.sg) <= u.sg * u.sg
+                     AND 4 * (CAST(u.n_gaps AS HUGEINT) * u.sg2
+                              - CAST(u.sg AS HUGEINT) * u.sg)
+                         <= CAST(u.sg AS HUGEINT) * u.sg
                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
            END AS is_bot
     FROM per_user u JOIN per_min m ON u.user_id = m.user_id
@@ -2129,7 +2132,14 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("c").cast("bigint").alias("max_per_min"))
     )
-    var_num = F.col("n_gaps") * F.col("sg2") - F.col("sg") * F.col("sg")
+    # decimal(38,0)/HUGEINT carry: a mega-user (exactly what this operator
+    # flags) can push n_gaps * sg2 past bigint (1e6 gaps x 1e14 sum of
+    # squares ~ 1e20); the centered numerator itself stays well inside 38
+    # digits and the gate compare coerces losslessly
+    var_num = (
+        F.col("n_gaps").cast("decimal(38,0)") * F.col("sg2")
+        - F.col("sg").cast("decimal(38,0)") * F.col("sg")
+    )
     return (
         per_user.join(per_min, "user_id")
         .filter(F.col("n_events") >= 10)
