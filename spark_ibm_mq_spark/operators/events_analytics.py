@@ -2161,3 +2161,176 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_bot"),
         )
     )
+
+
+@register(
+    "events_funnel_time_bound",
+    oracle=f"""
+    {EVENTS_CTE},
+    v AS (
+        SELECT user_id, min(ts) AS view_ts
+        FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS click_ts
+        FROM ev e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts >= v.view_ts
+          AND e.ts <= v.view_ts + INTERVAL 1 HOUR
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS purchase_ts
+        FROM ev e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts >= c.click_ts
+          AND e.ts <= c.click_ts + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(v.view_ts AS TIMESTAMP)  AS view_ts,
+           CAST(c.click_ts AS TIMESTAMP) AS click_ts,
+           CAST(p.purchase_ts AS TIMESTAMP) AS purchase_ts,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-CONSTRAINED funnel: first view → first click within ONE HOUR
+    of that view → first purchase within 24 HOURS of that click — the
+    attribution-window semantics real conversion funnels carry (a click
+    three weeks later is not this funnel), which
+    `events_funnel_conversion`'s unconstrained ordering cannot express.
+    Per-user stage detail, so downstream rollups (per-stage counts,
+    time-in-stage percentiles) stay one groupBy away.
+
+    Semantics note: each stage anchors on the PREVIOUS stage's first
+    qualifying event (min within the window), the standard
+    first-touch-chained definition — deterministic without tiebreaks
+    because min(ts) per user is unique-valued per stage filter. Plan:
+    three user_id-keyed aggregates chained by equi-joins, each stage's
+    frame shrinking (views ⊇ in-window clickers ⊇ in-window
+    purchasers); everything shuffles on user_id once per stage and the
+    window predicates are integer-ms compares pushed into the join
+    filter. At 100 TB this is 3 shuffles of (user, ts) pairs — no
+    pair blowup, no window functions over the raw stream."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("view_ts"))
+            & (F.unix_millis("ts") <= F.unix_millis("view_ts") + 3600000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("click_ts"))
+            & (F.unix_millis("ts") <= F.unix_millis("click_ts") + 86400000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            F.when(F.col("purchase_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("stage"),
+        )
+    )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle=_DAILY_CTE + """,
+    params AS (
+        SELECT CAST(sum(x) // count(*) AS BIGINT) AS mu,
+               CAST(greatest(sum(x) // count(*) // 20, 1) AS BIGINT) AS slack
+        FROM daily
+    ),
+    walk AS (
+        SELECT d, x,
+               CAST(sum(x - p.mu - p.slack) OVER (ORDER BY d) AS BIGINT) AS c
+        FROM daily CROSS JOIN params p
+    ),
+    lind AS (
+        SELECT d, x, c,
+               CAST(least(min(c) OVER (ORDER BY d), 0) AS BIGINT) AS floor_c
+        FROM walk
+    )
+    SELECT l.d, l.x,
+           CAST(l.c - l.floor_c AS BIGINT) AS cusum,
+           CAST(CASE WHEN l.c - l.floor_c > 5 * p.slack
+                THEN 1 ELSE 0 END AS BIGINT) AS drift_alarm
+    FROM lind l CROSS JOIN params p
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector over the daily event-count series:
+    S_i = max(0, S_{i-1} + (x_i − μ − k)) with alarm at S > h — the
+    classic Page (1954) control chart for a sustained upward shift,
+    reacting to accumulated small drift that a per-day z-score
+    (`events_anomaly_zscore`) misses and complementing
+    `events_mean_shift_detect`'s retrospective binary-segmentation
+    split with an ONLINE-shaped statistic.
+
+    The max(0, ·) recursion is not a window aggregate, but it is the
+    Lindley recursion, so it linearizes exactly: S_i = C_i − min(0,
+    min_{j≤i} C_j) where C is the plain cumulative sum of (x − μ − k) —
+    the `events_queue_backlog` prefix-min trick, two window passes
+    instead of sequential state. Parameters are data-adaptive integers
+    (μ = mean via integer division, slack k = μ/20, threshold h = 5k)
+    so the operator transfers across scale factors; every value and
+    compare stays bigint. Plan: one groupBy(day) rollup then windows
+    over the ~|days| frame with a 1-row broadcast parameter set."""
+    o = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    daily = o.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    params = daily.agg(
+        F.expr("CAST(sum(x) div count(*) AS BIGINT)").alias("mu"),
+        F.expr("CAST(greatest(sum(x) div count(*) div 20, 1) AS BIGINT)").alias(
+            "slack"
+        ),
+    )
+    wd = Window.orderBy("d")
+    walk = daily.crossJoin(F.broadcast(params)).withColumn(
+        "c",
+        F.sum(F.col("x") - F.col("mu") - F.col("slack")).over(wd).cast("bigint"),
+    )
+    lind = walk.withColumn(
+        "floor_c", F.least(F.min("c").over(wd), F.lit(0)).cast("bigint")
+    )
+    return lind.select(
+        "d",
+        "x",
+        (F.col("c") - F.col("floor_c")).cast("bigint").alias("cusum"),
+        F.when(F.col("c") - F.col("floor_c") > 5 * F.col("slack"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("drift_alarm"),
+    )

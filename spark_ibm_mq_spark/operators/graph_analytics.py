@@ -671,3 +671,89 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.crossJoin(F.broadcast(kk)).select(
         F.col("src").alias("part"), "deg_in_core", "k"
     )
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=_GRAPH_CTE + """,
+    seeds AS (
+        SELECT src AS nd FROM deg ORDER BY deg DESC, src LIMIT 5
+    ),
+    h1 AS (
+        SELECT DISTINCT e.dst AS nd FROM edges e
+        JOIN seeds s ON e.src = s.nd
+        WHERE e.dst NOT IN (SELECT nd FROM seeds)
+    ),
+    h2 AS (
+        SELECT DISTINCT e.dst AS nd FROM edges e
+        JOIN h1 f ON e.src = f.nd
+        WHERE e.dst NOT IN (SELECT nd FROM seeds)
+          AND e.dst NOT IN (SELECT nd FROM h1)
+    ),
+    h3 AS (
+        SELECT DISTINCT e.dst AS nd FROM edges e
+        JOIN h2 f ON e.src = f.nd
+        WHERE e.dst NOT IN (SELECT nd FROM seeds)
+          AND e.dst NOT IN (SELECT nd FROM h1)
+          AND e.dst NOT IN (SELECT nd FROM h2)
+    )
+    SELECT nd AS part, CAST(0 AS BIGINT) AS hops FROM seeds
+    UNION ALL SELECT nd, 1 FROM h1
+    UNION ALL SELECT nd, 2 FROM h2
+    UNION ALL SELECT nd, 3 FROM h3
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (3 hops) over the co-purchase graph from the 5
+    highest-degree parts: each node labeled with its MINIMUM hop
+    distance from the seed set — the reachability/radius primitive
+    under "related products within N steps" features and graph-sampled
+    neighborhood construction, distinct from the peel (`graph_kcore_
+    peel`), components (`dedup_cluster_resolve`), and random-walk
+    (`graph_pagerank_copurchase`) families.
+
+    Layered-frontier exactness: hop k's frontier is the distinct
+    neighbor set of hop k−1 minus everything already labeled — the
+    textbook BSP BFS, where the left-anti against the visited set IS
+    the min-distance guarantee, so no per-node min aggregation is ever
+    needed. Seeds are deterministic (degree DESC, partkey tiebreak).
+    Plan: the symmetric edge list is checkpointed once; each hop is one
+    equi-join frontier-expansion + distinct + left-anti — shuffles
+    carry single bigint node ids, frontier size is bounded by the graph
+    (never pair volume), and on this dense fixture the walk saturates
+    fast, which the hop histogram makes visible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = op.select("ok", F.col("pk").alias("src"))
+    b = op.select("ok", F.col("pk").alias("dst"))
+    edges = durable_checkpoint(
+        a.join(b, "ok").filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct(),
+        eager=False,
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = (
+        deg.orderBy(F.col("deg").desc(), "src")
+        .limit(5)
+        .select(F.col("src").alias("nd"))
+    )
+    visited = durable_checkpoint(seeds, eager=False)
+    frontier = visited
+    layers = [seeds.select("nd", F.lit(0).cast("bigint").alias("hops"))]
+    for hop in (1, 2, 3):
+        frontier = durable_checkpoint(
+            edges.join(frontier.withColumnRenamed("nd", "src"), "src")
+            .select(F.col("dst").alias("nd"))
+            .distinct()
+            .join(visited, "nd", "left_anti"),
+            eager=False,
+        )
+        layers.append(frontier.select("nd", F.lit(hop).cast("bigint").alias("hops")))
+        visited = durable_checkpoint(visited.unionByName(frontier), eager=False)
+    out = layers[0]
+    for lyr in layers[1:]:
+        out = out.unionByName(lyr)
+    return out.select(F.col("nd").alias("part"), "hops")

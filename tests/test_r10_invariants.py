@@ -307,3 +307,114 @@ def test_kcore_peel_matches_python(spark):
     assert {n: r["deg_in_core"] for n, r in got.items()} == want
     for r in rows:
         assert r["k"] == k
+
+
+def test_funnel_time_bound_matches_python(spark):
+    from spark_ibm_mq_spark.operators.events_analytics import (
+        events_funnel_time_bound,
+    )
+
+    ev = _read("events")
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    want = {}
+    for uid, evs in by_user.items():
+        views = [e["ts"] for e in evs if e["event_type"] == "view"]
+        if not views:
+            continue
+        v = min(views)
+        clicks = [
+            e["ts"]
+            for e in evs
+            if e["event_type"] == "click"
+            and v <= e["ts"]
+            and (e["ts"] - v).total_seconds() <= 3600
+        ]
+        c = min(clicks) if clicks else None
+        p = None
+        if c is not None:
+            buys = [
+                e["ts"]
+                for e in evs
+                if e["event_type"] == "purchase"
+                and c <= e["ts"]
+                and (e["ts"] - c).total_seconds() <= 86400
+            ]
+            p = min(buys) if buys else None
+        want[uid] = (v, c, p, 3 if p else (2 if c else 1))
+    rows = events_funnel_time_bound(spark, SF_DIR).collect()
+    got = {
+        r["user_id"]: (r["view_ts"], r["click_ts"], r["purchase_ts"], r["stage"])
+        for r in rows
+    }
+    assert got == want and got
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    """The Lindley prefix-min linearization must equal the textbook
+    sequential S_i = max(0, S_{i-1} + (x_i - mu - k)) recursion."""
+    from spark_ibm_mq_spark.operators.events_analytics import (
+        events_changepoint_cusum,
+    )
+
+    daily = Counter(r["ts"].date() for r in _read("events"))
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    mu = sum(xs) // len(xs)
+    k = max(mu // 20, 1)
+    s, want = 0, {}
+    for d, x in zip(days, xs):
+        s = max(0, s + (x - mu - k))
+        want[d] = (x, s, 1 if s > 5 * k else 0)
+    got = {
+        r["d"]: (r["x"], r["cusum"], r["drift_alarm"])
+        for r in events_changepoint_cusum(spark, SF_DIR).collect()
+    }
+    assert got == want and got
+
+
+def test_parkinson_matches_numpy(spark):
+    from spark_ibm_mq_spark.operators.windows import win_parkinson_volatility
+
+    hi, lo = {}, {}
+    for r in _read("orders"):
+        d = r["o_orderdate"].date()
+        c = int(math.floor(r["o_totalprice"] * 100 + 0.5))
+        hi[d] = max(hi.get(d, c), c)
+        lo[d] = min(lo.get(d, c), c)
+    days = sorted(hi)
+    terms = [math.log(hi[d] / lo[d]) ** 2 for d in days]
+    got = {r["d"]: r for r in win_parkinson_volatility(spark, SF_DIR).collect()}
+    assert len(got) == max(len(days) - 13, 0)
+    for i in range(13, len(days)):
+        want = math.sqrt(sum(terms[i - 13 : i + 1]) / (4 * math.log(2) * 14))
+        row = got[days[i]]
+        assert abs(row["parkinson_sigma"] - want) < 5e-4
+        assert row["day_high"] == round(hi[days[i]] / 100.0, 4)
+
+
+def test_bfs_hops_matches_python(spark):
+    from spark_ibm_mq_spark.operators.graph_analytics import graph_bfs_hops
+
+    baskets = defaultdict(set)
+    for r in _read("lineitem"):
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    adj = defaultdict(set)
+    for parts in baskets.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    seeds = sorted(adj, key=lambda n: (-len(adj[n]), n))[:5]
+    dist = {n: 0 for n in seeds}
+    frontier = set(seeds)
+    for hop in (1, 2, 3):
+        frontier = {
+            v for u in frontier for v in adj[u] if v not in dist
+        }
+        for v in frontier:
+            dist[v] = hop
+    rows = graph_bfs_hops(spark, SF_DIR).collect()
+    got = {r["part"]: r["hops"] for r in rows}
+    assert got == dist and got
