@@ -813,3 +813,51 @@ def test_edit_distance_blocks_on_catalog(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_funnel_time_bound_stays_equi_and_prunes(spark):
+    """Every funnel stage join must be an equi-join on user_id with the
+    attribution window as a residual filter — never a nested-loop range
+    join — and the events scans must read only the 3 funnel columns."""
+    df = registry.QUERIES["events_funnel_time_bound"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"user_id", "ts", "event_type"}, cols
+
+
+def test_cusum_single_rollup_then_tiny_windows(spark):
+    """CUSUM's only full-data pass is the groupBy(day) rollup; the
+    Lindley windows and the 1-row parameter broadcast run over the
+    ~|days| frame. The scan must read only the timestamp column."""
+    df = registry.QUERIES["events_changepoint_cusum"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    # the only nested-loop is the broadcast 1-row (mu, slack) frame
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"ts"}, cols
+
+
+def test_parkinson_single_scan_no_join(spark):
+    """Parkinson volatility is one partial-agg scan + windows over the
+    daily frame: exactly one pruned parquet scan, no join anywhere."""
+    df = registry.QUERIES["win_parkinson_volatility"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"o_orderdate", "o_totalprice"}, cols
+
+
+def test_bfs_hops_runs_on_checkpointed_edges(spark):
+    """Every BFS hop must expand against the checkpointed edge list
+    (no re-derivation from parquet in the final plan) and stay an
+    equi-join — frontier x edges never degenerates to a cross."""
+    df = registry.QUERIES["graph_bfs_hops"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
