@@ -2334,3 +2334,100 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("drift_alarm"),
     )
+
+
+@register(
+    "events_attribution_linear",
+    oracle=f"""
+    {EVENTS_CTE},
+    p AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM ev WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT p.p_id, p.cents, e.event_type AS channel
+        FROM p JOIN ev e ON e.user_id = p.user_id
+        WHERE e.event_type <> 'purchase'
+          AND e.ts < p.p_ts
+          AND e.ts >= p.p_ts - INTERVAL 7 DAY
+    ),
+    credited AS (
+        SELECT channel,
+               CAST(cents * 10000 //
+                    count(*) OVER (PARTITION BY p_id) AS BIGINT) AS share_u
+        FROM t
+    ),
+    nones AS (
+        SELECT 'none' AS channel, CAST(p.cents * 10000 AS BIGINT) AS share_u
+        FROM p WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.p_id = p.p_id)
+    ),
+    allc AS (SELECT * FROM credited UNION ALL SELECT * FROM nones)
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+           round(CAST(sum(share_u) AS BIGINT) / 1000000.0, 4)
+               AS attributed_value
+    FROM allc GROUP BY 1
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: each purchase's value is split
+    EQUALLY across every non-purchase touch by the same user in the 7
+    days before it, rolled up by channel — the equal-credit counterpart
+    to `events_attribution_last_touch` (which hands the whole conversion
+    to the final touch). Purchases with no in-window touch credit a
+    'none' channel, so total credited value is conserved.
+
+    Exactness: purchase value goes to integer cents once
+    (floor(x*100+0.5)), each touch's share is cents*10000 `div` n_touches
+    — Spark `div` and DuckDB `//` truncate identically — and only the
+    final channel sum converts back to dollars with one round(4). The
+    deliberate sub-cent truncation remainder (< n_touches micro-units
+    per purchase) is identical in both engines, so the oracle is exact,
+    and at 1e9 purchases the micro-unit sums stay ~1e15 — well inside
+    bigint. Plan: one user_id equi-join purchases x touches with the
+    7-day window as a residual range predicate, a count window over
+    p_id (bounded by touches-per-purchase), and a left-anti for the
+    untouched purchases — two user_id/p_id-keyed shuffles carrying
+    (id, cents, channel) rows, never the raw event stream."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    t = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("user_id", "ts", F.col("event_type").alias("channel"))
+        .join(p, "user_id")
+        .filter(
+            (F.col("ts") < F.col("p_ts"))
+            & (
+                F.unix_millis("ts")
+                >= F.unix_millis("p_ts") - 7 * 86400000
+            )
+        )
+        .select("p_id", "cents", "channel")
+    )
+    credited = t.select(
+        "channel",
+        F.expr(
+            "CAST(cents * 10000 div count(*) OVER (PARTITION BY p_id) AS BIGINT)"
+        ).alias("share_u"),
+    )
+    nones = p.join(t.select("p_id"), "p_id", "left_anti").select(
+        F.lit("none").alias("channel"),
+        (F.col("cents") * 10000).cast("bigint").alias("share_u"),
+    )
+    return (
+        credited.unionByName(nones)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.round(F.sum("share_u").cast("bigint") / 1000000.0, 4).alias(
+                "attributed_value"
+            ),
+        )
+    )

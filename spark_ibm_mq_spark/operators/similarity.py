@@ -18,8 +18,8 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from spark_ibm_mq_spark.functions.vector import cosine_similarity, dot
-from spark_ibm_mq_spark.operators.dedup import _COS_SQL
+from spark_ibm_mq_spark.functions.vector import cosine_similarity, dot, l2_norm
+from spark_ibm_mq_spark.operators.dedup import _COS_SQL, _UNIT_SQL, _dot_sql
 from spark_ibm_mq_spark.registry import ORACLE as _ORACLE
 from spark_ibm_mq_spark.registry import register
 from spark_ibm_mq_spark.tables import (
@@ -1863,4 +1863,169 @@ def emb_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm2_q",
         norm2p.cast("bigint").alias("norm2_proj"),
         F.round(norm2p * 1.0 / (_JL_K * F.col("norm2_q")), 4).alias("norm_ratio"),
+    )
+
+
+_HNM_CELLS = 8  # coarse cells; centroid c = unit embedding of c-th lowest vec_id
+
+
+@register(
+    "emb_hard_negative_mining",
+    oracle=f"""
+    WITH unit AS (SELECT vec_id, label, {_UNIT_SQL} AS u FROM embeddings),
+    cent AS (SELECT vec_id AS cell, u AS cu FROM unit
+             ORDER BY vec_id LIMIT {_HNM_CELLS}),
+    assign AS (
+        SELECT vec_id, label, u, cell FROM (
+            SELECT e.vec_id, e.label, e.u, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor(({_dot_sql('e.u', 'c.cu')}) * 1000000)
+                                DESC, c.cell) AS rn
+            FROM unit e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS anchor, a.label AS a_label,
+               b.vec_id AS cand, b.label AS c_label,
+               CAST(floor(({_dot_sql('a.u', 'b.u')}) * 1000000) AS BIGINT)
+                   AS sim_mu
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ),
+    pos AS (
+        SELECT anchor, cand AS pos_id, sim_mu AS pos_mu FROM (
+            SELECT anchor, cand, sim_mu,
+                   row_number() OVER (PARTITION BY anchor
+                       ORDER BY sim_mu DESC, cand) AS rn
+            FROM pairs WHERE a_label = c_label
+        ) WHERE rn = 1
+    ),
+    neg AS (
+        SELECT anchor, cand AS neg_id, sim_mu AS neg_mu FROM (
+            SELECT anchor, cand, sim_mu,
+                   row_number() OVER (PARTITION BY anchor
+                       ORDER BY sim_mu DESC, cand) AS rn
+            FROM pairs WHERE a_label <> c_label
+        ) WHERE rn = 1
+    )
+    SELECT p.anchor, a.label, p.pos_id,
+           round(floor((p.pos_mu + 50) / 100.0) / 10000.0, 4) AS pos_sim,
+           n.neg_id,
+           round(floor((n.neg_mu + 50) / 100.0) / 10000.0, 4) AS neg_sim,
+           round(floor((p.pos_mu - n.neg_mu + 50) / 100.0) / 10000.0, 4)
+               AS margin
+    FROM pos p
+    JOIN neg n ON p.anchor = n.anchor
+    JOIN assign a ON p.anchor = a.vec_id
+    """,
+)
+def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative triplet mining for metric-learning / embedding
+    fine-tuning: for every anchor vector, the most-similar SAME-label
+    neighbor (the positive) and the most-similar DIFFERENT-label
+    neighbor (the hard negative) among its coarse-cell candidates, with
+    the triplet margin pos−neg — the batch-mining step contrastive
+    training pipelines run over a corpus before building triplet
+    datasets. Anchors whose cell holds no same-label or no
+    different-label partner drop out (inner joins): the op mines
+    *in-cell* triplets by design, because that is the only form that
+    survives scale.
+
+    Exactness: cell assignment is `dedup_embedding_cosine`'s
+    centroid-argmax (unit-normalize once, dot-fold in array order,
+    floor(x*1e6) before the ORDER BY so a 1-ulp engine divergence
+    cannot flip a cell), and both argmaxes order by the SAME
+    floor(dot*1e6) micro-units with cand-id tiebreaks — gate/rank
+    decisions never compare raw doubles. Scale shape: candidates come
+    from a cell equi-join (never all-pairs; K cells scale with corpus
+    size), the two argmaxes are one window pass each over the
+    anchor-partitioned pair frame, and shuffles carry (id, label,
+    sim_mu) ints — vectors stay in the cell-local pair stage."""
+    e = load_table(spark, sf_dir, "embeddings")
+    unit = (
+        e.select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+        )
+        .withColumn("nrm", l2_norm(F.col("ed")))
+        .select(
+            "vec_id",
+            "label",
+            F.transform("ed", lambda x: x / F.col("nrm")).alias("u"),
+        )
+    )
+    cent = F.broadcast(
+        unit.orderBy("vec_id")
+        .limit(_HNM_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("u").alias("cu"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.floor(F.col("c_sim") * 1e6).desc(), F.col("cell")
+    )
+    assign = spread(
+        unit.crossJoin(cent)
+        .withColumn("c_sim", dot(F.col("u"), F.col("cu")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "u", "cell"),
+        "cell",
+        force=True,
+    )
+    a = assign.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("a_label"),
+        F.col("u").alias("ua"),
+        "cell",
+    )
+    b = assign.select(
+        F.col("vec_id").alias("cand"),
+        F.col("label").alias("c_label"),
+        F.col("u").alias("ub"),
+        F.col("cell").alias("cell_b"),
+    )
+    sim_mu = F.floor(dot(F.col("ua"), F.col("ub")) * 1e6).cast("bigint")
+    pairs = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("anchor") != F.col("cand")),
+        )
+        .select("anchor", "a_label", "cand", "c_label", sim_mu.alias("sim_mu"))
+    )
+    w_pick = Window.partitionBy("anchor").orderBy(
+        F.col("sim_mu").desc(), F.col("cand")
+    )
+    pos = (
+        pairs.filter(F.col("a_label") == F.col("c_label"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("a_label").alias("label"),
+            F.col("cand").alias("pos_id"),
+            F.col("sim_mu").alias("pos_mu"),
+        )
+    )
+    neg = (
+        pairs.filter(F.col("a_label") != F.col("c_label"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("anchor", F.col("cand").alias("neg_id"), F.col("sim_mu").alias("neg_mu"))
+    )
+    def _r4(mu):
+        # micro-units -> 4dp with explicit integer half-up: floor((mu+50)/100)
+        # is identical in both engines (the raw /1e6-then-round(4) differs on
+        # exact .00005 boundaries: Spark HALF_UPs the decimal repr, DuckDB
+        # rounds the nearest-double which can sit just below the boundary)
+        return F.round(F.floor((mu + 50) / 100.0) / 10000.0, 4)
+
+    return pos.join(neg, "anchor").select(
+        "anchor",
+        "label",
+        "pos_id",
+        _r4(F.col("pos_mu")).alias("pos_sim"),
+        "neg_id",
+        _r4(F.col("neg_mu")).alias("neg_sim"),
+        _r4(F.col("pos_mu") - F.col("neg_mu")).alias("margin"),
     )

@@ -861,3 +861,27 @@ def test_bfs_hops_runs_on_checkpointed_edges(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 0, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_attribution_linear_stays_equi_and_prunes(spark):
+    """Purchase x touch pairing must be a user_id equi-join with the
+    7-day window as a residual predicate — never a nested loop — and
+    the events scans must prune to the 5 attribution columns."""
+    df = registry.QUERIES["events_attribution_linear"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"event_id", "ts", "user_id", "event_type", "value"}, cols
+
+
+def test_hard_negative_mining_cell_equi_join(spark):
+    """Candidate pairs must come from the cell equi-join (the only
+    nested-loop is the broadcast 8-row centroid frame), and the scans
+    must read only (vec_id, embedding, label)."""
+    df = registry.QUERIES["emb_hard_negative_mining"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"vec_id", "embedding", "label"}, cols

@@ -418,3 +418,110 @@ def test_bfs_hops_matches_python(spark):
     rows = graph_bfs_hops(spark, SF_DIR).collect()
     got = {r["part"]: r["hops"] for r in rows}
     assert got == dist and got
+
+
+def test_attribution_linear_matches_python(spark):
+    """Linear credit must conserve value up to the documented sub-cent
+    truncation, and match an event-by-event replay."""
+    from spark_ibm_mq_spark.operators.events_analytics import (
+        events_attribution_linear,
+    )
+
+    ev = _read("events")
+    purchases = [e for e in ev if e["event_type"] == "purchase"]
+    touches_by_user = defaultdict(list)
+    for e in ev:
+        if e["event_type"] != "purchase":
+            touches_by_user[e["user_id"]].append(e)
+    credits = defaultdict(lambda: [0, 0])  # channel -> [n, micro-units]
+    for p in purchases:
+        cents = int(math.floor(p["value"] * 100 + 0.5))
+        win = [
+            t
+            for t in touches_by_user.get(p["user_id"], [])
+            if t["ts"] < p["ts"]
+            and (p["ts"] - t["ts"]).total_seconds() <= 7 * 86400
+        ]
+        if not win:
+            credits["none"][0] += 1
+            credits["none"][1] += cents * 10000
+            continue
+        share = (cents * 10000) // len(win)
+        for t in win:
+            credits[t["event_type"]][0] += 1
+            credits[t["event_type"]][1] += share
+    rows = events_attribution_linear(spark, SF_DIR).collect()
+    got = {r["channel"]: (r["n_credits"], r["attributed_value"]) for r in rows}
+    want = {c: (n, round(u / 1000000.0, 4)) for c, (n, u) in credits.items()}
+    assert got == want and got
+    # conservation: credited value within n_touches micro-units per purchase
+    total_cents = sum(int(math.floor(p["value"] * 100 + 0.5)) for p in purchases)
+    credited_u = sum(u for _, u in credits.values())
+    assert 0 <= total_cents * 10000 - credited_u < len(ev) * 10000
+
+
+def test_hard_negative_mining_matches_python(spark):
+    """Triplets must match a brute-force in-cell replay: same cell
+    assignment, same micro-unit argmax, same half-up display rounding."""
+    from spark_ibm_mq_spark.operators.similarity import (
+        _HNM_CELLS,
+        emb_hard_negative_mining,
+    )
+
+    rows = _read("embeddings")
+    unit, label = {}, {}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        unit[r["vec_id"]] = v / math.sqrt(float((v * v).sum()))
+        label[r["vec_id"]] = r["label"]
+    cents = sorted(unit)[:_HNM_CELLS]
+    cell = {}
+    for vid, u in unit.items():
+        scored = sorted(
+            (
+                (-int(math.floor(float(np.dot(u, unit[c])) * 1e6)), c)
+                for c in cents
+            ),
+        )
+        cell[vid] = scored[0][1]
+    by_cell = defaultdict(list)
+    for vid, c in cell.items():
+        by_cell[c].append(vid)
+    want = {}
+    for vid, u in unit.items():
+        cands = [o for o in by_cell[cell[vid]] if o != vid]
+        pos = [
+            (-int(math.floor(float(np.dot(u, unit[o])) * 1e6)), o)
+            for o in cands
+            if label[o] == label[vid]
+        ]
+        neg = [
+            (-int(math.floor(float(np.dot(u, unit[o])) * 1e6)), o)
+            for o in cands
+            if label[o] != label[vid]
+        ]
+        if not pos or not neg:
+            continue
+        pmu, pid = min(pos)
+        nmu, nid = min(neg)
+        r4 = lambda mu: math.floor((mu + 50) / 100.0) / 10000.0
+        want[vid] = (
+            label[vid],
+            pid,
+            round(r4(-pmu), 4),
+            nid,
+            round(r4(-nmu), 4),
+            round(r4(-pmu - (-nmu)), 4),
+        )
+    got = {
+        r["anchor"]: (
+            r["label"],
+            r["pos_id"],
+            r["pos_sim"],
+            r["neg_id"],
+            r["neg_sim"],
+            r["margin"],
+        )
+        for r in emb_hard_negative_mining(spark, SF_DIR).collect()
+    }
+    assert got == want and got
