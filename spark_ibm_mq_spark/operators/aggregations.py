@@ -1667,3 +1667,104 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(100000000.0) / F.col("sum_log_mu"), 4).alias("tail_alpha"),
         )
     )
+
+
+@register(
+    "agg_mutual_information",
+    oracle=f"""
+    {EVENTS_CTE},
+    cells AS (
+        SELECT event_type AS t, CAST(extract(hour FROM ts) AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS n_th
+        FROM ev GROUP BY 1, 2
+    ),
+    mt AS (SELECT t, CAST(sum(n_th) AS BIGINT) AS n_t FROM cells GROUP BY 1),
+    mh AS (SELECT h, CAST(sum(n_th) AS BIGINT) AS n_h FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_th) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT c.t, c.h, c.n_th,
+               round(ln(c.n_th * 1.0 * tot.n / (m1.n_t * 1.0 * m2.n_h)), 4)
+                   AS pmi,
+               CAST(floor(c.n_th
+                          * ln(c.n_th * 1.0 * tot.n / (m1.n_t * 1.0 * m2.n_h))
+                          * 1000000 / tot.n + 0.5) AS BIGINT) AS contrib_mu
+        FROM cells c
+        JOIN mt m1 ON c.t = m1.t
+        JOIN mh m2 ON c.h = m2.h
+        CROSS JOIN tot
+    )
+    SELECT t AS event_type, h AS hour_of_day, n_th, pmi,
+           round(contrib_mu / 1000000.0, 4) AS mi_contrib,
+           round(CAST(sum(contrib_mu) OVER () AS BIGINT) / 1000000.0, 4)
+               AS mi_total
+    FROM terms
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day: the full
+    I(T;H) = Σ p(t,h)·ln(p(t,h)/(p(t)p(h))) contingency decomposition —
+    per-cell PMI plus each cell's (possibly negative) MI contribution
+    and the corpus total — the dependence measure feature-selection and
+    drift monitors use where a chi-square (`agg_chi_square_independence`)
+    only gives a significance verdict and the pairwise
+    `affinity_copurchase_pmi` only scores individual pairs.
+
+    Exactness: ln() on an identical double ratio with round(4) is the
+    established PMI/entropy convention; the MI TOTAL uses the per-term
+    fixed-point rule (floor(x*1e6 + 0.5) per cell BEFORE summation —
+    the Theil/JSD discipline) so the sum is order-free bigint in both
+    engines. Plan: one map-side-combinable groupBy over events, then
+    joins and a global window over the |types|x24 contingency frame —
+    metadata-scale regardless of event volume; the 1-row total rides a
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # checkpoint the |types|x24 contingency frame: three consumers below
+    # (both marginals + the term join) would otherwise each re-run the
+    # full events scan + rollup
+    cells = durable_checkpoint(
+        ev.groupBy(
+            F.col("event_type").alias("t"),
+            F.hour("ts").cast("bigint").alias("h"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_th")),
+        eager=False,
+    )
+    mt = cells.groupBy("t").agg(F.sum("n_th").cast("bigint").alias("n_t"))
+    mh = cells.groupBy("h").agg(F.sum("n_th").cast("bigint").alias("n_h"))
+    tot = cells.agg(F.sum("n_th").cast("bigint").alias("n"))
+    # both products route through double BEFORE multiplying: n_th*n and
+    # n_t*n_h are ~1e24 at 100 TB event counts — past bigint — while the
+    # double ratio is well-conditioned (the ln argument)
+    ratio = (
+        F.col("n_th").cast("double")
+        * F.col("n")
+        / (F.col("n_t").cast("double") * F.col("n_h"))
+    )
+    terms = (
+        cells.join(mt, "t")
+        .join(mh, "h")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "h",
+            "n_th",
+            F.round(F.log(ratio), 4).alias("pmi"),
+            F.floor(
+                F.col("n_th") * F.log(ratio) * 1000000 / F.col("n") + 0.5
+            )
+            .cast("bigint")
+            .alias("contrib_mu"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return terms.select(
+        F.col("t").alias("event_type"),
+        F.col("h").alias("hour_of_day"),
+        "n_th",
+        "pmi",
+        F.round(F.col("contrib_mu") / 1000000.0, 4).alias("mi_contrib"),
+        F.round(
+            F.sum("contrib_mu").over(w_all).cast("bigint") / 1000000.0, 4
+        ).alias("mi_total"),
+    )

@@ -1346,3 +1346,135 @@ def dedup_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 5)
     )
+
+
+@register(
+    "dedup_cdc_chunking",
+    oracle="""
+    WITH b AS (
+        SELECT d.doc_id, CAST(i AS BIGINT) AS s
+        FROM documents d,
+             LATERAL unnest(range(2, greatest(length(text) - 6, 2))) r(i)
+        WHERE substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 1) = '0'
+    ),
+    starts AS (
+        SELECT doc_id, CAST(1 AS BIGINT) AS s FROM documents
+        UNION ALL SELECT doc_id, s FROM b
+    ),
+    iv AS (
+        SELECT doc_id, s,
+               lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+        FROM starts
+    ),
+    chunks AS (
+        SELECT iv.doc_id,
+               md5(substr(d.text, CAST(iv.s AS INTEGER),
+                   CAST(coalesce(iv.nxt - 1, length(d.text)) - iv.s + 1
+                        AS INTEGER))) AS ch
+        FROM iv JOIN documents d ON iv.doc_id = d.doc_id
+    ),
+    docch AS (SELECT DISTINCT doc_id, ch FROM chunks),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM docch GROUP BY 1),
+    df AS (SELECT ch, count(*) AS c FROM docch GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(count(*) AS BIGINT) AS shared_chunks
+        FROM docch a
+        JOIN df ON df.ch = a.ch AND df.c <= 20
+        JOIN docch b ON a.ch = b.ch AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT s.a_id, s.b_id, s.shared_chunks,
+           round(s.shared_chunks * 1.0
+                 / (sa.n + sb.n - s.shared_chunks), 4) AS chunk_jaccard
+    FROM shared s
+    JOIN sizes sa ON s.a_id = sa.doc_id
+    JOIN sizes sb ON s.b_id = sb.doc_id
+    """,
+)
+def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking near-dup (the rsync/LBFS block-dedup
+    family): cut each document into variable-size chunks at
+    content-anchored boundaries — a cut BEFORE position i whenever the
+    8-gram starting at i hashes into the 1/16 boundary class
+    (md5 hex digit '0') — then report pairs sharing ≥2 distinct chunk
+    hashes with a chunk-set Jaccard. Because boundaries depend only on
+    LOCAL content, an insertion early in a document shifts at most one
+    chunk: the rest re-align and still match — the resynchronization
+    property fixed-stride blocks lack, and the block-identity
+    complement to `dedup_winnowing_fingerprint` (which selects witness
+    grams but never delimits reusable blocks). No minimum chunk size is
+    imposed (adjacent anchors yield short chunks) — a determinism-
+    preserving simplification of production CDC, stated as contract.
+
+    Exactness: both engines cut by the identical rule — md5 hex prefix
+    test at integer positions — and chunk identity is the md5 of the
+    identical substring, so chunk sets are equal by construction; the
+    only arithmetic is integer set algebra + one round(4) Jaccard.
+    Plan: boundary detection and chunk hashing are ZERO-SHUFFLE
+    higher-order array expressions per document row (the text-family
+    house style — text never leaves its scan partition); only the
+    distinct (doc_id, chunk_hash) pairs — 32-byte hex + id — shuffle.
+    The pair generator is the winnowing-style equi-join on the chunk
+    hash with a df ≤ 20 boilerplate cap bounding candidate volume at
+    Σ df², never n²."""
+    d = load_table(spark, sf_dir, "documents")
+    bounds = (
+        "CASE WHEN length(text) >= 9 THEN "
+        "filter(sequence(2, length(text) - 7), "
+        "       i -> substring(md5(substring(text, i, 8)), 1, 1) = '0') "
+        "ELSE slice(sequence(1, 2), 1, 0) END"
+    )
+    chunked = d.select(
+        "doc_id",
+        F.expr(
+            f"concat(array(CAST(1 AS INT)), {bounds})"
+        ).alias("starts"),
+        "text",
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(starts, (s, j) -> md5(substring(text, s, "
+            "(CASE WHEN j + 2 <= size(starts) THEN element_at(starts, j + 2) - 1 "
+            "      ELSE length(text) END) - s + 1)))"
+        ).alias("chs"),
+    )
+    docch = durable_checkpoint(
+        chunked.select("doc_id", F.explode("chs").alias("ch")).distinct(),
+        eager=False,
+    )
+    sizes = docch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    df_keep = (
+        docch.groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= 20)
+        .select("ch")
+    )
+    a = docch.join(df_keep, "ch").select("ch", F.col("doc_id").alias("a_id"))
+    b = docch.select("ch", F.col("doc_id").alias("b_id"))
+    shared = (
+        a.join(b, (a.ch == b.ch) & (F.col("a_id") < F.col("b_id")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= 2)
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        shared.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "shared_chunks",
+            F.round(
+                F.col("shared_chunks")
+                * 1.0
+                / (F.col("na") + F.col("nb") - F.col("shared_chunks")),
+                4,
+            ).alias("chunk_jaccard"),
+        )
+    )

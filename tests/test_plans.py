@@ -885,3 +885,25 @@ def test_hard_negative_mining_cell_equi_join(spark):
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
     for cols in read_schema_columns(df):
         assert set(cols) <= {"vec_id", "embedding", "label"}, cols
+
+
+def test_mutual_information_single_rollup(spark):
+    """The contingency rollup is the only full-data pass (checkpointed:
+    the marginal/term consumers must not re-scan events), and the 1-row
+    total rides a broadcast."""
+    df = registry.QUERIES["agg_mutual_information"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0, plan[:2000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
+
+
+def test_cdc_chunking_zero_shuffle_text(spark):
+    """Chunk cutting/hashing must be per-row array expressions over the
+    checkpointed (doc_id, chunk_hash) set — no parquet re-scan in the
+    pair stage, and the pair generator stays an equi-join."""
+    df = registry.QUERIES["dedup_cdc_chunking"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]

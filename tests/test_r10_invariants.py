@@ -525,3 +525,87 @@ def test_hard_negative_mining_matches_python(spark):
         for r in emb_hard_negative_mining(spark, SF_DIR).collect()
     }
     assert got == want and got
+
+
+def test_mutual_information_matches_python(spark):
+    """MI table must match an event-by-event replay, and the quantized
+    total must be non-negative (information inequality) and equal the
+    replay's per-term quantized sum."""
+    from spark_ibm_mq_spark.operators.aggregations import agg_mutual_information
+
+    cells = Counter()
+    for r in _read("events"):
+        cells[(r["event_type"], r["ts"].hour)] += 1
+    n = sum(cells.values())
+    n_t, n_h = Counter(), Counter()
+    for (t, h), c in cells.items():
+        n_t[t] += c
+        n_h[h] += c
+    want, total_mu = {}, 0
+    for (t, h), c in cells.items():
+        # mirror the engines' double-product order (overflow-safe form):
+        # (n_th * 1.0 * n) / (n_t * 1.0 * n_h), not exact-int then divide
+        ratio = (float(c) * float(n)) / (float(n_t[t]) * float(n_h[h]))
+        mu = int(math.floor(c * math.log(ratio) * 1000000 / n + 0.5))
+        total_mu += mu
+        want[(t, h)] = (c, round(math.log(ratio), 4), round(mu / 1000000.0, 4))
+    rows = agg_mutual_information(spark, SF_DIR).collect()
+    got = {
+        (r["event_type"], r["hour_of_day"]): (r["n_th"], r["pmi"], r["mi_contrib"])
+        for r in rows
+    }
+    assert got == want and got
+    assert {r["mi_total"] for r in rows} == {round(total_mu / 1000000.0, 4)}
+    assert total_mu >= -len(cells)  # I(T;H) >= 0 up to per-term quantization
+
+
+def test_cdc_chunking_matches_python(spark):
+    """Chunk cuts, pair counts, and Jaccard must match a hashlib replay;
+    the replay also asserts the partition property (chunks concatenate
+    back to the document)."""
+    from spark_ibm_mq_spark.operators.dedup import dedup_cdc_chunking
+
+    docch = {}
+    for r in _read("documents"):
+        text = r["text"]
+        bounds = [
+            i
+            for i in range(2, max(len(text) - 7, 1) + 1)
+            if hashlib.md5(text[i - 1 : i + 7].encode()).hexdigest()[0] == "0"
+        ]
+        starts = [1] + bounds
+        chunks = []
+        for j, s in enumerate(starts):
+            e = starts[j + 1] - 1 if j + 1 < len(starts) else len(text)
+            chunks.append(text[s - 1 : e])
+        assert "".join(chunks) == text
+        docch[r["doc_id"]] = {
+            hashlib.md5(c.encode()).hexdigest() for c in chunks
+        }
+    df = Counter(ch for chs in docch.values() for ch in chs)
+    want = {}
+    ids = sorted(docch)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            shared = {
+                ch for ch in docch[x] & docch[y] if df[ch] <= 20
+            }
+            # the op counts shared chunks that pass the df cap on the a-side
+            n_shared = len(shared)
+            if n_shared >= 2:
+                # half-up at 4dp: Spark/DuckDB round() both round .xxxx5
+                # up, Python's round() banker's-rounds it down (the chunk
+                # Jaccards are dyadic rationals, so boundaries DO occur)
+                jac = n_shared / (len(docch[x]) + len(docch[y]) - n_shared)
+                want[(x, y)] = (
+                    n_shared,
+                    math.floor(jac * 10000 + 0.5) / 10000,
+                )
+    rows = dedup_cdc_chunking(spark, SF_DIR).collect()
+    got = {
+        (r["a_id"], r["b_id"]): (r["shared_chunks"], r["chunk_jaccard"])
+        for r in rows
+    }
+    assert got == want and got
