@@ -21,8 +21,10 @@ Run with --update after an operator batch to refresh the ledger (the
 diff shows exactly which queries a commit destabilized).
 
 Usage:
-  python scripts/stable_tier.py            # report tiers for the NEXT round
-  python scripts/stable_tier.py --update   # also rewrite STABLE_TIER.json
+  python scripts/stable_tier.py             # report tiers for the NEXT round
+  python scripts/stable_tier.py --update    # also rewrite STABLE_TIER.json
+  python scripts/stable_tier.py --window 50 # emit the proposed _CHECK_FIRST
+                                            # window under the tier rule
 """
 
 from __future__ import annotations
@@ -86,6 +88,7 @@ def main() -> None:
     greens = _green_rounds()
     fps = _fingerprints()
     ledger = json.load(open(LEDGER)) if os.path.exists(LEDGER) else {}
+    prev_ledger = {k: dict(v) for k, v in ledger.items()}
 
     changed, fresh = [], []
     for name, fp in sorted(fps.items()):
@@ -124,9 +127,75 @@ def main() -> None:
         print(f"newly tracked ({len(fresh)}): {', '.join(fresh)}")
     never = [n for n in fps if not greens.get(n)]
     print(f"never driver-green ({len(never)}): {', '.join(sorted(never))}")
+    for name in ledger:
+        ledger[name]["tier"] = (
+            "S" if name in tier_s else "pending" if name in tier_pending else "active"
+        )
     if update:
         json.dump(ledger, open(LEDGER, "w"), indent=1, sort_keys=True)
         print(f"ledger written: {LEDGER}")
+
+    if "--window" in sys.argv:
+        idx = sys.argv.index("--window")
+        n_slots = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 50
+        _propose_window(n_slots, rnd, greens, fps, prev_ledger, tier_s)
+
+
+def _propose_window(
+    n_slots: int,
+    rnd: int,
+    greens: dict[str, list[int]],
+    fps: dict[str, str],
+    prev_ledger: dict,
+    tier_s: list[str],
+) -> None:
+    """Proposed _CHECK_FIRST under the tier rule, in priority order:
+    (1) never-driver-checked oracled queries, (2) destabilized queries —
+    recorded TIER-S last run but fingerprint changed since (re-enter at
+    never-checked priority), (3) the rotation pool oldest-latest-green
+    first, (4) a deterministic TIER-S sentinel sample (rotates with the
+    round number) filling any remaining slots. Rows-only queries (no
+    oracle) never consume a slot — the r7 policy."""
+    from spark_ibm_mq_spark import registry
+
+    oracled = set(registry.ORACLE)
+    never = sorted(n for n in fps if n in oracled and not greens.get(n))
+    destabilized = sorted(
+        n
+        for n in fps
+        if n in oracled
+        and greens.get(n)
+        and prev_ledger.get(n, {}).get("tier") == "S"
+        and prev_ledger[n]["fingerprint"] != fps[n]
+    )
+    taken = set(never) | set(destabilized)
+    pool = sorted(
+        (
+            n
+            for n in fps
+            if n in oracled and n not in taken and n not in tier_s and greens.get(n)
+        ),
+        key=lambda n: (max(greens[n]), n),
+    )
+    window = never + destabilized + pool[: max(n_slots - len(never) - len(destabilized), 0)]
+    window = window[:n_slots]
+    n_rotation = len(window) - min(len(never) + len(destabilized), n_slots)
+    spare = n_slots - len(window)
+    sentinels = []
+    if spare > 0 and tier_s:
+        ss = sorted(set(tier_s) - set(window))
+        if ss:
+            off = (rnd * 7) % len(ss)
+            sentinels = (ss + ss)[off : off + min(spare, len(ss))]
+            window += sentinels
+    print(
+        f"\nproposed r{rnd} window ({len(window)}/{n_slots} slots: "
+        f"{min(len(never), n_slots)} never-checked + "
+        f"{len(destabilized)} destabilized + {max(n_rotation, 0)} rotation + "
+        f"{len(sentinels)} TIER-S sentinels):"
+    )
+    for name in window:
+        print(f'    "{name}",')
 
 
 if __name__ == "__main__":
