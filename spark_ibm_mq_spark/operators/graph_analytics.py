@@ -98,20 +98,12 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges mean no dangling vertices, so the 0.15/N teleport plus 0.85×
     the in-flow is the complete update — no dangling-redistribution term
     to shuffle."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = op.select("ok", F.col("pk").alias("src"))
-    b = op.select("ok", F.col("pk").alias("dst"))
-    edges = a.join(b, "ok").filter(F.col("src") != F.col("dst")).select(
-        "src", "dst"
-    ).distinct()
+    edges = _full_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # checkpoint the PER-ROUND input (edges ⋈ out-degree), not the raw
-    # edge list: every round and the vertex/degree frames all start from
-    # this one materialization, so the order-pair self-join and the degree
-    # aggregate run exactly once instead of once per consumer
+    # checkpoint the PER-ROUND input (edges ⋈ out-degree) on top of the
+    # session-memoized edge list: every round and the vertex/degree
+    # frames all start from this one materialization, so the degree
+    # aggregate and join run exactly once instead of once per consumer
     contrib_src = durable_checkpoint(edges.join(deg, "src"), eager=False)
     nodes = contrib_src.select(F.col("src").alias("node")).distinct()
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -193,6 +185,36 @@ _KNN_GRAPH_CTE = f"""
 # them. The memoized frame is checkpoint-backed, so a hit replays
 # materialized blocks (same pattern as dedup._LABELS_MEMO).
 _SYM_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+# The FULL (uncapped) symmetric co-purchase edge list, shared by
+# PageRank, k-core, and BFS — same memo discipline as _SYM_MEMO: the
+# order-pair self-join + distinct materializes once per session instead
+# of once per consumer query.
+_EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _full_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed distinct (src, dst) over parts sharing an order —
+    both directions, self-loops dropped."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    edges = _EDGES_MEMO.get(memo_key)
+    if edges is not None:
+        return edges
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = op.select("ok", F.col("pk").alias("src"))
+    b = op.select("ok", F.col("pk").alias("dst"))
+    edges = durable_checkpoint(
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct(),
+        eager=False,
+    )
+    _EDGES_MEMO[memo_key] = edges
+    return edges
 
 
 def _knn_graph(spark: SparkSession, sf_dir: str):
@@ -630,18 +652,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     to that variant — the trade is the materialization-vs-rescan knob,
     stated here so the choice is explicit. The equi-join never
     materializes pairs beyond the live edge list either way."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = op.select("ok", F.col("pk").alias("src"))
-    b = op.select("ok", F.col("pk").alias("dst"))
-    edges = durable_checkpoint(
-        a.join(b, "ok").filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct(),
-        eager=False,
-    )
+    edges = _full_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     kk = deg.agg(
         F.expr("CAST(3 * sum(deg) div (4 * count(*)) + 1 AS BIGINT)").alias("k")
@@ -722,18 +733,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry single bigint node ids, frontier size is bounded by the graph
     (never pair volume), and on this dense fixture the walk saturates
     fast, which the hop histogram makes visible."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = op.select("ok", F.col("pk").alias("src"))
-    b = op.select("ok", F.col("pk").alias("dst"))
-    edges = durable_checkpoint(
-        a.join(b, "ok").filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct(),
-        eager=False,
-    )
+    edges = _full_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     seeds = (
         deg.orderBy(F.col("deg").desc(), "src")
