@@ -1426,18 +1426,24 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       i -> substring(md5(substring(text, i, 8)), 1, 1) = '0') "
         "ELSE slice(sequence(1, 2), 1, 0) END"
     )
+    # The starts array is LET-BOUND via a single-element transform so it
+    # evaluates ONCE per row: naming it in a prior projection instead lets
+    # CollapseProject re-inline the whole boundary scan (one md5 per text
+    # position) into every per-element reference — measured 111 s at
+    # sf0.1 vs ~2 s for this form. Inside the lambda, `st` is a bound
+    # VALUE; the zip_with pairs each chunk start with its end (next
+    # start - 1, document end for the last chunk).
     chunked = d.select(
         "doc_id",
         F.expr(
-            f"concat(array(CAST(1 AS INT)), {bounds})"
-        ).alias("starts"),
-        "text",
-    ).select(
-        "doc_id",
-        F.expr(
-            "transform(starts, (s, j) -> md5(substring(text, s, "
-            "(CASE WHEN j + 2 <= size(starts) THEN element_at(starts, j + 2) - 1 "
-            "      ELSE length(text) END) - s + 1)))"
+            "flatten(transform("
+            f"  array(concat(array(CAST(1 AS INT)), {bounds})),"
+            "  st -> zip_with("
+            "          st,"
+            "          concat(transform(slice(st, 2, greatest(size(st) - 1, 0)),"
+            "                           x -> x - 1),"
+            "                 array(length(text))),"
+            "          (s, e) -> md5(substring(text, s, e - s + 1)))))"
         ).alias("chs"),
     )
     docch = durable_checkpoint(
