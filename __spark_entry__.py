@@ -56,7 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # stream_static_join_windows_append, stream_tumbling_counts_append,
 # text_ngram_profile, text_repetition_filter, text_tfidf_top_terms,
 # text_token_counts, text_vocab_build, tpch_q11/q12/q16/q20/q21,
-# udtf_key_explode_decorator, win_value_functions — plus the TWENTY r10
+# udtf_key_explode_decorator, win_value_functions — plus the TWENTY-ONE r10
 # registrations (win_stochastic_oscillator, agg_hill_tail_index,
 # join_asof_nearest, pipeline_profile_columns, events_bot_score,
 # text_good_turing_smoothing, dedup_edit_distance_parts,
@@ -64,9 +64,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # graph_kcore_peel, stream_alert_debounce, stream_windowed_topk_update,
 # events_funnel_time_bound, events_changepoint_cusum, graph_bfs_hops,
 # win_parkinson_volatility, events_attribution_linear,
-# emb_hard_negative_mining, agg_mutual_information, dedup_cdc_chunking)
-# can ALL lead the r11 window: 29 + 20 = 49 <= 50, with 1 slot spare —
-# the registration cap held and the debt is non-compounding.
+# emb_hard_negative_mining, agg_mutual_information, dedup_cdc_chunking,
+# stream_cusum_monitor)
+# can ALL lead the r11 window: 29 + 21 = 50 EXACTLY — the registration
+# cap held to the slot count and the debt is non-compounding.
 #
 # STABLE-QUERY TIER PROPOSAL (VERDICT r9 task 5, for the r10 judge):
 # at 278+ registered queries and 50 window slots the naive revisit cycle

@@ -1227,3 +1227,98 @@ def stream_windowed_topk_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.withColumn("rk", F.row_number().over(w).cast("integer"))
         .filter(F.col("rk") <= 3)
     )
+
+
+def _cusum_oracle() -> str:
+    # the streaming twin's CONTRACT is the batch detector verbatim: the
+    # final incremental state must equal the one-shot computation
+    from spark_ibm_mq_spark.registry import ORACLE
+
+    return ORACLE["events_changepoint_cusum"]
+
+
+@register("stream_cusum_monitor", oracle=_cusum_oracle())
+def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events_changepoint_cusum` maintained INCREMENTALLY — the natural
+    deployment of a drift chart, since CUSUM is an online statistic by
+    construction: events replay in 4 micro-batches through a
+    foreachBatch merge that folds each batch's per-day counts into a
+    running daily snapshot (a trivially associative bigint monoid, the
+    `stream_tpch_q1_incremental` discipline), and the Page/Lindley
+    chart derives from the merged dailies at read time. The final state
+    must equal the batch detector on the same data — the
+    incremental-view-maintenance guarantee, which is why this twin
+    reuses the batch operator's oracle VERBATIM.
+
+    Deriving the chart at read time is the correct factoring, not a
+    shortcut: μ and the slack k are data-adaptive over the WHOLE
+    series, so any per-batch alarm decision would use provisional
+    parameters — the stream maintains the sufficient statistic (daily
+    counts) exactly, and the |days|-row chart recomputation is
+    metadata-scale. Scale shape: each micro-batch pre-aggregates to
+    ≤|days| rows before touching the snapshot; snapshot commits are
+    batch_id-keyed (idempotent under foreachBatch's at-least-once
+    replay)."""
+    from spark_ibm_mq_spark.operators.mq_source import _scratch
+
+    d = _scratch("fb_cusum_")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    src = _replay_src(ev, "ev_cusum", sf_dir, ("events",))
+
+    applied: dict[int, str] = {}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:
+            return
+        agg = batch_df.groupBy(F.to_date("ts").alias("d")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("x")
+        )
+        prev_ids = [b for b in applied if b < batch_id]
+        if prev_ids:
+            prev = batch_df.sparkSession.read.parquet(applied[max(prev_ids)])
+            agg = (
+                prev.unionByName(agg)
+                .groupBy("d")
+                .agg(F.sum("x").cast("bigint").alias("x"))
+            )
+        path = os.path.join(d, f"snap_b{batch_id}")
+        agg.write.mode("overwrite").parquet(path)
+        applied[batch_id] = path
+
+    q = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(applied) >= 4, f"expected >=4 merge rounds, got {len(applied)}"
+    daily = spark.read.parquet(applied[max(applied)])
+    params = daily.agg(
+        F.expr("CAST(sum(x) div count(*) AS BIGINT)").alias("mu"),
+        F.expr("CAST(greatest(sum(x) div count(*) div 20, 1) AS BIGINT)").alias(
+            "slack"
+        ),
+    )
+    wd = Window.orderBy("d")
+    walk = daily.crossJoin(F.broadcast(params)).withColumn(
+        "c",
+        F.sum(F.col("x") - F.col("mu") - F.col("slack")).over(wd).cast("bigint"),
+    )
+    lind = walk.withColumn(
+        "floor_c", F.least(F.min("c").over(wd), F.lit(0)).cast("bigint")
+    )
+    return lind.select(
+        "d",
+        "x",
+        (F.col("c") - F.col("floor_c")).cast("bigint").alias("cusum"),
+        F.when(F.col("c") - F.col("floor_c") > 5 * F.col("slack"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("drift_alarm"),
+    )

@@ -609,3 +609,25 @@ def test_cdc_chunking_matches_python(spark):
         for r in rows
     }
     assert got == want and got
+
+
+def test_stream_cusum_equals_batch(spark):
+    """The incremental CUSUM's final state must equal the one-shot batch
+    detector row-for-row (the IVM guarantee; >=4 merge rounds is
+    asserted inside the operator)."""
+    from spark_ibm_mq_spark.operators.events_analytics import (
+        events_changepoint_cusum,
+    )
+    from spark_ibm_mq_spark.operators.streaming_analytics import (
+        stream_cusum_monitor,
+    )
+
+    batch = {
+        r["d"]: (r["x"], r["cusum"], r["drift_alarm"])
+        for r in events_changepoint_cusum(spark, SF_DIR).collect()
+    }
+    stream = {
+        r["d"]: (r["x"], r["cusum"], r["drift_alarm"])
+        for r in stream_cusum_monitor(spark, SF_DIR).collect()
+    }
+    assert stream == batch and stream
