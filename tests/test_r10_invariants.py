@@ -631,3 +631,44 @@ def test_stream_cusum_equals_batch(spark):
         for r in stream_cusum_monitor(spark, SF_DIR).collect()
     }
     assert stream == batch and stream
+
+
+# --- CDC chunking resynchronization property (pure Python + Hypothesis) ---
+# The docstring's load-bearing claim: boundaries depend only on LOCAL
+# content, so an insertion perturbs the cut set only in the 8-gram
+# neighborhood of the edit — everything else re-aligns (shifted by one).
+# This is the property that makes CDC dedup survive prepended headers
+# where fixed-stride blocking loses every block.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _cdc_bounds(text):
+    """1-based boundary-gram start positions, the operator's exact rule."""
+    return {
+        i
+        for i in range(2, max(len(text) - 7, 1) + 1)
+        if hashlib.md5(text[i - 1 : i + 7].encode()).hexdigest()[0] == "0"
+    }
+
+
+@given(
+    text=st.text(alphabet="ab x", min_size=20, max_size=160),
+    q=st.integers(min_value=0, max_value=200),
+    ch=st.sampled_from("ab x"),
+)
+@settings(max_examples=200, deadline=None)
+def test_cdc_boundary_locality(text, q, ch):
+    q = q % (len(text) + 1)  # insertion point in [0, len]
+    new = text[:q] + ch + text[q:]
+    old_b, new_b = _cdc_bounds(text), _cdc_bounds(new)
+    # grams entirely BEFORE the insertion are untouched: b + 6 < q
+    assert {b for b in new_b if b < q - 6} == {b for b in old_b if b < q - 6}
+    # grams entirely AFTER it re-align shifted by one: old 0-based start
+    # b-1 >= q  <->  b >= q+1, capped at each text's own tail limit
+    # ... except new position q+2 when it maps to old position 1, which
+    # the rule never evaluates (chunk 1 starts there unconditionally)
+    old_tail = {b + 1 for b in old_b if b >= q + 1}
+    new_tail = {b for b in new_b if b >= max(q + 2, 3)}
+    assert new_tail == {b for b in old_tail if b <= len(new) - 7}
