@@ -31,126 +31,99 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries() in
-# dict order.  Round-10 window, in priority order (VERDICT r9 tasks 1/5):
-# (a) the 29 operators registered after the r9 window filled — never
-#     driver-checked (judge driver_sim MATCH at sf0.01 only, r9 session);
-# (b) the 9 remaining r4-vintage hash rows: tpch q5/q6/q7/q8/q15/q17/q18/
-#     q19/q22 — the LAST r4-latest rows anywhere (sim_ann_lsh stays
-#     excluded from windows per the r7 rows-only policy; it keeps its
-#     oracled md5 twin + per-commit parity sweep);
-# (c) 12 of the 41 r5-vintage rows, oldest-impact first per VERDICT r9
-#     task 1: pricing_summary, mq_source_stream_drain,
-#     mq_source_destructive_drain, win_sessionize_events, tpch_q2/q4/q9,
-#     plus stream_seq_gap_monitor (under the r10 streaming ab_bench
-#     adjudication — a fresh driver row doubles as evidence),
-#     mq_scd2_history, pipeline_clean_corpus, events_funnel_conversion,
-#     events_retention_cohort.
-# Window math (task 5): 29 + 9 + 12 = 50 exactly; ZERO r10 registrations
-# consume a slot, and r10 registrations are capped so that the remaining
-# 29 r5-vintage rows — emb_quantize_int8, events_transition_matrix,
-# join_interval_bucketed, pipeline_corpus_shuffle, pipeline_decontaminate,
-# pipeline_domain_mix, pipeline_pack_sequences, pipeline_pretrain_manifest,
-# pipeline_stratified_sample, pipeline_train_test_split,
-# proj_price_bands_expr, scale_salted_agg, scale_zorder_manifest,
-# stream_session_windows_append, stream_sliding_counts_append,
-# stream_static_join_windows_append, stream_tumbling_counts_append,
-# text_ngram_profile, text_repetition_filter, text_tfidf_top_terms,
-# text_token_counts, text_vocab_build, tpch_q11/q12/q16/q20/q21,
-# udtf_key_explode_decorator, win_value_functions — plus the TWENTY-ONE r10
-# registrations (win_stochastic_oscillator, agg_hill_tail_index,
-# join_asof_nearest, pipeline_profile_columns, events_bot_score,
-# text_good_turing_smoothing, dedup_edit_distance_parts,
-# emb_random_projection_jl, dedup_winnowing_fingerprint,
-# graph_kcore_peel, stream_alert_debounce, stream_windowed_topk_update,
-# events_funnel_time_bound, events_changepoint_cusum, graph_bfs_hops,
-# win_parkinson_volatility, events_attribution_linear,
-# emb_hard_negative_mining, agg_mutual_information, dedup_cdc_chunking,
-# stream_cusum_monitor)
-# can ALL lead the r11 window: 29 + 21 = 50 EXACTLY — the registration
-# cap held to the slot count and the debt is non-compounding.
+# dict order.  Round-11 window — emitted verbatim by
+# `python scripts/stable_tier.py --window 50` per VERDICT r10 task 1:
+# (a) the 21 operators registered after the r10 window filled — never
+#     driver-checked (judge driver_sim MATCH at sf0.01, r10 session);
+# (b) the 29 remaining r5-vintage hash rows — the LAST r5-latest rows
+#     anywhere; after this window lands, zero r5-latest rows remain.
+# Window math (task 4, HARD cap): 21 + 29 = 50 exactly → ZERO free
+# slots for r11 registrations, so every operator registered this round
+# is placed immediately AFTER the window (never-checked priority for
+# r12) and verified via driver_sim at sf0.01 this session instead.
+# The r12 budget therefore starts at: (r11 registrations, never
+# checked) + destabilized TIER-S + r6-vintage rotation (48 rows lead,
+# per VERDICT r10 task 2) + deterministic TIER-S sentinels ≤ 50 —
+# stated here BEFORE registering, per the house rule.
 #
-# STABLE-QUERY TIER PROPOSAL (VERDICT r9 task 5, for the r10 judge):
-# at 278+ registered queries and 50 window slots the naive revisit cycle
-# is ~5.6 rounds and grows with every registration.  Proposal: a query
-# becomes TIER-S (stable) when (1) it has 2+ hash-green driver rows from
-# different rounds, (2) its operator source, oracle SQL, and fixture have
-# been byte-unchanged since its last green row (verifiable via
-# git log -L on the registered callable + the oracle string), and (3) it
-# is covered by the per-commit sf0.001 parity sweep
-# (tests/test_oracle_parity.py — all 274 oracled queries are).  TIER-S
-# queries leave the rotation pool entirely; any commit that touches their
-# source/oracle/fixture re-enters them at never-checked priority.  Under
-# this rule the driver window only carries (a) never-checked queries,
-# (b) touched-since-last-green queries, and (c) a small sentinel sample
-# (say 5 random TIER-S rows per round) to guard against environment
-# drift the parity sweep would miss (DuckDB/Spark version bumps).  With
-# ~280 ops and the observed ~10-30 touched-per-round rate, the window
-# fits in steady state with slack, and freshness debt stops being a
-# function of registry size.  The per-round CORRECTNESS_r{N}.json basename
-# aggregation the judge already performs is exactly the "2+ green rows"
-# ledger this needs — no new infrastructure.
-# NOW RUNNABLE (r10): scripts/stable_tier.py maintains STABLE_TIER.json
-# (per-query sha256 of operator source + oracle SQL, bootstrapped this
-# round). From r11 on, `python scripts/stable_tier.py` prints the TIER-S
-# set, the destabilized-by-this-commit set, and the active rotation pool
-# — the r11 window can be constructed directly from its output.
+# ADVICE r10 note: four window queries (stream_alert_debounce,
+# events_alert_debounce's streaming twin's oracle + batch twin,
+# pipeline_profile_columns, events_bot_score,
+# dedup_winnowing_fingerprint) were source-touched THIS round closing
+# the ADVICE items (gap >= 15 min convention, left-join profile,
+# decimal sg^2 carry, guarded sequence); all re-verified driver_sim
+# MATCH at sf0.01 + sf0.001 parity after the change, and
+# STABLE_TIER.json re-fingerprinted in the same commit.
 #
-# (Superseded r8/r9 window rationales removed for brevity — see git
-# history of this file and the per-round VERDICT.md for the audit trail.)
+# STABLE TIER (ACTIVE from r11 — r9 task 5 proposal, r10 infra):
+# scripts/stable_tier.py maintains STABLE_TIER.json (per-query sha256 of
+# operator source + oracle SQL + a per-round green ledger).  A query is
+# TIER-S once it has 2+ hash-green driver rows from different rounds at
+# its CURRENT fingerprint; TIER-S queries leave window rotation (the
+# per-commit sf0.001 parity sweep still covers them) and re-enter at
+# never-checked priority if any commit changes their fingerprint.
+# Windows are built as: never-checked → destabilized → oldest-green
+# rotation → deterministic TIER-S sentinels.  Run
+# `python scripts/stable_tier.py --update` after ANY operator-source
+# change, and build each round's window from `--window 50`.
 _CHECK_FIRST = [
-    # --- (a) registered post-r9-window, never driver-checked (29) ---
-    "win_spearman_daily",
-    "win_mann_kendall_trend",
-    "agg_theil_index",
-    "graph_adamic_adar",
-    "retrieval_phrase_match",
-    "emb_dimension_variance_profile",
-    "join_asof_forward",
-    "text_tokenizer_fertility",
-    "stream_windowed_topk",
-    "win_bollinger_bands",
-    "dedup_soft_weighting",
-    "retrieval_query_likelihood",
-    "pipeline_perplexity_gate_ablation",
-    "graph_degree_assortativity",
-    "text_js_divergence_sources",
-    "emb_pca_power_iteration",
-    "sim_mmr_rerank",
-    "win_rsi_indicator",
-    "text_ngram_novelty",
-    "join_interval_overlap",
-    "agg_rfm_migration_matrix",
-    "text_rake_keywords",
-    "scale_partition_evolution_plan",
-    "sim_hnsw_layer_plan",
-    "win_seasonal_naive_eval",
+    # --- (a) r10 registrations, never driver-checked (21) ---
+    "agg_hill_tail_index",
+    "agg_mutual_information",
+    "dedup_cdc_chunking",
+    "dedup_edit_distance_parts",
+    "dedup_winnowing_fingerprint",
+    "emb_hard_negative_mining",
+    "emb_random_projection_jl",
+    "events_attribution_linear",
+    "events_bot_score",
+    "events_changepoint_cusum",
+    "events_funnel_time_bound",
+    "graph_bfs_hops",
+    "graph_kcore_peel",
+    "join_asof_nearest",
+    "pipeline_profile_columns",
+    "stream_alert_debounce",
+    "stream_cusum_monitor",
+    "stream_windowed_topk_update",
+    "text_good_turing_smoothing",
+    "win_parkinson_volatility",
+    "win_stochastic_oscillator",
+    # --- (b) the 29 remaining r5-vintage rows (retires the r5 tier) ---
+    "emb_quantize_int8",
+    "events_transition_matrix",
+    "join_interval_bucketed",
+    "pipeline_corpus_shuffle",
+    "pipeline_decontaminate",
+    "pipeline_domain_mix",
+    "pipeline_pack_sequences",
+    "pipeline_pretrain_manifest",
+    "pipeline_stratified_sample",
+    "pipeline_train_test_split",
+    "proj_price_bands_expr",
+    "scale_salted_agg",
+    "scale_zorder_manifest",
+    "stream_session_windows_append",
+    "stream_sliding_counts_append",
+    "stream_static_join_windows_append",
+    "stream_tumbling_counts_append",
+    "text_ngram_profile",
+    "text_repetition_filter",
+    "text_tfidf_top_terms",
+    "text_token_counts",
+    "text_vocab_build",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_suppliers",
+    "udtf_key_explode_decorator",
+    "win_value_functions",
+    # --- post-window (position 51+): events_alert_debounce re-queues
+    # here — its r10 green row predates this round's >=-boundary change,
+    # so it needs a fresh driver row at the new fingerprint; verified
+    # driver_sim MATCH this session.  All r11 registrations follow it.
     "events_alert_debounce",
-    "agg_newcomer_share",
-    "text_compression_ratio_proxy",
-    "emb_centroid_drift",
-    # --- (b) the last 9 r4-vintage hash rows: tpch (9) ---
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_global_sales_opportunity",
-    # --- (c) r5-vintage rotation (12 of 41) ---
-    "pricing_summary",
-    "mq_source_stream_drain",
-    "mq_source_destructive_drain",
-    "win_sessionize_events",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q9_product_type_profit",
-    "stream_seq_gap_monitor",
-    "mq_scd2_history",
-    "pipeline_clean_corpus",
-    "events_funnel_conversion",
-    "events_retention_cohort",
 ]
 
 

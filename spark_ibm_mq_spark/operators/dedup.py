@@ -1309,10 +1309,18 @@ def dedup_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the join, and it is a stated recall contract: a substring
     shared by >20 docs stops witnessing pairs."""
     d = load_table(spark, sf_dir, "documents")
+    # Guard the gram positions for sub-k texts (ADVICE r10): Spark's
+    # sequence(1, 0) steps DOWN and yields [1, 0] — spurious i=0 rows
+    # DuckDB's range(1, 1) never emits. The full-window filter below
+    # happens to discard them, but the row sets must match by
+    # construction, not by accident (same guard as dedup_cdc_chunking).
     grams = d.select(
         "doc_id",
         F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("text") - 11, F.lit(0)))
+            F.when(
+                F.length("text") >= 12,
+                F.sequence(F.lit(1), F.length("text") - 11),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
         ).alias("i"),
         "text",
     ).select("doc_id", "i", F.expr("md5(substring(text, i, 12))").alias("h"))

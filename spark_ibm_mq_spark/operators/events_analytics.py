@@ -1975,7 +1975,7 @@ def events_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          IS NULL
                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id)) > 900000
+                                        ORDER BY ts, event_id)) >= 900000
                     THEN 1 ELSE 0 END AS new_burst
         FROM ev WHERE event_type = 'error'
     ),
@@ -2009,7 +2009,12 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     so it parallelizes as one (user_id) shuffle + windows instead of
     sequential state. All-integer outputs except the one rounded span
     division. At scale, the same query runs incrementally as a
-    streaming session window (`stream_session_windows` family)."""
+    streaming session window (`stream_session_windows` family).
+
+    Boundary rule (ADVICE r10): a gap of EXACTLY 15 minutes starts a
+    new burst (`gap >= 900000 ms`), matching Spark's end-exclusive
+    session_window semantics so the streaming twin
+    `stream_alert_debounce` implements the identical predicate."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -2019,7 +2024,7 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     new_burst = F.when(
         F.lag("ts_ms").over(wu).isNull()
-        | (F.col("ts_ms") - F.lag("ts_ms").over(wu) > 900000),
+        | (F.col("ts_ms") - F.lag("ts_ms").over(wu) >= 900000),
         1,
     ).otherwise(0)
     bursts = err.withColumn("new_burst", new_burst).withColumn(
@@ -2135,11 +2140,16 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal(38,0)/HUGEINT carry: a mega-user (exactly what this operator
     # flags) can push n_gaps * sg2 past bigint (1e6 gaps x 1e14 sum of
     # squares ~ 1e20); the centered numerator itself stays well inside 38
-    # digits and the gate compare coerces losslessly
+    # digits and the gate compare coerces losslessly.  The gate's RHS sg*sg
+    # gets the same carry (ADVICE r10): per-user gap sums telescope to
+    # last-first so sg is bounded by the corpus time span (~1e8-1e9 s) and
+    # sg^2 happens to fit bigint today, but that bound is implicit — mirror
+    # the oracle's CAST(sg AS HUGEINT) * sg instead of relying on it.
     var_num = (
         F.col("n_gaps").cast("decimal(38,0)") * F.col("sg2")
         - F.col("sg").cast("decimal(38,0)") * F.col("sg")
     )
+    sg_sq = F.col("sg").cast("decimal(38,0)") * F.col("sg")
     return (
         per_user.join(per_min, "user_id")
         .filter(F.col("n_events") >= 10)
@@ -2153,7 +2163,7 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.round(F.sqrt(var_num.cast("double")) / F.col("sg"), 4))
             .alias("gap_cv"),
             F.when(
-                (F.col("max_per_min") >= 3) & (4 * var_num <= F.col("sg") * F.col("sg")),
+                (F.col("max_per_min") >= 3) & (4 * var_num <= sg_sq),
                 1,
             )
             .otherwise(0)

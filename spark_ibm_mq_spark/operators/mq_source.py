@@ -38,14 +38,26 @@ def scratch_base() -> str:
     equivalent tier is local NVMe scratch/spill — while anything that must
     survive a restart (production streaming checkpoints, sink tables) goes
     to durable shared storage (HDFS/S3), NOT here. Override with
-    SPARK_GRAFT_SCRATCH; falls back to the system tempdir."""
+    SPARK_GRAFT_SCRATCH; falls back to the system tempdir.
+
+    tmpfs is typically capped at RAM/2 (ADVICE r10): at larger scale
+    factors the memoized replay exports plus per-call checkpoints could
+    exhaust it mid-bench with a confusing ENOSPC deep inside Spark, so
+    /dev/shm is only chosen while it still has a conservative free floor
+    (2 GiB — an order of magnitude above the sf0.1 scratch footprint);
+    below that every new scratch dir lands on disk instead."""
     env = os.environ.get("SPARK_GRAFT_SCRATCH")
     if env:
         os.makedirs(env, exist_ok=True)
         return env
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return shm
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= 2 << 30:
+                return shm
+        except OSError:
+            pass
     return tempfile.gettempdir()
 
 

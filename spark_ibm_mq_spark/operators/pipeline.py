@@ -1740,11 +1740,16 @@ def pipeline_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("col_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
     )
-    return base.join(dist, "col_name").select(
+    # Left join + coalesce (ADVICE r10): an entirely-NULL profiled column
+    # has no row in `dist` — it must still profile (n_distinct=0), not
+    # vanish; surfacing that case is what a profiler is for.
+    return base.join(dist, "col_name", "left").select(
         "col_name",
         "n_rows",
         "n_nulls",
-        "n_distinct",
+        F.coalesce(F.col("n_distinct"), F.lit(0).cast("bigint")).alias(
+            "n_distinct"
+        ),
         "min_num",
         "max_num",
         "min_str",
