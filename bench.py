@@ -94,6 +94,35 @@ def mq_source_throughput(spark, n_msgs: int = 50_000) -> dict[str, float]:
 _RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
+def _committed_baseline(here: str, sf) -> dict[str, float]:
+    """Per-query medians from the LAST COMMITTED bench_full.json (VERDICT
+    r10 task 3): the outlier re-run gate compares against HEAD's record, not
+    the possibly-dirty working-tree file, so a mid-session run can't move
+    its own goalposts. Only a record at the SAME scale factor counts (an
+    sf0.01 record would flag every sf0.1 query as an outlier). Falls back
+    to the on-disk file (fresh checkout == committed), then to no baseline
+    (first ever run / no git / sf changed)."""
+    import subprocess
+
+    def _usable(rec: dict) -> dict[str, float]:
+        return dict(rec.get("queries", {})) if rec.get("sf") == sf else {}
+
+    try:
+        blob = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:bench_full.json"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if blob.returncode == 0:
+            return _usable(json.loads(blob.stdout))
+    except Exception:
+        pass
+    try:
+        with open(os.path.join(here, "bench_full.json")) as f:
+            return _usable(json.load(f))
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -133,6 +162,34 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    # Outlier re-run pass (VERDICT r10 task 3): a single ambient I/O spike
+    # put a 5.3 s row in the r10 record for a query whose interleaved
+    # ab_bench median is 1.7 s. Any query reading >2x its last COMMITTED
+    # median (and >0.5 s absolute — 2x on a 60 ms query is scheduler noise)
+    # gets one more median-of-_RUNS pass AFTER the main loop (the spike has
+    # usually passed by then); the record keeps both samples and scores the
+    # min, so one spike can never enter the committed history as if real.
+    here = os.path.dirname(os.path.abspath(__file__))
+    baseline = _committed_baseline(here, sf)
+    outlier_reruns: dict[str, dict[str, float]] = {}
+    for name, first in sorted(timings.items()):
+        base = baseline.get(name)
+        if base is None or first <= max(2.0 * base, 0.5):
+            continue
+        fn = registry.QUERIES[name]
+        samples = []
+        for _ in range(_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        rerun = round(statistics.median(samples), 4)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        outlier_reruns[name] = {
+            "first": first, "rerun": rerun, "committed_median": base,
+        }
+        timings[name] = min(first, rerun)
+
     total = round(sum(timings.values()), 4)
     mq_rates = mq_source_throughput(spark)
 
@@ -147,6 +204,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": _RUNS,
+        "outlier_reruns": outlier_reruns,
         **mq_rates,
         # Run attribution (VERDICT r8 task 4): same-code runs on this host
         # swing ±25% with ambient load, and builder-commit vs driver-final
@@ -170,7 +228,6 @@ def main() -> None:
             "mq_warmup_protocol": "v2-full-drain",
         },
     }
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_full.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
@@ -199,6 +256,9 @@ def main() -> None:
     compact["n_queries"] = len(timings)
     compact["full"] = "bench_full.json"
     compact["queries"] = {}
+    # keep the printed line small: the full per-outlier detail lives in
+    # bench_full.json; the line carries only the count
+    compact["outlier_reruns"] = len(outlier_reruns)
     budget = 1900
 
     def _line() -> str:

@@ -4,8 +4,12 @@ same-code runs ±25%).
 
 Usage::
 
-    python scripts/ab_bench.py QUERY_A QUERY_B [--rounds N] [--sf DIR]
+    python scripts/ab_bench.py QUERY_A QUERY_B [--rounds N] [--sf-dir DIR]
     python scripts/ab_bench.py dedup_minhash_lsh dedup_minhash_lsh_md5
+
+``--sf-dir`` takes a fixture DIRECTORY (e.g. /root/testdata/sf0.1), not a
+scale factor; bare factors are accepted and resolved against /root/testdata
+(``--sf-dir 0.1`` → /root/testdata/sf0.1).  ``--sf`` is kept as an alias.
 
 Runs the two queries strictly interleaved (A B A B ... after one unmeasured
 warm-up each) inside ONE Spark session, with the same per-query isolation
@@ -53,10 +57,26 @@ def main() -> None:
     ap.add_argument("query_a")
     ap.add_argument("query_b")
     ap.add_argument("--rounds", type=int, default=5)
+    # VERDICT r10 task 5: the flag was named --sf but takes a DIRECTORY;
+    # `--sf 0.1` used to die with a raw pyarrow FileNotFoundError. Primary
+    # spelling is now --sf-dir (old --sf kept as an alias), a bare scale
+    # factor is resolved against /root/testdata, and a missing dir fails
+    # with a one-line hint naming the expected layout.
     ap.add_argument(
-        "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        "--sf-dir", "--sf", dest="sf",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
     args = ap.parse_args()
+    if not os.path.isdir(args.sf):
+        guess = f"/root/testdata/sf{args.sf}"
+        if os.path.isdir(guess):
+            args.sf = guess
+        else:
+            sys.exit(
+                f"--sf-dir expects a fixture directory like /root/testdata/sf0.1 "
+                f"(containing lineitem.parquet etc.); got {args.sf!r} and "
+                f"{guess!r} does not exist either"
+            )
 
     registry.load_all_modules()
     for q in (args.query_a, args.query_b):
