@@ -122,8 +122,21 @@ _CHECK_FIRST = [
     # --- post-window (position 51+): events_alert_debounce re-queues
     # here — its r10 green row predates this round's >=-boundary change,
     # so it needs a fresh driver row at the new fingerprint; verified
-    # driver_sim MATCH this session.  All r11 registrations follow it.
+    # driver_sim MATCH this session.  All r11 registrations follow it
+    # (6 this round — multimodal batch, VERDICT r10 task 6 — each
+    # driver_sim MATCH at sf0.01 + sf0.001 parity + invariant-tested +
+    # timed at sf0.1 ≤1.6 s before commit): they lead the r12 window as
+    # never-checked, consuming 7 of its 50 slots (with the debounce
+    # re-queue) and leaving 43 for the 48-row r6-vintage rotation tier —
+    # 5 r6 rows carry to r13, the stated cost of closing the judge's
+    # multimodal-thinness call at 6 ops instead of zero.
     "events_alert_debounce",
+    "mm_phash_near_dup",
+    "mm_resize_letterbox_plan",
+    "mm_audio_chunk_plan",
+    "mm_video_scene_cut_plan",
+    "mm_token_budget_plan",
+    "stream_mm_decode_drain",
 ]
 
 

@@ -87,6 +87,31 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int, list[float]]:
     return width, height, channels, n_frames, feat
 
 
+def _decode_batches(batches: Iterator) -> Iterator:
+    """mapInPandas body shared by the batch (`_decode_df`) and streaming
+    (`stream_mm_decode_drain`) decode paths — Arrow batches of
+    (doc_id, payload) in, typed decode rows out."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {
+            "doc_id": [], "width": [], "height": [],
+            "channels": [], "n_frames": [], "feat": [], "feat_csv": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, c, nf, feat = _fake_decode(bytes(payload))
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["channels"].append(c)
+            out["n_frames"].append(nf)
+            out["feat"].append(feat)
+            # integer byte CSV: engine-exact on both sides (no float
+            # formatting convention to align between Python and SQL)
+            out["feat_csv"].append(",".join(str(int(v * 256)) for v in feat))
+        yield pd.DataFrame(out)
+
+
 def _decode_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over binary payloads via mapInPandas: Arrow
     batches in, typed (dims, frames, feature-vector) rows out. Internal —
@@ -94,29 +119,7 @@ def _decode_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-
-    def decode_batches(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
-            out = {
-                "doc_id": [], "width": [], "height": [],
-                "channels": [], "n_frames": [], "feat": [], "feat_csv": [],
-            }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, c, nf, feat = _fake_decode(bytes(payload))
-                out["doc_id"].append(doc_id)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["channels"].append(c)
-                out["n_frames"].append(nf)
-                out["feat"].append(feat)
-                # integer byte CSV: engine-exact on both sides (no float
-                # formatting convention to align between Python and SQL)
-                out["feat_csv"].append(",".join(str(int(v * 256)) for v in feat))
-            yield pd.DataFrame(out)
-
-    return d.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+    return d.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
 
 
 def _digest_byte_sql(i: int) -> str:
@@ -313,3 +316,520 @@ def mm_webdataset_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 EXT batch: perceptual-hash near-dup, resize/letterbox plan, audio
+# chunk plan, video scene-cut plan, multimodal token budget, streaming
+# decode.  Same conventions as above: the decode is the deterministic fake,
+# every derived value is integer-exact SQL both engines.
+# ---------------------------------------------------------------------------
+
+# Fixture-scale pHash geometry: 24 bits from digest bytes 4..6, banded
+# 4 x 6 bits.  Hamming <= 3 with 4 bands guarantees one band matches
+# exactly (pigeonhole), so the banded equi-join has FULL recall at this
+# threshold.  The hash is sha-derived (uniform), so near-collisions need a
+# small hash space to have positive support at 500-5000 docs; a production
+# deployment uses a 64-bit DCT pHash (4 x 16-bit bands — the
+# `dedup_simhash` geometry), where visually-near images cluster by
+# construction and the same plan carries unchanged.
+_PHASH_HAMMING_MAX = 3
+
+
+@register(
+    "mm_phash_near_dup",
+    oracle=f"""
+    WITH hx AS (SELECT doc_id, sha256(text) AS h FROM documents),
+    ph AS (
+        SELECT doc_id,
+               CAST({_digest_byte_sql(4)} * 65536
+                  + {_digest_byte_sql(5)} * 256
+                  + {_digest_byte_sql(6)} AS BIGINT) AS p
+        FROM hx
+    ),
+    bands AS (
+        SELECT doc_id, p, 0 AS band_idx, (p // 262144) % 64 AS band_val FROM ph
+        UNION ALL SELECT doc_id, p, 1, (p // 4096) % 64 FROM ph
+        UNION ALL SELECT doc_id, p, 2, (p // 64) % 64 FROM ph
+        UNION ALL SELECT doc_id, p, 3, p % 64 FROM ph
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.p, b.p)) AS INTEGER) AS hamming
+    FROM bands a
+    JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.p, b.p)) <= {_PHASH_HAMMING_MAX}
+    """,
+)
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the binary payload
+    column (VERDICT r10 task 6's named candidate): per-payload pHash,
+    banded LSH candidate generation, exact Hamming verification — the
+    image-dedup twin of `dedup_simhash`, keyed on the PAYLOAD instead of
+    token features.
+
+    Scale shape (the house pair-generator rule, dedup.py:11): candidates
+    come ONLY from the band equi-join — volume ∝ Σ per-bucket df², never
+    n²; the final bit_count(p⊕p') ≤ 3 filter is exact verification, not
+    recall.  At 100 TB: 64-bit hash / 16-bit bands keeps buckets bounded
+    (bucket count grows 2^band_bits; band width scales with log₂ corpus),
+    shuffle rows carry (band, 8-byte hash, doc_id) — pixels never move.
+    Hash width here is 24-bit so the near-collision path has positive
+    support on uniform sha-derived fixture hashes (see geometry note
+    above); the plan is width-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    hx = d.select(
+        "doc_id", F.sha2(F.encode("text", "utf-8"), 256).alias("h")
+    )
+    # bytes 4..6 of the digest = hex chars 9..14, parsed in one conv —
+    # equal to the oracle's per-byte sum by big-endian construction
+    ph = hx.select(
+        "doc_id",
+        F.conv(F.substring("h", 9, 6), 16, 10).cast("bigint").alias("p"),
+    )
+    bands = ph.select(
+        "doc_id",
+        "p",
+        F.posexplode(
+            F.array(
+                F.expr("(p div 262144) % 64"),
+                F.expr("(p div 4096) % 64"),
+                F.expr("(p div 64) % 64"),
+                F.expr("p % 64"),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            [
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.p").bitwiseXOR(F.col("b.p")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
+        .distinct()
+    )
+
+
+_RESIZE_TARGET = 224  # canonical vision-model input edge
+
+
+@register(
+    "mm_resize_letterbox_plan",
+    oracle=f"""
+    {_DECODE_ORACLE_CTE}
+    SELECT doc_id, width, height,
+           CAST((width  * {_RESIZE_TARGET}) // greatest(width, height)
+                AS INTEGER) AS out_w,
+           CAST((height * {_RESIZE_TARGET}) // greatest(width, height)
+                AS INTEGER) AS out_h,
+           CAST(({_RESIZE_TARGET} - (width * {_RESIZE_TARGET})
+                 // greatest(width, height)) // 2 AS INTEGER) AS pad_left,
+           CAST({_RESIZE_TARGET} - (width * {_RESIZE_TARGET})
+                 // greatest(width, height)
+               - ({_RESIZE_TARGET} - (width * {_RESIZE_TARGET})
+                 // greatest(width, height)) // 2 AS INTEGER) AS pad_right,
+           CAST(({_RESIZE_TARGET} - (height * {_RESIZE_TARGET})
+                 // greatest(width, height)) // 2 AS INTEGER) AS pad_top,
+           CAST({_RESIZE_TARGET} - (height * {_RESIZE_TARGET})
+                 // greatest(width, height)
+               - ({_RESIZE_TARGET} - (height * {_RESIZE_TARGET})
+                 // greatest(width, height)) // 2 AS INTEGER) AS pad_bottom
+    FROM dec
+    """,
+)
+def mm_resize_letterbox_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize + letterbox plan per decoded image: scale
+    the long edge to 224 px (floor of the exact rational w·224/max(w,h)),
+    center the result, and emit the four pad widths — the preprocessing
+    contract a vision dataloader executes per image, planned here from
+    decode metadata WITHOUT touching pixels (the `mm_patch_grid_plan`
+    pattern).  All integer floor-division arithmetic, exact on both
+    engines; odd padding goes to the right/bottom (pad_left = floor(r/2),
+    pad_right = remainder) — a stated convention, not an accident.  Plan:
+    one projection over the decode output, no shuffle."""
+    decoded = _decode_df(spark, sf_dir)
+    out_w = F.expr(f"CAST((width * {_RESIZE_TARGET}) div greatest(width, height) AS INT)")
+    out_h = F.expr(f"CAST((height * {_RESIZE_TARGET}) div greatest(width, height) AS INT)")
+    pad_w = F.lit(_RESIZE_TARGET) - out_w
+    pad_h = F.lit(_RESIZE_TARGET) - out_h
+    pad_left = F.expr(f"CAST(({_RESIZE_TARGET} - (width * {_RESIZE_TARGET}) div greatest(width, height)) div 2 AS INT)")
+    pad_top = F.expr(f"CAST(({_RESIZE_TARGET} - (height * {_RESIZE_TARGET}) div greatest(width, height)) div 2 AS INT)")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
+        pad_left.alias("pad_left"),
+        (pad_w - pad_left).cast("int").alias("pad_right"),
+        pad_top.alias("pad_top"),
+        (pad_h - pad_top).cast("int").alias("pad_bottom"),
+    )
+
+
+# Audio chunking geometry: Whisper-style 30 s windows with a 5 s overlap
+# (25 s hop), in SAMPLE units so every boundary is integer-exact.
+_AUDIO_WIN_S = 30
+_AUDIO_HOP_S = 25
+
+# audio metadata twin of the image fake-decode: sample rate and duration
+# from digest bytes 12/13 (disjoint from the image bytes 0..11), so one
+# payload column serves both modalities deterministically
+_AUDIO_ORACLE_CTE = f"""
+    WITH hx AS (SELECT doc_id, sha256(text) AS h FROM documents),
+    au AS (
+        SELECT doc_id,
+               CAST(8000 * (1 + ({_digest_byte_sql(12)} % 3)) AS BIGINT)
+                   AS sample_rate,
+               CAST((8000 * (1 + ({_digest_byte_sql(12)} % 3)) // 1000)
+                    * (1000 + 200 * {_digest_byte_sql(13)}) AS BIGINT)
+                   AS n_samples
+        FROM hx
+    ),
+    geom AS (
+        SELECT doc_id, sample_rate, n_samples,
+               {_AUDIO_WIN_S} * sample_rate AS win,
+               {_AUDIO_HOP_S} * sample_rate AS hop,
+               CASE WHEN n_samples <= {_AUDIO_WIN_S} * sample_rate THEN 1
+                    ELSE 1 + (n_samples - {_AUDIO_WIN_S} * sample_rate
+                              + {_AUDIO_HOP_S} * sample_rate - 1)
+                             // ({_AUDIO_HOP_S} * sample_rate)
+               END AS n_chunks
+        FROM au
+    )
+"""
+
+
+@register(
+    "mm_audio_chunk_plan",
+    oracle=f"""
+    {_AUDIO_ORACLE_CTE},
+    chunks AS (
+        SELECT doc_id, sample_rate, n_samples, win, hop,
+               unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        FROM geom
+    )
+    SELECT doc_id, sample_rate, n_samples,
+           CAST(chunk_idx AS INTEGER)    AS chunk_idx,
+           CAST(chunk_idx * hop AS BIGINT) AS start_sample,
+           CAST(least(chunk_idx * hop + win, n_samples) AS BIGINT)
+               AS end_sample
+    FROM chunks
+    """,
+)
+def mm_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plan over binary payloads (the frame-budget planner
+    twin of `mm_patch_grid_plan`, VERDICT r10 task 6): Whisper-style 30 s
+    windows with a 25 s hop (5 s overlap so no boundary word is lost),
+    expressed in SAMPLE units from decoded (sample_rate, n_samples)
+    metadata — digest bytes 12/13, the audio half of the fake decoder.
+    The final partial window is kept and clamped to n_samples; a clip no
+    longer than one window yields exactly one chunk.
+
+    Everything is integer: n_chunks is a ceiling division on samples,
+    chunk boundaries are hop multiples. Plan: one projection + explode,
+    no shuffle — the planner emits (doc, chunk, sample span) rows that a
+    downstream Pandas-UDF featurizer consumes; audio bytes never move."""
+    d = load_table(spark, sf_dir, "documents")
+    hx = d.select("doc_id", F.sha2(F.encode("text", "utf-8"), 256).alias("h"))
+    b12 = "CAST(conv(substring(h, 25, 2), 16, 10) AS BIGINT)"
+    b13 = "CAST(conv(substring(h, 27, 2), 16, 10) AS BIGINT)"
+    au = hx.select(
+        "doc_id",
+        F.expr(f"CAST(8000 * (1 + ({b12} % 3)) AS BIGINT)").alias("sample_rate"),
+        F.expr(
+            f"CAST((8000 * (1 + ({b12} % 3)) div 1000)"
+            f" * (1000 + 200 * {b13}) AS BIGINT)"
+        ).alias("n_samples"),
+    )
+    geom = au.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        (F.lit(_AUDIO_WIN_S) * F.col("sample_rate")).alias("win"),
+        (F.lit(_AUDIO_HOP_S) * F.col("sample_rate")).alias("hop"),
+        F.when(
+            F.col("n_samples") <= _AUDIO_WIN_S * F.col("sample_rate"), F.lit(1)
+        )
+        .otherwise(
+            1
+            + F.expr(
+                f"(n_samples - {_AUDIO_WIN_S} * sample_rate"
+                f" + {_AUDIO_HOP_S} * sample_rate - 1)"
+                f" div ({_AUDIO_HOP_S} * sample_rate)"
+            )
+        )
+        .alias("n_chunks"),
+    )
+    return geom.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "win",
+        "hop",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "_pos", "chunk_idx"
+        ),
+    ).select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * F.col("hop")).cast("bigint").alias("start_sample"),
+        F.least(
+            F.col("chunk_idx") * F.col("hop") + F.col("win"), F.col("n_samples")
+        )
+        .cast("bigint")
+        .alias("end_sample"),
+    )
+
+
+# Scene-cut geometry: per-frame luma proxy = first digest byte of
+# md5(doc_id ':' frame_no); a cut opens where the absolute inter-frame
+# delta reaches 128 (half the byte range).
+_SCENE_CUT_DELTA = 128
+_FRAMES_PER_UNIT = 30  # fake decode n_frames (1..8) → 30..240 video frames
+
+
+@register(
+    "mm_video_scene_cut_plan",
+    oracle=f"""
+    {_DECODE_ORACLE_CTE},
+    vids AS (
+        SELECT doc_id, {_FRAMES_PER_UNIT} * n_frames AS n_video_frames
+        FROM dec
+    ),
+    frames AS (
+        SELECT doc_id, n_video_frames,
+               unnest(generate_series(0, n_video_frames - 1)) AS frame_no
+        FROM vids
+    ),
+    lumas AS (
+        SELECT doc_id, n_video_frames, frame_no,
+               (strpos('0123456789abcdef', substr(md5(
+                    CAST(doc_id AS VARCHAR) || ':' || CAST(frame_no AS VARCHAR)
+                ), 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(md5(
+                    CAST(doc_id AS VARCHAR) || ':' || CAST(frame_no AS VARCHAR)
+                ), 2, 1)) - 1 AS luma
+        FROM frames
+    ),
+    marks AS (
+        SELECT doc_id, frame_no, luma,
+               CASE WHEN lag(luma) OVER w IS NULL
+                      OR abs(luma - lag(luma) OVER w) >= {_SCENE_CUT_DELTA}
+                    THEN 1 ELSE 0 END AS new_scene
+        FROM lumas
+        WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)
+    ),
+    scenes AS (
+        SELECT doc_id, frame_no,
+               CAST(sum(new_scene) OVER (PARTITION BY doc_id ORDER BY frame_no
+                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS scene_idx
+        FROM marks
+    )
+    SELECT doc_id, scene_idx,
+           CAST(min(frame_no) AS BIGINT) AS start_frame,
+           CAST(max(frame_no) AS BIGINT) AS end_frame,
+           CAST(count(*) AS BIGINT)      AS n_frames
+    FROM scenes
+    GROUP BY doc_id, scene_idx
+    """,
+)
+def mm_video_scene_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut plan: per-frame luma proxies (deterministic fake —
+    one md5 byte per (doc, frame); a real pipeline plugs mean-luma /
+    histogram-delta per decoded frame into the same column), cuts where
+    the inter-frame delta reaches 128, scenes assembled with the
+    running-sum sessionize trick (`win_sessionize_events`). Output is the
+    scene table a sampling stage consumes: one frame per scene instead of
+    a fixed stride (`mm_frame_sample`) — the content-aware variant.
+
+    Scale shape: the explode produces (doc, frame) rows — at 100 TB these
+    come from the real decoder's per-frame stats, NOT from moving pixels;
+    the only shuffle is the per-doc window (key = doc_id), and scene
+    assembly is one pass. Integer-exact: luma is an md5-byte, the cut
+    predicate is an integer compare (>= 128, stated boundary rule), scene
+    ids are running integer sums."""
+    decoded = _decode_df(spark, sf_dir)
+    vids = decoded.select(
+        "doc_id",
+        (F.lit(_FRAMES_PER_UNIT) * F.col("n_frames")).alias("n_video_frames"),
+    )
+    frames = vids.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n_video_frames") - 1)
+        ).alias("_pos", "frame_no"),
+    )
+    luma = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("frame_no").cast("string"),
+                )
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    marks = frames.select("doc_id", "frame_no", luma.alias("luma")).withColumn(
+        "new_scene",
+        F.when(
+            F.lag("luma").over(w).isNull()
+            | (F.abs(F.col("luma") - F.lag("luma").over(w)) >= _SCENE_CUT_DELTA),
+            1,
+        ).otherwise(0),
+    )
+    scenes = marks.withColumn(
+        "scene_idx",
+        (
+            F.sum("new_scene").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - 1
+        ).cast("bigint"),
+    )
+    return scenes.groupBy("doc_id", "scene_idx").agg(
+        F.min("frame_no").cast("bigint").alias("start_frame"),
+        F.max("frame_no").cast("bigint").alias("end_frame"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+    )
+
+
+_SEQ_EXTRA_TOKENS = 3  # BOS + modality separator + EOS
+
+
+@register(
+    "mm_token_budget_plan",
+    oracle=f"""
+    {_DECODE_ORACLE_CTE},
+    vis AS (
+        SELECT doc_id,
+               ((width  + {_PATCH} - 1) // {_PATCH})
+             * ((height + {_PATCH} - 1) // {_PATCH}) AS vision_tokens
+        FROM dec
+    ),
+    budget AS (
+        SELECT v.doc_id, v.vision_tokens,
+               len(string_split_regex(trim(d.text), '\\s+')) AS text_tokens,
+               v.vision_tokens
+                 + len(string_split_regex(trim(d.text), '\\s+'))
+                 + {_SEQ_EXTRA_TOKENS} AS total_tokens
+        FROM vis v JOIN documents d ON v.doc_id = d.doc_id
+    ),
+    padded AS (
+        SELECT doc_id, vision_tokens, text_tokens, total_tokens,
+               CAST(1 AS BIGINT) << length(bin(CAST(total_tokens - 1 AS BIGINT)))
+                   AS padded_len
+        FROM budget
+    )
+    SELECT CAST(padded_len AS BIGINT)       AS padded_len,
+           CAST(count(*) AS BIGINT)         AS n_docs,
+           CAST(sum(vision_tokens) AS BIGINT) AS sum_vision,
+           CAST(sum(text_tokens) AS BIGINT)   AS sum_text,
+           CAST(sum(total_tokens) AS BIGINT)  AS sum_total,
+           CAST(sum(padded_len - total_tokens) AS BIGINT) AS sum_pad_waste,
+           CAST(CAST(sum(total_tokens) AS BIGINT) * 1000000
+                // (padded_len * count(*)) AS BIGINT) AS utilization_ppm
+    FROM padded
+    GROUP BY padded_len
+    """,
+)
+def mm_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal sequence-length budget: per document, VISION tokens (the
+    16-px patch count from `mm_patch_grid_plan`) + TEXT tokens (whitespace
+    tokenizer, the `text_token_counts` convention) + BOS/SEP/EOS overhead,
+    padded up to the next power-of-two batch bucket — the histogram a
+    packing/batching stage reads to choose bucket boundaries and predict
+    padding waste (the multimodal extension of `pipeline_pack_sequences`'
+    all-text budget).
+
+    Exactness: the pow-2 bucket is bit-length arithmetic
+    (1 << length(bin(n-1)) — the r8 log-bucket trick, no float log2);
+    utilization is integer parts-per-million (sum·10⁶ div capacity), not
+    a rounded double.  Plan: decode output joins documents on doc_id (the
+    only shuffle), then one tiny groupBy over ~10 buckets."""
+    decoded = _decode_df(spark, sf_dir)
+    vis = decoded.select(
+        "doc_id",
+        F.expr(
+            f"((width + {_PATCH} - 1) div {_PATCH})"
+            f" * ((height + {_PATCH} - 1) div {_PATCH})"
+        ).alias("vision_tokens"),
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), "\\s+")).alias("text_tokens")
+    )
+    budget = vis.join(d, "doc_id").withColumn(
+        "total_tokens",
+        F.col("vision_tokens") + F.col("text_tokens") + _SEQ_EXTRA_TOKENS,
+    )
+    padded = budget.withColumn(
+        "padded_len",
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), length(bin(CAST(total_tokens - 1 AS BIGINT))))"
+        ).cast("bigint"),
+    )
+    return padded.groupBy("padded_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("vision_tokens").cast("bigint").alias("sum_vision"),
+        F.sum("text_tokens").cast("bigint").alias("sum_text"),
+        F.sum("total_tokens").cast("bigint").alias("sum_total"),
+        F.sum(F.col("padded_len") - F.col("total_tokens"))
+        .cast("bigint")
+        .alias("sum_pad_waste"),
+        F.expr(
+            "CAST(CAST(sum(total_tokens) AS BIGINT) * 1000000"
+            " div (padded_len * count(*)) AS BIGINT)"
+        ).alias("utilization_ppm"),
+    )
+
+
+@register(
+    "stream_mm_decode_drain",
+    oracle=f"""
+    {_DECODE_ORACLE_CTE}
+    SELECT doc_id, width, height, channels, n_frames, feat_csv FROM dec
+    """,
+)
+def stream_mm_decode_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING decode: the `mm_decode_features` mapInPandas pass applied
+    to a live document-ingest stream (documents.parquet replayed as a file
+    source) and drained append-mode — the shape a multimodal ingestion
+    pipeline actually deploys, where decode/featurize runs incrementally
+    as blobs land rather than as a nightly batch.
+
+    The decode map is STATELESS (no watermark, no state store): Structured
+    Streaming treats mapInPandas as a per-batch projection, so the same
+    `_decode_batches` body serves batch and stream unchanged — which is
+    the point: one decoder, two execution modes, value-identical output
+    (the oracle is literally `mm_decode_features`'s). At scale the
+    parallelism is source-partition count (files/Kafka partitions), and
+    the blobs stream through Arrow once — nothing is retained across
+    micro-batches."""
+    from spark_ibm_mq_spark.operators.streaming_analytics import _run_to_memory
+    from spark_ibm_mq_spark.streaming.readers import documents_file_stream
+
+    doc = documents_file_stream(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    dec = doc.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA).drop("feat")
+    return _run_to_memory(dec, "append")

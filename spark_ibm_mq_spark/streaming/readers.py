@@ -55,3 +55,21 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         )
     return ev
+
+
+DOCUMENTS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def documents_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over documents.parquet — the deterministic stand-in for a
+    live document-ingest stream (the multimodal twin of
+    `events_file_stream`). Documents carry no event time, so consumers are
+    stateless append-mode maps (decode, featurize) rather than windowed
+    aggregations; no watermark is needed or set."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
