@@ -163,3 +163,44 @@ def test_stream_decode_equals_batch(spark):
     )
     stream = sorted(map(tuple, stream_mm_decode_drain(spark, SF_DIR).collect()))
     assert stream == batch
+
+
+# --- Audio chunk geometry property (pure Python + Hypothesis) ---
+# The planner's load-bearing claims, checked over the WHOLE (rate,
+# duration) lattice rather than the fixture's sha-derived sample: chunks
+# tile the clip with exactly hop-sized steps, every sample is covered,
+# consecutive chunks overlap by exactly win-hop samples (except a short
+# final tail), and the chunk count is the minimal cover.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _plan(rate: int, n: int, win_s: int = 30, hop_s: int = 25):
+    """The operator's exact chunk rule, replayed in pure Python."""
+    win, hop = win_s * rate, hop_s * rate
+    n_chunks = 1 if n <= win else 1 + (n - win + hop - 1) // hop
+    return [(k * hop, min(k * hop + win, n)) for k in range(n_chunks)]
+
+
+@given(
+    rate=st.sampled_from([8000, 16000, 24000]),
+    dur_byte=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=200, deadline=None)
+def test_audio_chunk_geometry_property(rate, dur_byte):
+    n = (rate // 1000) * (1000 + 200 * dur_byte)
+    chunks = _plan(rate, n)
+    win, hop = 30 * rate, 25 * rate
+    # tiling: starts are exact hop multiples, first at 0
+    assert [s for s, _ in chunks] == [k * hop for k in range(len(chunks))]
+    # coverage: union of [s, e) is [0, n) with no gap (hop < win)
+    assert chunks[0][0] == 0 and chunks[-1][1] == n
+    for (s1, e1), (s2, e2) in zip(chunks, chunks[1:]):
+        assert s2 < e1  # overlap
+        assert e1 - s2 == win - hop or e1 == n  # exactly 5 s, bar the tail
+    # minimality: one fewer chunk would leave the tail uncovered
+    if len(chunks) > 1:
+        assert (len(chunks) - 2) * hop + win < n
+    # no vacuous chunk: every chunk contains at least one sample
+    assert all(s < e for s, e in chunks)

@@ -907,3 +907,43 @@ def test_cdc_chunking_zero_shuffle_text(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 0, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_phash_near_dup_band_equi_join_not_cross(spark):
+    """Candidate generation must come from the band equi-join — a
+    cartesian here means pair volume n², the exact failure the banding
+    exists to prevent."""
+    df = registry.QUERIES["mm_phash_near_dup"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    # the scan feeds doc_id + text into sha2 — nothing else
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_mm_decode_scan_prunes_to_payload_inputs(spark):
+    """The decode pass reads exactly (doc_id, text): a scan that drags
+    lang/source/n_chars through Arrow into Python pays per-byte for
+    columns the decoder never touches."""
+    df = registry.QUERIES["mm_decode_features"](spark, SF_DIR)
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_mm_planners_no_shuffle(spark):
+    """Resize and audio-chunk planning are pure per-row projections or
+    explodes over the decode output — an Exchange in either means the
+    planner shuffles payload-derived rows it never aggregates."""
+    for name in ("mm_resize_letterbox_plan", "mm_audio_chunk_plan"):
+        df = registry.QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name} shuffles: {plan[:400]}"
+
+
+def test_scene_cut_single_doc_shuffle(spark):
+    """Scene assembly needs exactly the per-doc window partitioning —
+    one shuffle on doc_id (reused by the groupBy through the window's
+    existing partitioning), never a second full exchange of frame rows."""
+    df = registry.QUERIES["mm_video_scene_cut_plan"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:600]
+    assert not has_cartesian(df)
