@@ -1975,7 +1975,7 @@ def events_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          IS NULL
                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id)) >= 900000
+                                        ORDER BY ts, event_id)) > 900000
                     THEN 1 ELSE 0 END AS new_burst
         FROM ev WHERE event_type = 'error'
     ),
@@ -2011,10 +2011,12 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     division. At scale, the same query runs incrementally as a
     streaming session window (`stream_session_windows` family).
 
-    Boundary rule (ADVICE r10): a gap of EXACTLY 15 minutes starts a
-    new burst (`gap >= 900000 ms`), matching Spark's end-exclusive
-    session_window semantics so the streaming twin
-    `stream_alert_debounce` implements the identical predicate."""
+    Boundary rule (ADVICE r10, settled EMPIRICALLY): a gap of EXACTLY
+    15 minutes stays in the SAME burst (strict `gap > 900000 ms`) —
+    Spark's session_window merges touching session ranges, so this is
+    the convention the streaming twin `stream_alert_debounce` actually
+    implements (tests/test_debounce_boundary.py drives all three
+    formulations over a synthetic exact-gap stream)."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -2024,7 +2026,7 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     new_burst = F.when(
         F.lag("ts_ms").over(wu).isNull()
-        | (F.col("ts_ms") - F.lag("ts_ms").over(wu) >= 900000),
+        | (F.col("ts_ms") - F.lag("ts_ms").over(wu) > 900000),
         1,
     ).otherwise(0)
     bursts = err.withColumn("new_burst", new_burst).withColumn(

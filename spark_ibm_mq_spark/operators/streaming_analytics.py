@@ -1089,7 +1089,7 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          IS NULL
                       OR ts - lag(ts) OVER (PARTITION BY user_id
                                             ORDER BY ts, event_id)
-                         >= INTERVAL 15 MINUTE
+                         > INTERVAL 15 MINUTE
                     THEN 1 ELSE 0 END AS new_burst
         FROM ev WHERE event_type = 'error'
     ),
@@ -1119,12 +1119,14 @@ def stream_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch twin's gap-sessionization exactly; the oracle is the
     same running-sum burst construction.
 
-    Boundary rule (ADVICE r10): Spark's session_window gap is
-    END-EXCLUSIVE — an error at exactly `session start + 15 min`
-    opens a NEW session. Both this oracle and the batch twin
-    therefore use `gap >= 15 min` (not strict `>`) as the new-burst
-    predicate, so an exact 900000 ms gap splits bursts in ALL three
-    formulations (stream, batch, oracle).
+    Boundary rule (ADVICE r10, settled EMPIRICALLY): Spark's
+    session_window MERGES sessions whose ranges touch — an error at
+    exactly `session start + 15 min` CONTINUES the session (verified
+    by tests/test_debounce_boundary.py against a synthetic exact-gap
+    stream; the ADVICE hypothesized the opposite). Both this oracle
+    and the batch twin therefore use strict `gap > 15 min` as the
+    new-burst predicate, so an exact 900000 ms gap stays in the SAME
+    burst in all three formulations (stream, batch, oracle).
 
     State story: one session per (user, open burst) in the state
     store, merged as events arrive and evicted once the watermark
