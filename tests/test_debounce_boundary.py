@@ -98,3 +98,57 @@ def test_duckdb_oracles_agree_at_boundary(boundary_dir):
     for name in ("events_alert_debounce", "stream_alert_debounce"):
         rows = con.execute(registry.ORACLE[name]).fetch_arrow_table().to_pylist()
         assert _canon(rows) == EXPECT_BURSTS, name
+
+
+GAP30_MS = 1_800_000  # exactly 30 minutes — the session-window family gap
+
+
+@pytest.fixture(scope="module")
+def boundary30_dir(tmp_path_factory):
+    """Exact-30-min-gap stream for the session-window family (gap 30 min):
+    events 1-2 touch the boundary dead-on, event 3 is 1 ms past it."""
+    d = tmp_path_factory.mktemp("boundary30_events")
+    ts_ms = [BASE_MS, BASE_MS + GAP30_MS, BASE_MS + 2 * GAP30_MS + 1]
+    rows = {
+        "event_id": [1, 2, 3],
+        "ts": pa.array([t * 1000 for t in ts_ms], type=pa.timestamp("us")),
+        "user_id": [9, 9, 9],
+        "event_type": ["view"] * 3,
+        "value": [1.0] * 3,
+        "props": ["{}"] * 3,
+    }
+    pq.write_table(pa.table(rows), os.path.join(str(d), "events.parquet"))
+    return str(d)
+
+
+def test_session_window_family_agrees_at_exact_gap(spark, boundary30_dir):
+    """The 30-min family (streaming session_window, batch sessionize, and
+    both oracles) all keep an exact-gap event in the SAME session: events
+    1+2 merge (touching ranges), event 3 (1 ms past) opens a new one."""
+    import duckdb
+
+    from spark_ibm_mq_spark import registry
+    from spark_ibm_mq_spark.operators.streaming_analytics import (
+        stream_session_windows,
+    )
+    from spark_ibm_mq_spark.operators.windows import win_sessionize_events
+
+    stream = sorted(
+        (r["n_events"], ) for r in
+        (x.asDict() for x in stream_session_windows(spark, boundary30_dir).collect())
+    )
+    batch = sorted(
+        (r["n_events"], ) for r in
+        (x.asDict() for x in win_sessionize_events(spark, boundary30_dir).collect())
+    )
+    assert stream == [(1,), (2,)], stream
+    assert batch == [(1,), (2,)], batch
+    registry.load_all_modules()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(boundary30_dir, 'events.parquet')}'"
+    )
+    for name in ("stream_session_windows", "win_sessionize_events"):
+        rows = con.execute(registry.ORACLE[name]).fetch_arrow_table().to_pylist()
+        assert sorted(r["n_events"] for r in rows) == [1, 2], name
