@@ -766,7 +766,13 @@ def mm_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1 << length(bin(n-1)) — the r8 log-bucket trick, no float log2);
     utilization is integer parts-per-million (sum·10⁶ div capacity), not
     a rounded double.  Plan: decode output joins documents on doc_id (the
-    only shuffle), then one tiny groupBy over ~10 buckets."""
+    only shuffle), then one tiny groupBy over ~10 buckets.
+
+    Overflow audit (sf100 bounds): the ppm numerator sum_total·10⁶ stays
+    inside bigint while a single bucket holds < 9.2e12 tokens (~9 T); a
+    100 TB corpus concentrated in one bucket can exceed that — at that
+    scale carry the numerator in decimal(38,0) (the `events_bot_score`
+    pattern). Everything else is ≤ per-doc token counts and exact."""
     decoded = _decode_df(spark, sf_dir)
     vis = decoded.select(
         "doc_id",
