@@ -123,6 +123,15 @@ def _committed_baseline(here: str, sf) -> dict[str, float]:
         return {}
 
 
+def _is_outlier(first: float, committed_median: float | None) -> bool:
+    """True when a query's first-pass median warrants the single re-run:
+    >2x its last committed median AND >0.5 s absolute (2x on a 60 ms query
+    is scheduler noise, not an I/O spike)."""
+    if committed_median is None:
+        return False
+    return first > max(2.0 * committed_median, 0.5)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -174,7 +183,7 @@ def main() -> None:
     outlier_reruns: dict[str, dict[str, float]] = {}
     for name, first in sorted(timings.items()):
         base = baseline.get(name)
-        if base is None or first <= max(2.0 * base, 0.5):
+        if not _is_outlier(first, base):
             continue
         fn = registry.QUERIES[name]
         samples = []

@@ -1,0 +1,79 @@
+"""Unit tests for bench.py's outlier re-run gate (VERDICT r10 task 3):
+the rule that keeps a single ambient I/O spike out of the committed
+bench history, and the baseline loader's same-sf guard."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _committed_baseline, _is_outlier
+
+
+def test_outlier_rule():
+    # the live r10 example: committed 1.7 s, ambient spike to 5.3 s → re-run
+    assert _is_outlier(5.32, 1.72)
+    # under 2x → not an outlier, however slow
+    assert not _is_outlier(3.0, 1.72)
+    # tiny queries never re-run: 2x of 60 ms is scheduler noise
+    assert not _is_outlier(0.3, 0.06)
+    # the absolute floor: >2x but still sub-0.5 s stays
+    assert not _is_outlier(0.45, 0.1)
+    # no baseline (new query / first run) → never an outlier
+    assert not _is_outlier(100.0, None)
+    # boundary: exactly 2x is NOT an outlier (strict >)
+    assert not _is_outlier(3.44, 1.72)
+
+
+def test_committed_baseline_requires_same_sf(tmp_path):
+    """A committed sf0.1 record must NOT gate an sf0.01 run (every query
+    would read 'fast') nor vice versa (every query would read 'outlier')."""
+    repo = tmp_path / "r"
+    repo.mkdir()
+    subprocess.run(["git", "-C", str(repo), "init", "-q"], check=True)
+    rec = {"sf": 0.1, "queries": {"q1": 1.5}}
+    (repo / "bench_full.json").write_text(json.dumps(rec))
+    subprocess.run(["git", "-C", str(repo), "add", "-A"], check=True)
+    subprocess.run(
+        ["git", "-C", str(repo), "-c", "user.email=t@t", "-c", "user.name=t",
+         "commit", "-qm", "x"],
+        check=True,
+    )
+    assert _committed_baseline(str(repo), 0.1) == {"q1": 1.5}
+    assert _committed_baseline(str(repo), 0.01) == {}
+
+
+def test_committed_baseline_prefers_head_over_worktree(tmp_path):
+    """A dirty working-tree bench_full.json (mid-session run) must not
+    move the goalposts: HEAD's record wins."""
+    repo = tmp_path / "r"
+    repo.mkdir()
+    subprocess.run(["git", "-C", str(repo), "init", "-q"], check=True)
+    (repo / "bench_full.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q1": 1.5}})
+    )
+    subprocess.run(["git", "-C", str(repo), "add", "-A"], check=True)
+    subprocess.run(
+        ["git", "-C", str(repo), "-c", "user.email=t@t", "-c", "user.name=t",
+         "commit", "-qm", "x"],
+        check=True,
+    )
+    # overwrite the worktree copy with a slower record
+    (repo / "bench_full.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q1": 9.9}})
+    )
+    assert _committed_baseline(str(repo), 0.1) == {"q1": 1.5}
+
+
+def test_committed_baseline_no_git_falls_back_to_file(tmp_path):
+    d = tmp_path / "plain"
+    d.mkdir()
+    (d / "bench_full.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q1": 2.0}})
+    )
+    assert _committed_baseline(str(d), 0.1) == {"q1": 2.0}
+    assert _committed_baseline(str(tmp_path / "missing"), 0.1) == {}
