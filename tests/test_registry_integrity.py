@@ -1,0 +1,78 @@
+"""Registry / driver-contract integrity guards.
+
+These catch the silent drifts the per-op checks can't: a typo in
+`_CHECK_FIRST` makes `_ordered` drop the name and the driver quietly
+checks a DIFFERENT 50th query; an operator edit committed without
+`scripts/stable_tier.py --update` desyncs the freshness ledger the next
+round's window is built from.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from spark_ibm_mq_spark import registry  # noqa: E402
+
+registry.load_all_modules()
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_check_first_names_all_registered():
+    e = _entry()
+    missing = [n for n in e._CHECK_FIRST if n not in registry.QUERIES]
+    assert not missing, f"_CHECK_FIRST typos (silently dropped): {missing}"
+
+
+def test_window_is_exactly_50_distinct_oracled():
+    e = _entry()
+    window = e._CHECK_FIRST[:50]
+    assert len(e._CHECK_FIRST) >= 50
+    assert len(set(window)) == 50
+    # rows-only queries never consume window slots (the r7 policy):
+    # every window row must carry a DuckDB value oracle
+    no_oracle = [n for n in window if n not in registry.ORACLE]
+    assert not no_oracle, f"rows-only in window: {no_oracle}"
+    # and the dict the driver reads leads with exactly this window
+    assert list(e.queries())[:50] == window
+
+
+def test_every_oracle_key_is_registered():
+    dangling = [n for n in registry.ORACLE if n not in registry.QUERIES]
+    assert not dangling
+
+
+def test_stable_tier_ledger_in_sync():
+    """The committed STABLE_TIER.json must fingerprint-match the current
+    operator sources + oracles — i.e. `stable_tier.py --update` ran after
+    the last operator change (the fingerprint includes docstrings)."""
+    spec = importlib.util.spec_from_file_location(
+        "stable_tier", os.path.join(REPO, "scripts", "stable_tier.py")
+    )
+    st = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(st)
+    current = st._fingerprints()
+    ledger = json.load(open(os.path.join(REPO, "STABLE_TIER.json")))
+    entries = ledger["queries"] if "queries" in ledger else ledger
+    stale = [
+        n
+        for n, fp in current.items()
+        if n not in entries or entries[n].get("fingerprint") != fp
+    ]
+    assert not stale, (
+        f"ledger out of date for {stale[:5]}{'...' if len(stale) > 5 else ''} — "
+        "run `python scripts/stable_tier.py --update` in the operator commit"
+    )
