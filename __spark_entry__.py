@@ -120,8 +120,11 @@ _CHECK_FIRST = [
     "udtf_key_explode_decorator",
     "win_value_functions",
     # --- post-window (position 51+): events_alert_debounce re-queues
-    # here — its r10 green row predates this round's >=-boundary change,
-    # so it needs a fresh driver row at the new fingerprint; verified
+    # here — the r10 ADVICE boundary question was settled EMPIRICALLY
+    # this round (session_window merges touching ranges, so both twins
+    # KEEP strict `gap > 15 min`; tests/test_debounce_boundary.py); the
+    # predicate never changed, but the docstring additions moved its
+    # ledger fingerprint, so it takes a fresh driver row; verified
     # driver_sim MATCH this session.  All r11 registrations follow it
     # (6 this round — multimodal batch, VERDICT r10 task 6 — each
     # driver_sim MATCH at sf0.01 + sf0.001 parity + invariant-tested +
@@ -143,6 +146,10 @@ _CHECK_FIRST = [
     # driver_sim MATCH + sf0.001 parity after the change):
     "graph_jaccard_link_prediction",
     "graph_adamic_adar",
+    # destabilized by slimming the shared decode schema (the unread
+    # feat array<double> no longer crosses Arrow; all 7 decode-family
+    # consumers re-verified driver_sim MATCH + parity this session):
+    "mm_decode_features",
 ]
 
 

@@ -94,14 +94,18 @@ def mq_source_throughput(spark, n_msgs: int = 50_000) -> dict[str, float]:
 _RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
-def _committed_baseline(here: str, sf) -> dict[str, float]:
+def _committed_baseline(here: str, sf) -> tuple[dict[str, float], str]:
     """Per-query medians from the LAST COMMITTED bench_full.json (VERDICT
-    r10 task 3): the outlier re-run gate compares against HEAD's record, not
-    the possibly-dirty working-tree file, so a mid-session run can't move
-    its own goalposts. Only a record at the SAME scale factor counts (an
-    sf0.01 record would flag every sf0.1 query as an outlier). Falls back
-    to the on-disk file (fresh checkout == committed), then to no baseline
-    (first ever run / no git / sf changed)."""
+    r10 task 3) plus a provenance tag recorded in the output — a gate that
+    silently degraded to no-baseline would make `outlier_reruns: {}`
+    indistinguishable from "no outliers detected". Compares against HEAD's
+    record, not the possibly-dirty working-tree file, so a mid-session run
+    can't move its own goalposts. Only a record at the SAME scale factor
+    counts (an sf0.01 record would flag every sf0.1 query as an outlier).
+    Returns (medians, source) with source ∈ HEAD | worktree | none —
+    `worktree` (no git available; fresh checkout == committed, but a dirty
+    mid-session file IS the goalpost-move risk) and `none` are visible in
+    bench_full.json for exactly that reason."""
     import subprocess
 
     def _usable(rec: dict) -> dict[str, float]:
@@ -113,14 +117,14 @@ def _committed_baseline(here: str, sf) -> dict[str, float]:
             capture_output=True, text=True, timeout=30,
         )
         if blob.returncode == 0:
-            return _usable(json.loads(blob.stdout))
+            return _usable(json.loads(blob.stdout)), "HEAD"
     except Exception:
         pass
     try:
         with open(os.path.join(here, "bench_full.json")) as f:
-            return _usable(json.load(f))
+            return _usable(json.load(f)), "worktree"
     except Exception:
-        return {}
+        return {}, "none"
 
 
 def _is_outlier(first: float, committed_median: float | None) -> bool:
@@ -179,7 +183,7 @@ def main() -> None:
     # usually passed by then); the record keeps both samples and scores the
     # min, so one spike can never enter the committed history as if real.
     here = os.path.dirname(os.path.abspath(__file__))
-    baseline = _committed_baseline(here, sf)
+    baseline, baseline_source = _committed_baseline(here, sf)
     outlier_reruns: dict[str, dict[str, float]] = {}
     for name, first in sorted(timings.items()):
         base = baseline.get(name)
@@ -214,6 +218,7 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": _RUNS,
         "outlier_reruns": outlier_reruns,
+        "outlier_baseline": baseline_source,
         **mq_rates,
         # Run attribution (VERDICT r8 task 4): same-code runs on this host
         # swing ±25% with ambient load, and builder-commit vs driver-final

@@ -50,7 +50,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECODE_SCHEMA = (
     "doc_id bigint, width int, height int, channels int, "
-    "n_frames int, feat array<double>, feat_csv string"
+    "n_frames int, feat_csv string"
 )
 
 
@@ -96,7 +96,7 @@ def _decode_batches(batches: Iterator) -> Iterator:
     for pdf in batches:
         out = {
             "doc_id": [], "width": [], "height": [],
-            "channels": [], "n_frames": [], "feat": [], "feat_csv": [],
+            "channels": [], "n_frames": [], "feat_csv": [],
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             w, h, c, nf, feat = _fake_decode(bytes(payload))
@@ -105,17 +105,21 @@ def _decode_batches(batches: Iterator) -> Iterator:
             out["height"].append(h)
             out["channels"].append(c)
             out["n_frames"].append(nf)
-            out["feat"].append(feat)
             # integer byte CSV: engine-exact on both sides (no float
-            # formatting convention to align between Python and SQL)
+            # formatting convention to align between Python and SQL),
+            # and the ONLY feature form emitted — no consumer reads the
+            # raw array<double>, so building + Arrow-shipping it per row
+            # was pure decode-path overhead (r11 review); reconstruct
+            # with split(feat_csv, ',') → transform(x/256.0) if a
+            # downstream op ever needs doubles.
             out["feat_csv"].append(",".join(str(int(v * 256)) for v in feat))
         yield pd.DataFrame(out)
 
 
 def _decode_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over binary payloads via mapInPandas: Arrow
-    batches in, typed (dims, frames, feature-vector) rows out. Internal —
-    carries the raw `feat array<double>` column for downstream operators."""
+    batches in, typed (dims, frames, feature-csv) rows out. Internal —
+    the shared base frame for every decode-derived operator."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
@@ -162,13 +166,12 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_real_decode` changes no Spark plumbing. The feature vector is emitted
     as a scalar CSV string (`feat_csv`) of integer bytes — the driver's
     canonicalizer sorts and hashes every output cell, and raw array cells
-    are unhashable there (r4 lesson); the array form stays available via
-    `_decode_df`. The oracle replays the fake decoder's sha256-digest byte
+    are unhashable there (r4 lesson). The oracle replays the fake decoder's sha256-digest byte
     arithmetic in pure SQL, so this is a FULL value-parity row (closing the
     r5 verdict's last rows-only pair) — and it doubles as an end-to-end
     check that the mapInPandas plumbing delivers every payload byte
     unmodified."""
-    return _decode_df(spark, sf_dir).drop("feat")
+    return _decode_df(spark, sf_dir)
 
 
 @register(
@@ -837,5 +840,5 @@ def stream_mm_decode_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = documents_file_stream(spark, sf_dir).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    dec = doc.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA).drop("feat")
+    dec = doc.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
     return _run_to_memory(dec, "append")

@@ -43,8 +43,8 @@ def test_committed_baseline_requires_same_sf(tmp_path):
          "commit", "-qm", "x"],
         check=True,
     )
-    assert _committed_baseline(str(repo), 0.1) == {"q1": 1.5}
-    assert _committed_baseline(str(repo), 0.01) == {}
+    assert _committed_baseline(str(repo), 0.1) == ({"q1": 1.5}, "HEAD")
+    assert _committed_baseline(str(repo), 0.01) == ({}, "HEAD")
 
 
 def test_committed_baseline_prefers_head_over_worktree(tmp_path):
@@ -66,7 +66,7 @@ def test_committed_baseline_prefers_head_over_worktree(tmp_path):
     (repo / "bench_full.json").write_text(
         json.dumps({"sf": 0.1, "queries": {"q1": 9.9}})
     )
-    assert _committed_baseline(str(repo), 0.1) == {"q1": 1.5}
+    assert _committed_baseline(str(repo), 0.1) == ({"q1": 1.5}, "HEAD")
 
 
 def test_committed_baseline_no_git_falls_back_to_file(tmp_path):
@@ -75,5 +75,5 @@ def test_committed_baseline_no_git_falls_back_to_file(tmp_path):
     (d / "bench_full.json").write_text(
         json.dumps({"sf": 0.1, "queries": {"q1": 2.0}})
     )
-    assert _committed_baseline(str(d), 0.1) == {"q1": 2.0}
-    assert _committed_baseline(str(tmp_path / "missing"), 0.1) == {}
+    assert _committed_baseline(str(d), 0.1) == ({"q1": 2.0}, "worktree")
+    assert _committed_baseline(str(tmp_path / "missing"), 0.1) == ({}, "none")

@@ -26,21 +26,19 @@ GAP_MS = 900_000  # exactly 15 minutes
 @pytest.fixture(scope="module")
 def boundary_dir(tmp_path_factory):
     """A minimal fixture dir: one user's error stream with gaps of exactly
-    15 min (boundary → split), just under (same burst), and well over
-    (split), plus a non-error row that must be filtered out."""
+    15 min (boundary → SAME burst, the verified merge-touching rule), just
+    under (same burst), and well over (split), plus a non-error row that
+    must be filtered out."""
     d = tmp_path_factory.mktemp("boundary_events")
     ts_ms = [
         BASE_MS,  # burst 1, event 1
         BASE_MS + 60_000,  # burst 1, event 2 (1 min later)
-        BASE_MS + 60_000 + GAP_MS,  # EXACT 15-min gap → burst 2
-        BASE_MS + 60_000 + GAP_MS + GAP_MS - 1,  # 1 ms under → still burst 2
-        BASE_MS + 60_000 + 2 * GAP_MS + 3_600_000,  # 1 h later → burst 3
+        BASE_MS + 60_000 + GAP_MS,  # EXACT 15-min gap → stays in burst 1
+        BASE_MS + 60_000 + GAP_MS + GAP_MS - 1,  # 1 ms under → burst 1 too
+        BASE_MS + 60_000 + 2 * GAP_MS + 3_600_000,  # >15 min later → burst 2
     ]
     rows = {
         "event_id": [1, 2, 3, 4, 5, 6],
-        "ts": pa.array(ts_ms + [BASE_MS + 30_000], type=pa.int64()).cast(
-            pa.timestamp("us"), safe=False
-        ),
         "user_id": [7, 7, 7, 7, 7, 7],
         "event_type": ["error"] * 5 + ["view"],
         "value": [1.0] * 6,
@@ -67,14 +65,14 @@ def _canon(rows):
     return sorted((r["alert_event_id"], r["suppressed"], r["burst_span_s"]) for r in rows)
 
 
-def test_batch_debounce_splits_on_exact_gap(spark, boundary_dir):
+def test_batch_debounce_keeps_exact_gap_in_burst(spark, boundary_dir):
     from spark_ibm_mq_spark.operators.events_analytics import events_alert_debounce
 
     got = _canon(r.asDict() for r in events_alert_debounce(spark, boundary_dir).collect())
     assert got == EXPECT_BURSTS
 
 
-def test_stream_debounce_splits_on_exact_gap(spark, boundary_dir):
+def test_stream_debounce_keeps_exact_gap_in_burst(spark, boundary_dir):
     """session_window('15 minutes') is the semantics AUTHORITY here: the
     event at exactly start+gap continues the session (touching ranges
     merge) — the empirical fact the strict-`>` convention mirrors."""

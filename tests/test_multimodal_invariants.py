@@ -54,8 +54,9 @@ def test_resize_letterbox_geometry(spark):
     floor'd short edge never exceeds the target."""
     from spark_ibm_mq_spark.operators.multimodal import mm_resize_letterbox_plan
 
+    text_by_id = {x["doc_id"]: x["text"] for x in _docs()}
     for r in _rows(mm_resize_letterbox_plan(spark, SF_DIR)):
-        d = _digest(next(x["text"] for x in _docs() if x["doc_id"] == r["doc_id"]))
+        d = _digest(text_by_id[r["doc_id"]])
         w, h = 64 + d[0], 64 + d[1]
         assert (r["width"], r["height"]) == (w, h)
         assert max(r["out_w"], r["out_h"]) == 224
@@ -76,11 +77,12 @@ def test_audio_chunks_cover_clip(spark):
     for r in _rows(mm_audio_chunk_plan(spark, SF_DIR)):
         per_doc[r["doc_id"]].append(r)
     assert per_doc
+    text_by_id = {x["doc_id"]: x["text"] for x in _docs()}
     for doc_id, chunks in per_doc.items():
         chunks.sort(key=lambda r: r["chunk_idx"])
         rate = chunks[0]["sample_rate"]
         n = chunks[0]["n_samples"]
-        d = _digest(next(x["text"] for x in _docs() if x["doc_id"] == doc_id))
+        d = _digest(text_by_id[doc_id])
         assert rate == 8000 * (1 + d[12] % 3)
         assert n == (rate // 1000) * (1000 + 200 * d[13])
         win, hop = 30 * rate, 25 * rate
