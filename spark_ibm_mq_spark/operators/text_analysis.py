@@ -1524,15 +1524,26 @@ def text_compression_ratio_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup."""
     d = load_table(spark, sf_dir, "documents")
     toks = spread(d, "doc_id").select("doc_id", "source", tokens("text").alias("t"))
+    # Guard the bigram positions for 1-token docs (the winnowing ADVICE
+    # class, found by the r11 descending-sequence sweep): greatest(0, 0)
+    # still yields sequence(1, 0) = [1, 0] DESCENDING — the i=0 row feeds
+    # slice(t, 0, 2), which Spark rejects at runtime (1-based starts),
+    # while the oracle's range(1, 1) is empty. Unreachable on the fixture
+    # (every doc has ≥2 tokens); the row sets must match by construction.
     bigrams = toks.select(
         "doc_id",
         "source",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
-            )
-        ).alias("bg"),
+            F.when(
+                F.size("t") >= 2,
+                F.sequence(F.lit(1), F.size("t") - 1),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice("t", F.col("i"), 2)).alias("bg"),
     )
     per_doc = bigrams.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
