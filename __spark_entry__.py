@@ -150,6 +150,9 @@ _CHECK_FIRST = [
     # feat array<double> no longer crosses Arrow; all 7 decode-family
     # consumers re-verified driver_sim MATCH + parity this session):
     "mm_decode_features",
+    # destabilized by the r11 proactive overflow sweep (decimal(38,0)
+    # carry on the effective-token sum; driver_sim MATCH + parity):
+    "dedup_soft_weighting",
 ]
 
 

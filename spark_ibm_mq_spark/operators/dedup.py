@@ -1155,9 +1155,15 @@ def dedup_soft_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine (`_resolve_duplicate_labels`, memoized per session); each
     doc's weight contribution quantizes to integer micro-units via
     EXACT integer division ((tok·10⁶) div cs — both engines' integer
-    div, no float path), so per-source sums are order-free bigints.
-    Plan: labels + cluster sizes are |dup docs|-bounded broadcasts onto
-    the narrow (doc_id, source, token-count) scan; one groupBy(source)."""
+    div, no float path), so per-source sums are order-free integers.
+    Overflow audit (sf100 bounds, r11 sweep): the per-row term is ≤
+    tok·10⁶ ≈ 1e12, but a 100 TB source holds ~1e13-1e14 tokens, putting
+    the SUM at ~1e19-1e20 — past bigint. DuckDB already sums to HUGEINT;
+    the Spark side carries the term in decimal(38,0) before summing (the
+    `events_bot_score` pattern). The doc-count sum (≤10⁶·n_docs) stays
+    bigint-safe to ~1e12 docs. Plan: labels + cluster sizes are
+    |dup docs|-bounded broadcasts onto the narrow (doc_id, source,
+    token-count) scan; one groupBy(source)."""
     labels = _resolve_duplicate_labels(spark, sf_dir).select("v", "label")
     csize = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("cs")
@@ -1180,9 +1186,11 @@ def dedup_soft_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_docs"
         ),
         F.sum("tok").cast("bigint").alias("raw_tokens"),
-        F.round(F.sum(F.expr("(tok * 1000000) div cs")) / 1000000.0, 4).alias(
-            "effective_tokens"
-        ),
+        F.round(
+            F.sum(F.expr("CAST((tok * 1000000) div cs AS DECIMAL(38,0))"))
+            / 1000000.0,
+            4,
+        ).alias("effective_tokens"),
     )
 
 
