@@ -264,6 +264,87 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# The md5 MinHash funnel's expensive halves, shared by the oracled twin
+# (`dedup_minhash_lsh_md5`) and the candidate-quality eval
+# (`dedup_minhash_recall_eval`): the 16-md5-per-doc signature frame and
+# the distinct band-join candidate pairs each materialize once per
+# session — same memo discipline as _LABELS_MEMO/_PAIRS_MEMO. Only the
+# compact candidate PAIR set checkpoints; the signature frame stays lazy
+# (see the in-function note: a sig checkpoint measured SLOWER).
+_MD5_FUNNEL_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _md5_minhash_funnel(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(sig, cand): sig = (doc_id, toks, 16-md5 minhash array),
+    lazy (shared via its forced exchange); cand = DISTINCT band-collision
+    (doc_a, doc_b), checkpointed. Candidate volume ∝ band collisions,
+    never n²."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memoized = _MD5_FUNNEL_MEMO.get(memo_key)
+    if memoized is not None:
+        return memoized
+    d = load_table(spark, sf_dir, "documents")
+    arrs = spread(
+        d.select("doc_id", F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks")),
+        "doc_id",
+    )
+
+    def _mh(i: int):
+        return F.array_min(
+            F.transform("toks", lambda t: F.md5(F.concat(F.lit(f"s{i}:"), t)))
+        )
+
+    rows_per_band = _N_MINHASH // _BANDS
+    # sig is NOT checkpointed: materializing (toks, 16x32-hex) arrays costs
+    # more than the recompute it saves — interleaved pair/control ratios:
+    # 2.32 no memo, 3.21 with a sig checkpoint, 1.38 with the cand-only
+    # memo kept here; the twin's three consumers share sig through the
+    # forced exchange instead, as before (ReuseExchange).
+    sig = spread(
+        arrs.select(
+            "doc_id",
+            "toks",
+            F.array(*[_mh(i) for i in range(_N_MINHASH)]).alias("sig"),
+        ),
+        "doc_id",
+        force=True,
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        )
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = durable_checkpoint(
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct(),
+        eager=False,
+    )
+    _MD5_FUNNEL_MEMO[memo_key] = (sig, cand)
+    return sig, cand
+
+
 @register(
     "dedup_minhash_lsh_md5",
     oracle="""
@@ -328,57 +409,10 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     The xxhash64 twin stays registered as the throughput path (64-bit
     integer hashing is ~an order of magnitude cheaper than 32-hex-char md5
     strings); this variant exists so the sketch pipeline itself has a hard
-    driver-checked oracle rather than a rows-only pass."""
-    d = load_table(spark, sf_dir, "documents")
-    arrs = spread(
-        d.select("doc_id", F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks")),
-        "doc_id",
-    )
-
-    def _mh(i: int):
-        return F.array_min(
-            F.transform("toks", lambda t: F.md5(F.concat(F.lit(f"s{i}:"), t)))
-        )
-
-    rows_per_band = _N_MINHASH // _BANDS
-    sig = spread(
-        arrs.select(
-            "doc_id",
-            "toks",
-            F.array(*[_mh(i) for i in range(_N_MINHASH)]).alias("sig"),
-        ),
-        "doc_id",
-        force=True,
-    )
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        )
-                    )
-                    for b in range(_BANDS)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    )
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    driver-checked oracle rather than a rows-only pass. The signature and
+    candidate frames come from the session-shared `_md5_minhash_funnel`
+    (also consumed by `dedup_minhash_recall_eval`)."""
+    sig, cand = _md5_minhash_funnel(spark, sf_dir)
     fa = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"), F.col("toks").alias("ta")
     )
@@ -1043,60 +1077,14 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     admits (the funnel's cost driver).
 
     Plan shape: truth reuses the size-probe equi-join of
-    `dedup_ngram_jaccard` (never all pairs); candidates reuse the md5
-    band equi-join of `dedup_minhash_lsh_md5` but stop at the DISTINCT
+    `dedup_ngram_jaccard` (never all pairs); candidates come from the
+    session-shared `_md5_minhash_funnel` (the same frame
+    `dedup_minhash_lsh_md5` verifies over) and stop at the DISTINCT
     pair set — no signature fetch, no verify join, since only membership
     is scored. Three count aggregates meet in a 1-row frame; ratios are
     one division each under round(4)."""
     truth = _jaccard_truth_pairs(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents")
-    arrs = spread(
-        d.select(
-            "doc_id",
-            F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks"),
-        ),
-        "doc_id",
-    )
-
-    def _mh(i: int):
-        return F.array_min(
-            F.transform("toks", lambda t: F.md5(F.concat(F.lit(f"s{i}:"), t)))
-        )
-
-    rows_per_band = _N_MINHASH // _BANDS
-    sig = arrs.select(
-        "doc_id", F.array(*[_mh(i) for i in range(_N_MINHASH)]).alias("sig")
-    )
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        )
-                    )
-                    for b in range(_BANDS)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    )
-    cand = durable_checkpoint(
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct(),
-        eager=False,
-    )
+    _sig, cand = _md5_minhash_funnel(spark, sf_dir)
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
     n_hits = (
