@@ -129,9 +129,9 @@ _CHECK_FIRST = [
     # (6 this round — multimodal batch, VERDICT r10 task 6 — each
     # driver_sim MATCH at sf0.01 + sf0.001 parity + invariant-tested +
     # timed at sf0.1 ≤1.6 s before commit): they lead the r12 window as
-    # never-checked, consuming 13 of its 50 slots (6 mm ops + the 7
-    # destabilized re-queues listed below) and leaving 37 for the
-    # 48-row r6-vintage rotation tier — 11 r6 rows carry to r13, the
+    # never-checked, consuming 14 of its 50 slots (6 mm ops + the 8
+    # destabilized re-queues listed below) and leaving 36 for the
+    # 48-row r6-vintage rotation tier — 12 r6 rows carry to r13, the
     # stated cost of closing the judge's multimodal-thinness call at
     # 6 ops plus this round's memo/overflow/guard hardening (every
     # destabilized op re-verified driver_sim MATCH + parity the same
@@ -155,6 +155,10 @@ _CHECK_FIRST = [
     # destabilized by the r11 proactive overflow sweep (decimal(38,0)
     # carry on the effective-token sum; driver_sim MATCH + parity):
     "dedup_soft_weighting",
+    # destabilized by the r11 descending-sequence guard (1-token docs
+    # crashed slice(t, 0, 2) pre-guard; driver_sim MATCH + parity +
+    # degenerate-doc test in tests/test_sequence_guards.py):
+    "text_compression_ratio_proxy",
     # destabilized by the r11 `_md5_minhash_funnel` session memo (pair
     # interleaved ratio 2.32 → 1.38 vs control; sim MATCH + parity):
     "dedup_minhash_lsh_md5",

@@ -102,14 +102,18 @@ def _committed_baseline(here: str, sf) -> tuple[dict[str, float], str]:
     record, not the possibly-dirty working-tree file, so a mid-session run
     can't move its own goalposts. Only a record at the SAME scale factor
     counts (an sf0.01 record would flag every sf0.1 query as an outlier).
-    Returns (medians, source) with source ∈ HEAD | worktree | none —
-    `worktree` (no git available; fresh checkout == committed, but a dirty
-    mid-session file IS the goalpost-move risk) and `none` are visible in
-    bench_full.json for exactly that reason."""
+    Returns (medians, source) with source ∈ HEAD | worktree |
+    <tier>-sf-mismatch | none — `worktree` (no git available; fresh
+    checkout == committed, but a dirty mid-session file IS the
+    goalpost-move risk), the sf-mismatch tags (a record exists but at a
+    different scale factor, so the gate ran WITHOUT a baseline), and
+    `none` are all visible in bench_full.json for exactly that reason."""
     import subprocess
 
-    def _usable(rec: dict) -> dict[str, float]:
-        return dict(rec.get("queries", {})) if rec.get("sf") == sf else {}
+    def _result(rec: dict, tier: str) -> tuple[dict[str, float], str]:
+        if rec.get("sf") == sf:
+            return dict(rec.get("queries", {})), tier
+        return {}, f"{tier}-sf-mismatch"
 
     try:
         blob = subprocess.run(
@@ -117,12 +121,12 @@ def _committed_baseline(here: str, sf) -> tuple[dict[str, float], str]:
             capture_output=True, text=True, timeout=30,
         )
         if blob.returncode == 0:
-            return _usable(json.loads(blob.stdout)), "HEAD"
+            return _result(json.loads(blob.stdout), "HEAD")
     except Exception:
         pass
     try:
         with open(os.path.join(here, "bench_full.json")) as f:
-            return _usable(json.load(f)), "worktree"
+            return _result(json.load(f), "worktree")
     except Exception:
         return {}, "none"
 

@@ -1530,20 +1530,21 @@ def text_compression_ratio_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice(t, 0, 2), which Spark rejects at runtime (1-based starts),
     # while the oracle's range(1, 1) is empty. Unreachable on the fixture
     # (every doc has ≥2 tokens); the row sets must match by construction.
+    # The transform runs INSIDE the array (the text_good_turing idiom), so
+    # the explode emits only bigram strings — never the token array per
+    # generated row (SCALE.md rule 2).
     bigrams = toks.select(
         "doc_id",
         "source",
         F.explode(
             F.when(
                 F.size("t") >= 2,
-                F.sequence(F.lit(1), F.size("t") - 1),
-            ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
-        ).alias("i"),
-        "t",
-    ).select(
-        "doc_id",
-        "source",
-        F.concat_ws(" ", F.slice("t", F.col("i"), 2)).alias("bg"),
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+        ).alias("bg"),
     )
     per_doc = bigrams.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),

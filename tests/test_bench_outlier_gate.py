@@ -44,7 +44,10 @@ def test_committed_baseline_requires_same_sf(tmp_path):
         check=True,
     )
     assert _committed_baseline(str(repo), 0.1) == ({"q1": 1.5}, "HEAD")
-    assert _committed_baseline(str(repo), 0.01) == ({}, "HEAD")
+    # a record at the wrong sf is NOT a baseline, and the provenance tag
+    # must say so — "HEAD" with an empty map would be indistinguishable
+    # from a clean gate run
+    assert _committed_baseline(str(repo), 0.01) == ({}, "HEAD-sf-mismatch")
 
 
 def test_committed_baseline_prefers_head_over_worktree(tmp_path):

@@ -49,16 +49,13 @@ def test_compression_proxy_survives_one_token_docs(spark, tiny_docs_dir):
     runtime error. Now: no bigram rows for it, matching the oracle's
     empty range(1, 1)."""
     got = sorted(
-        (r["source"], r["n_docs"])
-        for r in (
-            x.asDict()
-            for x in registry.QUERIES["text_compression_ratio_proxy"](
-                spark, tiny_docs_dir
-            ).collect()
-        )
+        tuple(sorted(x.asDict().items()))
+        for x in registry.QUERIES["text_compression_ratio_proxy"](
+            spark, tiny_docs_dir
+        ).collect()
     )
     want = sorted(
-        (r["source"], r["n_docs"])
+        tuple(sorted(r.items()))
         for r in _oracle_rows("text_compression_ratio_proxy", tiny_docs_dir)
     )
     assert got == want
