@@ -352,7 +352,10 @@ def stream_session_windows_append(spark: SparkSession, sf_dir: str) -> DataFrame
     session ends carry µs precision, and the sub-ms sliver between the two
     conventions could otherwise flip a boundary session (the tumbling/
     sliding twins are hour-aligned, where the sliver provably can't
-    matter)."""
+    matter). The eviction boundary itself is emit-at-equality
+    (`session_end <= watermark`), pinned EMPIRICALLY by
+    tests/test_watermark_boundary.py with a session ending exactly on
+    the final watermark."""
     ev = events_file_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
