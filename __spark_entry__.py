@@ -31,138 +31,96 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries() in
-# dict order.  Round-11 window — emitted verbatim by
-# `python scripts/stable_tier.py --window 50` per VERDICT r10 task 1:
-# (a) the 21 operators registered after the r10 window filled — never
-#     driver-checked (judge driver_sim MATCH at sf0.01, r10 session);
-# (b) the 29 remaining r5-vintage hash rows — the LAST r5-latest rows
-#     anywhere; after this window lands, zero r5-latest rows remain.
-# Window math (task 4, HARD cap): 21 + 29 = 50 exactly → ZERO free
-# slots for r11 registrations, so every operator registered this round
-# is placed immediately AFTER the window (never-checked priority for
-# r12) and verified via driver_sim at sf0.01 this session instead.
-# The r12 budget therefore starts at: (r11 registrations, never
-# checked) + destabilized TIER-S + r6-vintage rotation (48 rows lead,
-# per VERDICT r10 task 2) + deterministic TIER-S sentinels ≤ 50 —
-# stated here BEFORE registering, per the house rule.
+# dict order.  Round-12 window — emitted verbatim by
+# `python scripts/stable_tier.py --window 50` per VERDICT r11 task 3
+# (TIER-S ACTIVE this round: 50 queries left rotation after the r11
+# greens landed and the pending->S flip rule was implemented):
+# (a) 7 never-driver-checked oracled queries — the 6 r11 multimodal ops
+#     + agg_mutual_information, the r11 window's ONE red row (negative
+#     -0.0/-+0.0 round() split, VERDICT r11 task 1): both sides now
+#     normalize signed zero with a trailing `+ 0.0` (FIXTURES.md
+#     convention) and the hardened driver_sim (copysign-aware
+#     _cells_equal, task 2) reproduces the driver failure on the
+#     pre-fix code and MATCHes post-fix;
+# (b) 8 destabilized re-queues — fingerprint moved in r11 (memo /
+#     overflow / guard hardening) AFTER their only driver greens, so
+#     those greens attest dead code (stable_tier.py now detects this
+#     post-bootstrap class directly instead of only prior-TIER-S);
+# (c) 35 rotation rows, oldest-latest-green first — the r6-vintage
+#     tier; 13 r6 rows carry to r13 (pipeline_pii_scrub, proj_compute,
+#     scale_* x3, sim_ann_ivf + 7 more — `stable_tier.py --window`
+#     re-emits them next round).
+# Window math (task 4, HARD cap): 7 + 8 + 35 = 50 exactly -> ZERO free
+# slots for r12 registrations; any operator registered this round goes
+# immediately AFTER the window (never-checked priority for r13) and is
+# verified via the HARDENED driver_sim at sf0.01 this session instead.
+# Budget stated here BEFORE registering, per the house rule.
 #
-# ADVICE r10 note: four window queries (stream_alert_debounce,
-# events_alert_debounce's streaming twin's oracle + batch twin,
-# pipeline_profile_columns, events_bot_score,
-# dedup_winnowing_fingerprint) were source-touched THIS round closing
-# the ADVICE items (gap >= 15 min convention, left-join profile,
-# decimal sg^2 carry, guarded sequence); all re-verified driver_sim
-# MATCH at sf0.01 + sf0.001 parity after the change, and
-# STABLE_TIER.json re-fingerprinted in the same commit.
-#
-# STABLE TIER (ACTIVE from r11 — r9 task 5 proposal, r10 infra):
-# scripts/stable_tier.py maintains STABLE_TIER.json (per-query sha256 of
-# operator source + oracle SQL + a per-round green ledger).  A query is
-# TIER-S once it has 2+ hash-green driver rows from different rounds at
-# its CURRENT fingerprint; TIER-S queries leave window rotation (the
-# per-commit sf0.001 parity sweep still covers them) and re-enter at
-# never-checked priority if any commit changes their fingerprint.
-# Windows are built as: never-checked → destabilized → oldest-green
-# rotation → deterministic TIER-S sentinels.  Run
+# STABLE TIER (ACTIVE): scripts/stable_tier.py maintains
+# STABLE_TIER.json (per-query sha256 of operator source + oracle SQL +
+# a per-round green ledger).  A query is TIER-S once it is hash-green
+# in 2+ distinct rounds with at least one green at its CURRENT
+# fingerprint (the per-commit sf0.001 parity sweep bridges the
+# pre-fingerprint provenance gap); TIER-S queries leave window rotation
+# and re-enter at never-checked priority if any commit changes their
+# fingerprint.  Windows are built as: never-checked -> destabilized ->
+# oldest-green rotation -> deterministic TIER-S sentinels.  Run
 # `python scripts/stable_tier.py --update` after ANY operator-source
 # change, and build each round's window from `--window 50`.
 _CHECK_FIRST = [
-    # --- (a) r10 registrations, never driver-checked (21) ---
-    "agg_hill_tail_index",
+    # --- (a) never driver-checked (7): 6 r11 multimodal + the r11 red row ---
     "agg_mutual_information",
-    "dedup_cdc_chunking",
-    "dedup_edit_distance_parts",
-    "dedup_winnowing_fingerprint",
-    "emb_hard_negative_mining",
-    "emb_random_projection_jl",
-    "events_attribution_linear",
-    "events_bot_score",
-    "events_changepoint_cusum",
-    "events_funnel_time_bound",
-    "graph_bfs_hops",
-    "graph_kcore_peel",
-    "join_asof_nearest",
-    "pipeline_profile_columns",
-    "stream_alert_debounce",
-    "stream_cusum_monitor",
-    "stream_windowed_topk_update",
-    "text_good_turing_smoothing",
-    "win_parkinson_volatility",
-    "win_stochastic_oscillator",
-    # --- (b) the 29 remaining r5-vintage rows (retires the r5 tier) ---
-    "emb_quantize_int8",
-    "events_transition_matrix",
-    "join_interval_bucketed",
-    "pipeline_corpus_shuffle",
-    "pipeline_decontaminate",
-    "pipeline_domain_mix",
-    "pipeline_pack_sequences",
-    "pipeline_pretrain_manifest",
-    "pipeline_stratified_sample",
-    "pipeline_train_test_split",
-    "proj_price_bands_expr",
-    "scale_salted_agg",
-    "scale_zorder_manifest",
-    "stream_session_windows_append",
-    "stream_sliding_counts_append",
-    "stream_static_join_windows_append",
-    "stream_tumbling_counts_append",
-    "text_ngram_profile",
-    "text_repetition_filter",
-    "text_tfidf_top_terms",
-    "text_token_counts",
-    "text_vocab_build",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_by_linestatus",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_waiting_suppliers",
-    "udtf_key_explode_decorator",
-    "win_value_functions",
-    # --- post-window (position 51+): events_alert_debounce re-queues
-    # here — the r10 ADVICE boundary question was settled EMPIRICALLY
-    # this round (session_window merges touching ranges, so both twins
-    # KEEP strict `gap > 15 min`; tests/test_debounce_boundary.py); the
-    # predicate never changed, but the docstring additions moved its
-    # ledger fingerprint, so it takes a fresh driver row; verified
-    # driver_sim MATCH this session.  All r11 registrations follow it
-    # (6 this round — multimodal batch, VERDICT r10 task 6 — each
-    # driver_sim MATCH at sf0.01 + sf0.001 parity + invariant-tested +
-    # timed at sf0.1 ≤1.6 s before commit): they lead the r12 window as
-    # never-checked, consuming 14 of its 50 slots (6 mm ops + the 8
-    # destabilized re-queues listed below) and leaving 36 for the
-    # 48-row r6-vintage rotation tier — 12 r6 rows carry to r13, the
-    # stated cost of closing the judge's multimodal-thinness call at
-    # 6 ops plus this round's memo/overflow/guard hardening (every
-    # destabilized op re-verified driver_sim MATCH + parity the same
-    # session its fingerprint moved).
-    "events_alert_debounce",
+    "mm_audio_chunk_plan",
     "mm_phash_near_dup",
     "mm_resize_letterbox_plan",
-    "mm_audio_chunk_plan",
-    "mm_video_scene_cut_plan",
     "mm_token_budget_plan",
+    "mm_video_scene_cut_plan",
     "stream_mm_decode_drain",
-    # destabilized by the r11 `_wedge_candidates` session memo (pair
-    # measured 5.4× faster vs an interleaved control, results
-    # driver_sim MATCH + sf0.001 parity after the change):
-    "graph_jaccard_link_prediction",
-    "graph_adamic_adar",
-    # destabilized by slimming the shared decode schema (the unread
-    # feat array<double> no longer crosses Arrow; all 7 decode-family
-    # consumers re-verified driver_sim MATCH + parity this session):
-    "mm_decode_features",
-    # destabilized by the r11 proactive overflow sweep (decimal(38,0)
-    # carry on the effective-token sum; driver_sim MATCH + parity):
-    "dedup_soft_weighting",
-    # destabilized by the r11 descending-sequence guard (1-token docs
-    # crashed slice(t, 0, 2) pre-guard; driver_sim MATCH + parity +
-    # degenerate-doc test in tests/test_sequence_guards.py):
-    "text_compression_ratio_proxy",
-    # destabilized by the r11 `_md5_minhash_funnel` session memo (pair
-    # interleaved ratio 2.32 → 1.38 vs control; sim MATCH + parity):
+    # --- (b) destabilized in r11 after their last driver green (8) ---
     "dedup_minhash_lsh_md5",
     "dedup_minhash_recall_eval",
+    "dedup_soft_weighting",
+    "events_alert_debounce",
+    "graph_adamic_adar",
+    "graph_jaccard_link_prediction",
+    "mm_decode_features",
+    "text_compression_ratio_proxy",
+    # --- (c) rotation: 35 oldest-latest-green (r6-vintage tier) ---
+    "agg_cube_orders",
+    "agg_grouping_sets_sql",
+    "agg_heavy_hitters_cms",
+    "agg_monthly_orders",
+    "agg_percentiles",
+    "agg_rollup_flags",
+    "agg_skew_kurtosis",
+    "agg_stats",
+    "agg_value_histogram",
+    "datetime_funcs",
+    "dedup_embedding_cosine",
+    "dedup_exact_docs_hash",
+    "dedup_exact_events",
+    "dedup_ngram_jaccard",
+    "dedup_substr_spans",
+    "emb_centroid_per_label",
+    "emb_kmeans_3iter",
+    "emb_pq_codes",
+    "events_anomaly_zscore",
+    "events_top_paths",
+    "join_asof_click_before_purchase",
+    "join_bloom_prefilter",
+    "join_left_order_counts",
+    "join_revenue_by_nation",
+    "json_funcs",
+    "mm_frame_sample",
+    "mq_envelope_build",
+    "mq_gap_detect",
+    "mq_key_decompose",
+    "mq_latest_wins",
+    "mq_seq_repair",
+    "mq_sink_roundtrip",
+    "mq_source_batch_drain",
+    "mq_source_multi_queue_union",
+    "pipeline_chunk_documents",
 ]
 
 

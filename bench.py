@@ -140,6 +140,24 @@ def _is_outlier(first: float, committed_median: float | None) -> bool:
     return first > max(2.0 * committed_median, 0.5)
 
 
+def _score_outlier(first: float, rerun: float, committed_median: float) -> float:
+    """Value the gate scores into the record after a re-run (ADVICE r11):
+    ``min(first, max(rerun, committed_median))``.
+
+    The gate exists to SUPPRESS spikes, not to DISCOVER improvements — a
+    memo-warm rerun can be structurally faster than any cold first pass
+    (session memos and localCheckpoints survive clearCache), and plain
+    ``min(first, rerun)`` would ratchet the committed baseline downward
+    round over round, over-tightening the 2x trigger for memo-building
+    queries. Clamping the rerun at the committed median means the gate
+    can only restore a spiked query toward its committed level; genuine
+    improvements enter the baseline through spike-free rounds (the main
+    loop's median, where no gate fires). If BOTH passes spiked, the
+    lesser spike (``first`` when rerun > first) is the best available
+    estimate and is scored as before."""
+    return min(first, max(rerun, committed_median))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -184,8 +202,10 @@ def main() -> None:
     # ab_bench median is 1.7 s. Any query reading >2x its last COMMITTED
     # median (and >0.5 s absolute — 2x on a 60 ms query is scheduler noise)
     # gets one more median-of-_RUNS pass AFTER the main loop (the spike has
-    # usually passed by then); the record keeps both samples and scores the
-    # min, so one spike can never enter the committed history as if real.
+    # usually passed by then); the record keeps both samples and scores
+    # _score_outlier (rerun clamped at the committed median), so one spike
+    # can never enter the committed history as if real — and a memo-warm
+    # rerun can never ratchet the baseline downward either (ADVICE r11).
     here = os.path.dirname(os.path.abspath(__file__))
     baseline, baseline_source = _committed_baseline(here, sf)
     outlier_reruns: dict[str, dict[str, float]] = {}
@@ -202,10 +222,12 @@ def main() -> None:
         rerun = round(statistics.median(samples), 4)
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
+        scored = round(_score_outlier(first, rerun, base), 4)
         outlier_reruns[name] = {
             "first": first, "rerun": rerun, "committed_median": base,
+            "scored": scored,
         }
-        timings[name] = min(first, rerun)
+        timings[name] = scored
 
     total = round(sum(timings.values()), 4)
     mq_rates = mq_source_throughput(spark)

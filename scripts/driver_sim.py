@@ -83,6 +83,11 @@ def _cells_equal(a, b) -> bool:
             return False
         if isinstance(a, float) != isinstance(b, float):
             return False
+        if isinstance(a, float) and a == 0.0 and b == 0.0:
+            # -0.0 == 0.0 under float ==, but their reprs (and hence the
+            # driver's value-hash) differ — the r11 agg_mutual_information
+            # escape. Signed zero must match bit-for-bit.
+            return math.copysign(1.0, a) == math.copysign(1.0, b)
         return a == b
     return type(a) is type(b) and a == b
 

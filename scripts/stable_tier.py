@@ -4,10 +4,20 @@ runnable).
 
 A query is TIER-S (stable) when:
   1. it has hash-green driver rows from >= 2 distinct rounds,
-  2. its operator source + oracle SQL are byte-unchanged since the
-     earlier of those rounds (tracked here as a sha256 fingerprint), and
+  2. at least ONE of those greens was earned at the current source +
+     oracle fingerprint (sha256, tracked here from r10 on), and
   3. it is covered by the per-commit sf0.001 parity sweep (every oracled
      query is, via tests/test_oracle_parity.py).
+
+Condition (2) is deliberately "one green at the current fingerprint",
+not "all greens": fingerprints only exist from r10, so requiring every
+green to be fingerprint-attested would make pre-r10 greens worthless
+and force every query through two more window rounds.  The provenance
+gap between a historical green and the fingerprinted one is bridged by
+condition (3) — the sf0.001 parity sweep runs per commit, so a query
+whose semantics drifted between those rounds would have failed parity
+in between.  (This is the judge-prescribed r11 flip rule: "pending =
+needs one more green at the current fingerprint".)
 
 TIER-S queries can leave the window rotation pool: any commit that
 changes their fingerprint re-enters them at never-checked priority, and
@@ -106,12 +116,13 @@ def main() -> None:
     tier_s, tier_pending, tier_active = [], [], []
     for name in sorted(fps):
         since = ledger[name]["fingerprint_since_round"]
-        stable_greens = [r for r in greens.get(name, []) if r >= since]
-        if len(stable_greens) >= 2:
+        all_greens = greens.get(name, [])
+        stable_greens = [r for r in all_greens if r >= since]
+        if len(all_greens) >= 2 and stable_greens:
             tier_s.append(name)
-        elif len(greens.get(name, [])) >= 2:
-            # green twice historically, but fingerprint provenance only
-            # starts at `since`: needs one more green at this fingerprint
+        elif len(all_greens) >= 2:
+            # green twice historically, but not yet at this fingerprint:
+            # needs one more green at the current fingerprint
             tier_pending.append(name)
         else:
             tier_active.append(name)
@@ -138,7 +149,7 @@ def main() -> None:
     if "--window" in sys.argv:
         idx = sys.argv.index("--window")
         n_slots = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 50
-        _propose_window(n_slots, rnd, greens, fps, prev_ledger, tier_s)
+        _propose_window(n_slots, rnd, greens, fps, ledger, tier_s)
 
 
 def _propose_window(
@@ -146,27 +157,33 @@ def _propose_window(
     rnd: int,
     greens: dict[str, list[int]],
     fps: dict[str, str],
-    prev_ledger: dict,
+    ledger: dict,
     tier_s: list[str],
 ) -> None:
     """Proposed _CHECK_FIRST under the tier rule, in priority order:
     (1) never-driver-checked oracled queries, (2) destabilized queries —
-    recorded TIER-S last run but fingerprint changed since (re-enter at
-    never-checked priority), (3) the rotation pool oldest-latest-green
-    first, (4) a deterministic TIER-S sentinel sample (rotates with the
-    round number) filling any remaining slots. Rows-only queries (no
-    oracle) never consume a slot — the r7 policy."""
+    fingerprint changed after the ledger bootstrap and every driver
+    green predates the change (their greens attest dead code; re-enter
+    at never-checked priority), (3) the rotation pool
+    oldest-latest-green first, (4) a deterministic TIER-S sentinel
+    sample (rotates with the round number) filling any remaining slots.
+    Rows-only queries (no oracle) never consume a slot — the r7 policy."""
     from spark_ibm_mq_spark import registry
 
     oracled = set(registry.ORACLE)
     never = sorted(n for n in fps if n in oracled and not greens.get(n))
+    # Bootstrap entries all carry the ledger's first round as `since`;
+    # a later `since` means the source/oracle REALLY changed then.
+    bootstrap = min(
+        (e["fingerprint_since_round"] for e in ledger.values()), default=0
+    )
     destabilized = sorted(
         n
         for n in fps
         if n in oracled
         and greens.get(n)
-        and prev_ledger.get(n, {}).get("tier") == "S"
-        and prev_ledger[n]["fingerprint"] != fps[n]
+        and ledger[n]["fingerprint_since_round"] > bootstrap
+        and max(greens[n]) < ledger[n]["fingerprint_since_round"]
     )
     taken = set(never) | set(destabilized)
     pool = sorted(

@@ -1684,7 +1684,7 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms AS (
         SELECT c.t, c.h, c.n_th,
                round(ln(c.n_th * 1.0 * tot.n / (m1.n_t * 1.0 * m2.n_h)), 4)
-                   AS pmi,
+                   + 0.0 AS pmi,
                CAST(floor(c.n_th
                           * ln(c.n_th * 1.0 * tot.n / (m1.n_t * 1.0 * m2.n_h))
                           * 1000000 / tot.n + 0.5) AS BIGINT) AS contrib_mu
@@ -1694,9 +1694,9 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN tot
     )
     SELECT t AS event_type, h AS hour_of_day, n_th, pmi,
-           round(contrib_mu / 1000000.0, 4) AS mi_contrib,
+           round(contrib_mu / 1000000.0, 4) + 0.0 AS mi_contrib,
            round(CAST(sum(contrib_mu) OVER () AS BIGINT) / 1000000.0, 4)
-               AS mi_total
+               + 0.0 AS mi_total
     FROM terms
     """,
 )
@@ -1713,7 +1713,12 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     established PMI/entropy convention; the MI TOTAL uses the per-term
     fixed-point rule (floor(x*1e6 + 0.5) per cell BEFORE summation —
     the Theil/JSD discipline) so the sum is order-free bigint in both
-    engines. Plan: one map-side-combinable groupBy over events, then
+    engines. Signed zero: DuckDB's round() of a small negative double
+    yields -0.0 where Spark's HALF_UP decimal round yields +0.0 (the
+    r11 driver red row) — every rounded float column therefore gets a
+    final `+ 0.0` (IEEE: -0.0 + 0.0 = +0.0) on BOTH engines, the
+    FIXTURES.md signed-zero convention. Plan: one map-side-combinable
+    groupBy over events, then
     joins and a global window over the |types|x24 contingency frame —
     metadata-scale regardless of event volume; the 1-row total rides a
     broadcast."""
@@ -1749,7 +1754,7 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t",
             "h",
             "n_th",
-            F.round(F.log(ratio), 4).alias("pmi"),
+            (F.round(F.log(ratio), 4) + F.lit(0.0)).alias("pmi"),
             F.floor(
                 F.col("n_th") * F.log(ratio) * 1000000 / F.col("n") + 0.5
             )
@@ -1763,8 +1768,13 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("hour_of_day"),
         "n_th",
         "pmi",
-        F.round(F.col("contrib_mu") / 1000000.0, 4).alias("mi_contrib"),
-        F.round(
-            F.sum("contrib_mu").over(w_all).cast("bigint") / 1000000.0, 4
+        (F.round(F.col("contrib_mu") / 1000000.0, 4) + F.lit(0.0)).alias(
+            "mi_contrib"
+        ),
+        (
+            F.round(
+                F.sum("contrib_mu").over(w_all).cast("bigint") / 1000000.0, 4
+            )
+            + F.lit(0.0)
         ).alias("mi_total"),
     )

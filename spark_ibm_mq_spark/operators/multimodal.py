@@ -373,14 +373,19 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     token features.
 
     Scale shape (the house pair-generator rule, dedup.py:11): candidates
-    come ONLY from the band equi-join — volume ∝ Σ per-bucket df², never
-    n²; the final bit_count(p⊕p') ≤ 3 filter is exact verification, not
-    recall.  At 100 TB: 64-bit hash / 16-bit bands keeps buckets bounded
-    (bucket count grows 2^band_bits; band width scales with log₂ corpus),
-    shuffle rows carry (band, 8-byte hash, doc_id) — pixels never move.
-    Hash width here is 24-bit so the near-collision path has positive
-    support on uniform sha-derived fixture hashes (see geometry note
-    above); the plan is width-independent."""
+    come ONLY from the band equi-join — volume ∝ Σ per-bucket df², and
+    the final bit_count(p⊕p') ≤ 3 filter is exact verification, not
+    recall.  The Σdf² bound is sub-quadratic ONLY if band width scales
+    with corpus size: with b-bit bands on a near-uniform hash the
+    expected candidate volume is ~(bands)·n²/2^b — the fixture's 6-bit
+    bands (64 buckets/band) are therefore effectively quadratic-over-64,
+    fine at fixture n but NOT the production geometry (ADVICE r11).  At
+    100 TB use 64-bit hashes with 16-bit bands (b ≈ log₂ n + slack keeps
+    expected bucket df near 1, so Σdf² ≈ candidate pairs ≈ true
+    near-dups); shuffle rows carry (band, 8-byte hash, doc_id) — pixels
+    never move.  Hash width here is 24-bit so the near-collision path
+    has positive support on uniform sha-derived fixture hashes (see
+    geometry note above); the plan is width-independent."""
     d = load_table(spark, sf_dir, "documents")
     hx = d.select(
         "doc_id", F.sha2(F.encode("text", "utf-8"), 256).alias("h")

@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _committed_baseline, _is_outlier
+from bench import _committed_baseline, _is_outlier, _score_outlier
 
 
 def test_outlier_rule():
@@ -27,6 +27,21 @@ def test_outlier_rule():
     assert not _is_outlier(100.0, None)
     # boundary: exactly 2x is NOT an outlier (strict >)
     assert not _is_outlier(3.44, 1.72)
+
+
+def test_outlier_scoring_clamps_at_committed_median():
+    """ADVICE r11: a memo-warm rerun must not ratchet the baseline down."""
+    # ambient spike passed, rerun back to normal → score the rerun
+    assert _score_outlier(5.32, 1.80, 1.72) == 1.80
+    # memo-warm rerun BELOW the committed median → clamp at the median
+    # (min(first, rerun) would have scored 0.64 and tightened next
+    # round's 2x trigger to 1.28 s for a structurally-2.3 s query)
+    assert _score_outlier(5.32, 0.64, 2.32) == 2.32
+    # both passes spiked → the lesser spike is the best estimate
+    assert _score_outlier(5.32, 7.10, 1.72) == 5.32
+    assert _score_outlier(7.10, 5.32, 1.72) == 5.32
+    # rerun between median and first → rerun wins unclamped
+    assert _score_outlier(6.00, 3.00, 1.72) == 3.00
 
 
 def test_committed_baseline_requires_same_sf(tmp_path):
