@@ -54,7 +54,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # slots for r12 registrations; any operator registered this round goes
 # immediately AFTER the window (never-checked priority for r13) and is
 # verified via the HARDENED driver_sim at sf0.01 this session instead.
-# Budget stated here BEFORE registering, per the house rule.
+# Budget stated here BEFORE registering, per the house rule: <= 6 new
+# ops this round (r13 window shape: those never-checked + 13 r6 carry +
+# rotation — well under 50, no compounding).
 #
 # STABLE TIER (ACTIVE): scripts/stable_tier.py maintains
 # STABLE_TIER.json (per-query sha256 of operator source + oracle SQL +

@@ -847,3 +847,242 @@ def stream_mm_decode_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = doc.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
     return _run_to_memory(dec, "append")
+
+
+# ---------------------------------------------------------------------------
+# r12 EXT: cross-modal near-dup — the VERDICT r11 task-6 candidate.  Couples
+# the two existing candidate generators (pHash bands over the binary payload,
+# coarse cells over the embedding space) into ONE union candidate join with
+# per-generator provenance, then verifies every candidate with BOTH exact
+# metrics.  Reuses the parents' exact geometry verbatim (imported, not
+# copied) so the twins can never drift apart.
+# ---------------------------------------------------------------------------
+
+from spark_ibm_mq_spark.functions.vector import dot, l2_norm  # noqa: E402
+from spark_ibm_mq_spark.operators.dedup import (  # noqa: E402
+    _COS_CELLS,
+    _UNIT_SQL,
+    _dot_sql,
+)
+from spark_ibm_mq_spark.tables import size_gated_broadcast, spread  # noqa: E402
+
+_XMODAL_UDOT = _dot_sql("ua.u", "ub.u")
+
+
+@register(
+    "mm_crossmodal_near_dup",
+    oracle=f"""
+    WITH hx AS (SELECT doc_id, sha256(text) AS h FROM documents),
+    ph AS (
+        SELECT doc_id,
+               CAST({_digest_byte_sql(4)} * 65536
+                  + {_digest_byte_sql(5)} * 256
+                  + {_digest_byte_sql(6)} AS BIGINT) AS p
+        FROM hx
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, (p // 262144) % 64 AS band_val FROM ph
+        UNION ALL SELECT doc_id, 1, (p // 4096) % 64 FROM ph
+        UNION ALL SELECT doc_id, 2, (p // 64) % 64 FROM ph
+        UNION ALL SELECT doc_id, 3, p % 64 FROM ph
+    ),
+    cand_ph AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id
+    ),
+    unit AS (SELECT vec_id, {_UNIT_SQL} AS u FROM embeddings),
+    cent AS (SELECT vec_id AS cell, u AS cu FROM unit
+             ORDER BY vec_id LIMIT {_COS_CELLS}),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor(({_dot_sql('e.u', 'c.cu')}) * 1000000)
+                                DESC, c.cell) AS rn
+            FROM unit e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    cand_cell AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    cand AS (
+        SELECT doc_a, doc_b,
+               CAST(max(from_phash) AS INTEGER) AS from_phash,
+               CAST(max(from_cell)  AS INTEGER) AS from_cell
+        FROM (
+            SELECT doc_a, doc_b, 1 AS from_phash, 0 AS from_cell FROM cand_ph
+            UNION ALL
+            SELECT doc_a, doc_b, 0, 1 FROM cand_cell
+        )
+        GROUP BY doc_a, doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(pa.p, pb.p)) AS INTEGER) AS hamming,
+           round({_XMODAL_UDOT}, 4) + 0.0 AS cos_sim,
+           c.from_phash, c.from_cell
+    FROM cand c
+    JOIN ph pa ON c.doc_a = pa.doc_id
+    JOIN ph pb ON c.doc_b = pb.doc_id
+    LEFT JOIN unit ua ON c.doc_a = ua.vec_id
+    LEFT JOIN unit ub ON c.doc_b = ub.vec_id
+    WHERE bit_count(xor(pa.p, pb.p)) <= {_PHASH_HAMMING_MAX}
+       OR {_XMODAL_UDOT} >= 0.4
+    """,
+)
+def mm_crossmodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-duplicate detection (VERDICT r11 task 6): candidate
+    pairs come from the UNION of two independent keyed generators — pHash
+    band collisions over the binary payload (`mm_phash_near_dup` geometry)
+    and coarse-cell co-membership in the embedding space
+    (`dedup_embedding_cosine` geometry, doc_id = vec_id is the fixture's
+    multimodal pairing) — each pair tagged with its provenance
+    (from_phash / from_cell), then EVERY candidate verified with BOTH
+    exact metrics: bit_count Hamming on the 24-bit pHash and the exact
+    unit-cosine fold. A pair survives if either modality confirms it
+    (hamming ≤ {_PHASH_HAMMING_MAX} OR cosine ≥ 0.4). This is the standard
+    multimodal-dedup recall pattern: payload-near pairs the embedding
+    space misses (re-encoded bytes) and semantically-near pairs the pixel
+    hash misses (different crops of one scene) both surface, and the
+    provenance columns quantify each generator's marginal recall.
+
+    Scale shape (house pair rule, dedup.py:11): BOTH generators are keyed
+    equi-joins (band key / cell key) — never all-pairs; the union shuffles
+    only (doc_a, doc_b, 2 int flags); feature attach is a size-gated
+    broadcast of per-doc scalars (8-byte pHash) and unit vectors, falling
+    back to an id-keyed shuffle join past the broadcast threshold. Docs
+    without an embedding row (sf0.1: 5 000 docs, 2 000 vectors) keep NULL
+    cos_sim and can only pass via the Hamming gate — LEFT join semantics,
+    identical three-valued logic both engines. Band/cell geometry scale
+    caveats are the parents' (band width ∝ log₂ corpus, K ≈ n/cell-size)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    # --- pHash side (mm_phash_near_dup geometry, 24-bit, 4 x 6-bit bands)
+    ph = d.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.sha2(F.encode("text", "utf-8"), 256), 9, 6), 16, 10
+        )
+        .cast("bigint")
+        .alias("p"),
+    )
+    bands = ph.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.expr("(p div 262144) % 64"),
+                F.expr("(p div 4096) % 64"),
+                F.expr("(p div 64) % 64"),
+                F.expr("p % 64"),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    cand_ph = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            [
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        # no .distinct() here: a pair collides in <= 4 bands and the
+        # union's groupBy(doc_a, doc_b) below dedups anyway — an inner
+        # distinct would add a full extra shuffle of the candidate list
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(1).alias("from_phash"),
+            F.lit(0).alias("from_cell"),
+        )
+    )
+
+    # --- embedding side (dedup_embedding_cosine geometry: 8 cells,
+    # micro-unit-rounded assignment so a 1-ulp divergence can't flip a cell)
+    unit = (
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+        )
+        .withColumn("nrm", l2_norm(F.col("ed")))
+        .select("vec_id", F.transform("ed", lambda x: x / F.col("nrm")).alias("u"))
+    )
+    cent = F.broadcast(
+        unit.orderBy("vec_id")
+        .limit(_COS_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("u").alias("cu"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.floor(F.col("c_sim") * 1e6).desc(), F.col("cell")
+    )
+    assign = spread(
+        unit.crossJoin(cent)
+        .withColumn("c_sim", dot(F.col("u"), F.col("cu")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell"),
+        "cell",
+        force=True,
+    )
+    cand_cell = (
+        assign.alias("a")
+        .join(
+            assign.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            F.lit(0).alias("from_phash"),
+            F.lit(1).alias("from_cell"),
+        )
+    )
+
+    # --- union with provenance, one row per pair
+    cand = (
+        cand_ph.unionByName(cand_cell)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("from_phash").cast("int").alias("from_phash"),
+            F.max("from_cell").cast("int").alias("from_cell"),
+        )
+    )
+
+    # --- dual verification: exact Hamming always present (pHash derives
+    # from text), exact cosine NULL when either side lacks a vector
+    pa = size_gated_broadcast(ph.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("p_a")))
+    pb = size_gated_broadcast(ph.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("p_b")))
+    ua = size_gated_broadcast(unit.select(F.col("vec_id").alias("doc_a"), F.col("u").alias("u_a")))
+    ub = size_gated_broadcast(unit.select(F.col("vec_id").alias("doc_b"), F.col("u").alias("u_b")))
+    cos = F.aggregate(
+        F.zip_with("u_a", "u_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ham = F.bit_count(F.col("p_a").bitwiseXOR(F.col("p_b"))).cast("int")
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .join(ua, "doc_a", "left")
+        .join(ub, "doc_b", "left")
+        .withColumn("hamming", ham)
+        .withColumn("cos_raw", cos)
+        .filter(
+            (F.col("hamming") <= _PHASH_HAMMING_MAX)
+            | (F.col("cos_raw") >= 0.4)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            (F.round(F.col("cos_raw"), 4) + F.lit(0.0)).alias("cos_sim"),
+            "from_phash",
+            "from_cell",
+        )
+    )

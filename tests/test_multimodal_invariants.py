@@ -206,3 +206,43 @@ def test_audio_chunk_geometry_property(rate, dur_byte):
         assert (len(chunks) - 2) * hop + win < n
     # no vacuous chunk: every chunk contains at least one sample
     assert all(s < e for s, e in chunks)
+
+
+def test_crossmodal_superset_of_both_parents(spark):
+    """mm_crossmodal_near_dup must contain EVERY pair either parent emits
+    (union of generators + union of verification gates ⇒ superset of
+    each), with the matching provenance flag set and identical verified
+    metrics; and every emitted pair must carry at least one provenance
+    flag and pass at least one gate."""
+    from spark_ibm_mq_spark.operators.dedup import dedup_embedding_cosine
+    from spark_ibm_mq_spark.operators.multimodal import (
+        mm_crossmodal_near_dup,
+        mm_phash_near_dup,
+    )
+
+    xm = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in _rows(mm_crossmodal_near_dup(spark, SF_DIR))
+    }
+
+    for r in _rows(mm_phash_near_dup(spark, SF_DIR)):
+        k = (r["doc_a"], r["doc_b"])
+        assert k in xm, f"phash pair {k} missing from crossmodal"
+        assert xm[k]["from_phash"] == 1
+        assert xm[k]["hamming"] == r["hamming"]
+
+    for r in _rows(dedup_embedding_cosine(spark, SF_DIR)):
+        k = (r["vec_a"], r["vec_b"])
+        assert k in xm, f"cosine pair {k} missing from crossmodal"
+        assert xm[k]["from_cell"] == 1
+        # dedup_embedding_cosine rounds without the signed-zero +0.0 term,
+        # but cos >= 0.4 there so both rounds are positive and equal
+        assert xm[k]["cos_sim"] == r["cos_sim"]
+
+    for k, r in xm.items():
+        assert r["from_phash"] == 1 or r["from_cell"] == 1, k
+        ham_ok = r["hamming"] <= 3
+        cos_ok = r["cos_sim"] is not None and r["cos_sim"] >= 0.4
+        # cos_sim is rounded to 4 dp; a raw cos in [0.4, 0.40005) rounds
+        # to 0.4 so the rounded check is faithful at this boundary
+        assert ham_ok or cos_ok, (k, r)
