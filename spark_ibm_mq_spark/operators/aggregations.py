@@ -1778,3 +1778,130 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("mi_total"),
     )
+
+
+@register(
+    "agg_ks_source_drift",
+    oracle="""
+    WITH per AS (
+        SELECT source, n_chars AS v, count(*) AS c
+        FROM documents GROUP BY source, n_chars
+    ),
+    ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM per GROUP BY source),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM per),
+    grid AS (SELECT DISTINCT v FROM per),
+    gcum AS (
+        SELECT v, CAST(sum(c_v) OVER (ORDER BY v) AS BIGINT) AS c_all
+        FROM (SELECT v, sum(c) AS c_v FROM per GROUP BY v)
+    ),
+    dense AS (
+        SELECT ns.source, ns.n_s, g.v, COALESCE(p.c, 0) AS c
+        FROM ns CROSS JOIN grid g
+        LEFT JOIN per p ON p.source = ns.source AND p.v = g.v
+    ),
+    scum AS (
+        SELECT source, n_s, v,
+               CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT)
+                   AS c_s
+        FROM dense
+    ),
+    dnum AS (
+        SELECT s.source, s.n_s, s.v,
+               abs(CAST(s.c_s AS HUGEINT) * t.n_all
+                   - CAST(g.c_all AS HUGEINT) * s.n_s) AS d_num
+        FROM scum s JOIN gcum g ON s.v = g.v CROSS JOIN tot t
+    ),
+    ranked AS (
+        SELECT source, n_s, v, d_num,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY d_num DESC, v) AS rn
+        FROM dnum
+    )
+    SELECT r.source, r.n_s AS n_docs,
+           round(CAST(r.d_num AS DOUBLE)
+                 / (CAST(r.n_s AS DOUBLE) * t.n_all), 4) AS d_stat,
+           CAST(r.v AS BIGINT) AS ks_at
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rn = 1
+    """,
+)
+def agg_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift screen: the exact two-sample
+    Kolmogorov–Smirnov statistic between each source's document-length
+    (n_chars) ECDF and the POOLED corpus ECDF — the screening statistic a
+    training pipeline runs per ingest source to catch a feed whose length
+    profile shifted (truncation bugs, boilerplate injection, encoding
+    breaks). One row per source: D = max_v |F_s(v) − F_all(v)|, the value
+    attaining it (smallest on ties), and the source size.
+
+    Exactness (house integer discipline): ECDF differences are compared
+    as integer cross-products |c_s·N − c_all·n_s| — counts never pass
+    through floats before the argmax, so the max and its arg are
+    bit-identical across engines; the single final division is
+    double-on-both-sides with round(4). The cross-products reach
+    n_s·N ≈ 1e24 at 100 TB-scale corpus counts — far past bigint — so
+    both engines carry them in decimal(38,0)/HUGEINT (the bot-score /
+    Bollinger rule, events_analytics.py:2142).
+
+    Scale shape: one partial+final groupBy over (source, length) compresses
+    the corpus to metadata scale (|sources|·|distinct lengths| rows —
+    bounded, not ∝ corpus); everything after (grid cross join, cumulative
+    windows, per-source argmax) runs on that compressed frame. The pooled
+    total rides a broadcast-scalar carry (crossJoin of a 1-row aggregate,
+    the documented house pattern); per-source ECDF windows partition on
+    source — no global window over data-scale rows."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ns = per.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    tot = per.agg(F.sum("c").cast("bigint").alias("n_all"))
+    grid = per.select("v").distinct()
+    w_g = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gcum = (
+        per.groupBy("v")
+        .agg(F.sum("c").alias("c_v"))
+        .select("v", F.sum("c_v").over(w_g).cast("bigint").alias("c_all"))
+    )
+    dense = (
+        ns.crossJoin(grid)
+        .join(per, ["source", "v"], "left")
+        .select("source", "n_s", "v", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scum = dense.select(
+        "source", "n_s", "v", F.sum("c").over(w_s).cast("bigint").alias("c_s")
+    )
+    dnum = (
+        scum.join(gcum, "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            "v",
+            "n_all",
+            F.abs(
+                F.col("c_s").cast("decimal(38,0)") * F.col("n_all")
+                - F.col("c_all").cast("decimal(38,0)") * F.col("n_s")
+            ).alias("d_num"),
+        )
+    )
+    w_rank = Window.partitionBy("source").orderBy(F.col("d_num").desc(), F.col("v"))
+    return (
+        dnum.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_s").cast("double") * F.col("n_all").cast("double")),
+                4,
+            ).alias("d_stat"),
+            F.col("v").cast("bigint").alias("ks_at"),
+        )
+    )

@@ -815,3 +815,40 @@ def test_centroid_drift_matches_numpy(spark):
         l2 = math.sqrt(float((d.astype(object) ** 2).sum())) / 1e6
         assert abs(got[lbl]["drift_l2"] - round(l2, 4)) < 1e-9
         assert got[lbl]["drift_max_dim"] == round(int(np.abs(d).max()) / 1e6, 4)
+
+
+def test_ks_source_drift_matches_manual(spark):
+    """Independent pure-Python replay of the per-source two-sample KS
+    statistic vs the pooled ECDF: integer cross-products for the argmax
+    (mirroring the engines' decimal carry), engine-order double division
+    + floor(x*1e4+0.5) for the rounded statistic."""
+    from spark_ibm_mq_spark.operators.aggregations import agg_ks_source_drift
+
+    docs = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["source", "n_chars"]
+    ).to_pylist()
+    by_src = defaultdict(Counter)
+    pooled = Counter()
+    for r in docs:
+        by_src[r["source"]][r["n_chars"]] += 1
+        pooled[r["n_chars"]] += 1
+    grid = sorted(pooled)
+    n_all = sum(pooled.values())
+    want = {}
+    for src, cnt in by_src.items():
+        n_s = sum(cnt.values())
+        c_s = c_all = 0
+        best = None  # (d_num, v) — max d_num, min v on ties
+        for v in grid:
+            c_s += cnt.get(v, 0)
+            c_all += pooled[v]
+            d_num = abs(c_s * n_all - c_all * n_s)
+            if best is None or d_num > best[0]:
+                best = (d_num, v)
+        d_stat = math.floor(best[0] / (n_s * 1.0 * n_all) * 1e4 + 0.5) / 1e4
+        want[src] = (n_s, d_stat, best[1])
+    got = {
+        r["source"]: (r["n_docs"], r["d_stat"], r["ks_at"])
+        for r in agg_ks_source_drift(spark, SF_DIR).collect()
+    }
+    assert got == want
