@@ -780,3 +780,93 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lyr in layers[1:]:
         out = out.unionByName(lyr)
     return out.select(F.col("nd").alias("part"), "hops")
+
+
+_LP_ROUNDS = 3
+
+
+def _lp_iter_cte(k: int) -> str:
+    """One synchronous label-propagation round as a CTE pair: per-node
+    neighbor-label counts, then the majority label (smallest on ties)."""
+    prev = f"l{k - 1}"
+    return f"""
+    c{k} AS (
+        SELECT e.t AS node, l.lbl, count(*) AS c
+        FROM sym e JOIN {prev} l ON e.s = l.node
+        GROUP BY 1, 2
+    ),
+    l{k} AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl) AS rn
+            FROM c{k}
+        ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_KNN_GRAPH_CTE
+    + ", l0 AS (SELECT node, node AS lbl FROM deg),"
+    + ",".join(_lp_iter_cte(k) for k in range(1, _LP_ROUNDS + 1))
+    + f"""
+    SELECT l.node AS part, l.lbl AS community,
+           CAST(s.n AS BIGINT) AS community_size
+    FROM l{_LP_ROUNDS} l
+    JOIN (SELECT lbl, count(*) AS n FROM l{_LP_ROUNDS} GROUP BY 1) s
+      ON l.lbl = s.lbl
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous majority-vote label propagation
+    (RAK label propagation, 3 rounds) over the k-NN co-purchase graph:
+    every part starts labeled with its own id; each round every node
+    adopts the label most frequent among its neighbors, smallest label on
+    ties — fully deterministic, so the result is engine-exact (integer
+    counts, integer labels, rank-ordered argmax; no floats anywhere).
+    Complements `dedup_cluster_resolve` (connected components = transitive
+    reachability) and `graph_pagerank_copurchase` (centrality): LP finds
+    DENSE neighborhoods inside one component — the "substitutable /
+    co-bought cluster" structure a sampling or negative-mining pipeline
+    stratifies by.
+
+    Scale shape: runs on the SPARSIFIED k-NN graph (`_knn_graph`, shared
+    session memo + checkpoint — edge volume N·K·2, never Σdeg²); each
+    round is one keyed join (edges ⋈ labels on the source key) + one
+    partial+final count aggregate + one per-node window on the
+    (node, label) pairs — ≤ N·K rows per round. The synchronous update
+    needs no driver-side state: labels stay a DataFrame the whole loop,
+    and at 100 TB the per-round label frame gets the every-~5-rounds
+    checkpoint the PageRank loop documents. Every node has degree ≥ 1 by
+    k-NN construction, so the inner join loses no vertices."""
+    sym, _, deg = _knn_graph(spark, sf_dir)
+    labels = deg.select("node", F.col("node").alias("lbl"))
+    from pyspark.sql import Window
+
+    w_maj = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(_LP_ROUNDS):
+        counts = (
+            sym.join(
+                size_gated_broadcast(
+                    labels.withColumnRenamed("node", "s")
+                ),
+                "s",
+            )
+            .groupBy(F.col("t").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w_maj))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        labels.join(size_gated_broadcast(sizes), "lbl")
+        .select(
+            F.col("node").alias("part"),
+            F.col("lbl").alias("community"),
+            F.col("n").alias("community_size"),
+        )
+    )

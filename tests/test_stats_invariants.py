@@ -852,3 +852,31 @@ def test_ks_source_drift_matches_manual(spark):
         for r in agg_ks_source_drift(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_label_propagation_matches_manual(spark):
+    """Pure-Python replay of 3 synchronous majority-vote LP rounds on the
+    top-5 co-purchase graph: per-node neighbor-label counts, majority
+    label with smallest-label tie-break — integer-exact, so the replay
+    must agree cell-for-cell."""
+    from spark_ibm_mq_spark.operators.graph_analytics import (
+        graph_label_propagation,
+    )
+
+    adj = _knn_graph_sets()
+    labels = {u: u for u in adj}
+    for _ in range(3):
+        nxt = {}
+        for u in adj:
+            cnt = Counter(labels[v] for v in adj[u])
+            # majority, smallest label on ties
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            nxt[u] = best
+        labels = nxt
+    sizes = Counter(labels.values())
+    want = {u: (labels[u], sizes[labels[u]]) for u in adj}
+    got = {
+        r["part"]: (r["community"], r["community_size"])
+        for r in graph_label_propagation(spark, SF_DIR).collect()
+    }
+    assert got == want
