@@ -16,7 +16,12 @@ from spark_ibm_mq_spark.functions.text import (
     tokens,
 )
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import load_table, spread
+from spark_ibm_mq_spark.tables import (
+    durable_checkpoint,
+    load_table,
+    size_gated_broadcast,
+    spread,
+)
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
 
@@ -1646,5 +1651,142 @@ def text_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (F.col("r") + 1) * nxt * 1.0 / (F.col("n_r") * F.col("n_bigrams")), 8
             ).alias("gt_prob_per_type"),
+        )
+    )
+
+
+_TEXTRANK_ROUNDS = 3
+
+
+def _textrank_iter_cte(k: int) -> str:
+    """One weighted-PageRank round over the word graph (contribution sum +
+    damped update) — the `graph_analytics._iter_cte` shape with edge
+    weights w/wsum replacing 1/deg."""
+    prev = f"r{k - 1}"
+    return f"""
+    c{k} AS (
+        SELECT e.b AS node, sum(r.score * e.w / d.wsum) AS s
+        FROM edges e
+        JOIN {prev} r ON e.a = r.node
+        JOIN ws d ON e.a = d.a
+        GROUP BY 1
+    ),
+    r{k} AS (
+        SELECT nd.node,
+               CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(c.s, 0)
+                   AS score
+        FROM nodes nd LEFT JOIN c{k} c ON nd.node = c.node
+    )"""
+
+
+@register(
+    "text_textrank_keywords",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    bg AS (
+        SELECT t[u.i] AS w1, t[u.i + 1] AS w2
+        FROM toks, LATERAL unnest(range(1, greatest(len(t), 1))) AS u(i)
+    ),
+    sym AS (
+        SELECT w1 AS a, w2 AS b FROM bg WHERE w1 <> w2
+        UNION ALL
+        SELECT w2, w1 FROM bg WHERE w1 <> w2
+    ),
+    edges AS (SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM sym GROUP BY 1, 2),
+    ws AS (SELECT a, CAST(sum(w) AS BIGINT) AS wsum FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+    """
+    + ",".join(_textrank_iter_cte(k) for k in range(1, _TEXTRANK_ROUNDS + 1))
+    + f"""
+    SELECT r.node AS word,
+           nn.n_neighbors,
+           d.wsum AS w_total,
+           round(r.score, 4) AS score
+    FROM r{_TEXTRANK_ROUNDS} r
+    JOIN ws d ON r.node = d.a
+    JOIN (SELECT a, CAST(count(*) AS BIGINT) AS n_neighbors
+          FROM edges GROUP BY 1) nn ON r.node = nn.a
+    """,
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau): weighted PageRank
+    (damping 0.85, 3 synchronous rounds from score 1.0) over the word
+    co-occurrence graph — vertices are corpus words, edges link ADJACENT
+    tokens (window 2, both directions, self-pairs dropped), edge weight =
+    corpus-wide adjacency count. Words central to the adjacency structure
+    outrank merely-frequent words — the graph-based complement to
+    `text_tfidf_top_terms` (frequency-contrast) and `text_rake_keywords`
+    (phrase-run heuristics). Output: one row per word with its degree,
+    total adjacency weight, and damped-rank score.
+
+    Exactness: graph construction is all-integer (counts / bigint
+    weights); the rank walk mirrors `graph_pagerank_copurchase`'s
+    accepted discipline — identical expression shape
+    (score·w/wsum, damped update) on both engines, round(4) on output
+    only. Docs with <2 tokens contribute no edges; the Spark bigram
+    explode uses the gated-transform idiom (size ≥ 2 guard, r11 house
+    rule) so 1-token docs never hit sequence(1, 0).
+
+    Scale shape: one tokenize + adjacency-pair explode (the
+    `text_bigram_logprob` shuffle: (word, word, int) rows — no doc
+    payloads), then everything runs on the |V|² -bounded edge frame:
+    tokenizer vocabularies are bounded (~100 k types), so the graph is
+    metadata-scale regardless of corpus bytes, and each rank round is a
+    keyed join + partial+final aggregate on it (`size_gated_broadcast`
+    on the |V|-row rank frame keeps rounds map-side)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(tokens("text").alias("t"))
+    pair_struct = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    bg = (
+        t.select(F.explode(pair_struct).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter(F.col("w1") != F.col("w2"))
+    )
+    sym = bg.select(F.col("w1").alias("a"), F.col("w2").alias("b")).unionAll(
+        bg.select(F.col("w2").alias("a"), F.col("w1").alias("b"))
+    )
+    edges = durable_checkpoint(
+        sym.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("w")),
+        eager=False,
+    )
+    ws = edges.groupBy("a").agg(F.sum("w").cast("bigint").alias("wsum"))
+    contrib_src = durable_checkpoint(edges.join(ws, "a"), eager=False)
+    nodes = contrib_src.select(F.col("a").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(1.0).alias("score"))
+    for _ in range(_TEXTRANK_ROUNDS):
+        c = (
+            contrib_src.join(
+                size_gated_broadcast(ranks.withColumnRenamed("node", "a")),
+                "a",
+            )
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum(F.col("score") * F.col("w") / F.col("wsum")).alias("s"))
+        )
+        ranks = nodes.join(c, "node", "left").select(
+            "node",
+            (
+                F.lit(0.15) + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("score"),
+        )
+    nn = edges.groupBy("a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors")
+    )
+    return (
+        ranks.join(ws.withColumnRenamed("a", "node"), "node")
+        .join(nn.withColumnRenamed("a", "node"), "node")
+        .select(
+            F.col("node").alias("word"),
+            "n_neighbors",
+            F.col("wsum").alias("w_total"),
+            F.round("score", 4).alias("score"),
         )
     )

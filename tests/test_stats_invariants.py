@@ -880,3 +880,40 @@ def test_label_propagation_matches_manual(spark):
         for r in graph_label_propagation(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_textrank_matches_manual(spark):
+    """Pure-Python weighted-PageRank replay over the word-adjacency graph:
+    integer graph columns must agree exactly; damped scores to 5e-5
+    (double sum order differs between replay and engine)."""
+    from spark_ibm_mq_spark.operators.text_analysis import (
+        text_textrank_keywords,
+    )
+
+    docs = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["text"]
+    ).to_pylist()
+    w = Counter()
+    for r in docs:
+        t = r["text"].strip().split()
+        for i in range(len(t) - 1):
+            if t[i] != t[i + 1]:
+                w[(t[i], t[i + 1])] += 1
+                w[(t[i + 1], t[i])] += 1
+    wsum = Counter()
+    neigh = defaultdict(set)
+    for (a, b), c in w.items():
+        wsum[a] += c
+        neigh[a].add(b)
+    score = {a: 1.0 for a in wsum}
+    for _ in range(3):
+        s = defaultdict(float)
+        for (a, b), c in sorted(w.items()):
+            s[b] += score[a] * c / wsum[a]
+        score = {a: 0.15 + 0.85 * s[a] for a in wsum}
+    got = {r["word"]: r for r in text_textrank_keywords(spark, SF_DIR).collect()}
+    assert set(got) == set(wsum)
+    for a, r in got.items():
+        assert r["n_neighbors"] == len(neigh[a])
+        assert r["w_total"] == wsum[a]
+        assert abs(r["score"] - score[a]) < 5e-5, (a, r["score"], score[a])
