@@ -1854,6 +1854,16 @@ def agg_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = d.groupBy("source", F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).alias("c")
     )
+    return ks_drift_from_counts(per)
+
+
+def ks_drift_from_counts(per: DataFrame) -> DataFrame:
+    """Per-source KS statistic derived from a (source, v, c) count frame —
+    the read-time half of the drift screen, shared by the one-shot batch
+    operator above and its incremental streaming twin
+    (`stream_ks_drift_monitor`): the counts are the sufficient statistic
+    (a trivially associative bigint monoid), so any maintenance strategy
+    that lands the same counts gets the identical KS by construction."""
     ns = per.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
     tot = per.agg(F.sum("c").cast("bigint").alias("n_all"))
     grid = per.select("v").distinct()

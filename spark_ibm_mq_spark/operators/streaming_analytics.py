@@ -1334,3 +1334,75 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("drift_alarm"),
     )
+
+
+def _ks_drift_oracle() -> str:
+    # incremental-view-maintenance contract: the merged count state must
+    # equal the one-shot computation, so the batch oracle is reused verbatim
+    from spark_ibm_mq_spark.registry import ORACLE
+
+    return ORACLE["agg_ks_source_drift"]
+
+
+@register("stream_ks_drift_monitor", oracle=_ks_drift_oracle())
+def stream_ks_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`agg_ks_source_drift` maintained INCREMENTALLY — the deployment
+    shape of a per-source drift screen, which in production watches feeds
+    as they land rather than re-scanning the corpus nightly: documents
+    replay in 4 micro-batches through a foreachBatch merge that folds each
+    batch's (source, length) counts into a running snapshot (a trivially
+    associative bigint monoid — the `stream_cusum_monitor` /
+    `stream_tpch_q1_incremental` discipline), and the KS statistic derives
+    from the merged counts at read time via the SAME
+    `ks_drift_from_counts` the batch operator uses. Final state must equal
+    the one-shot computation — the incremental-view-maintenance guarantee
+    — which is why this twin reuses the batch oracle VERBATIM.
+
+    Computing D at read time is the correct factoring, not a shortcut:
+    the pooled ECDF is corpus-wide, so any per-batch D would compare
+    against provisional totals; the stream maintains the sufficient
+    statistic (the count frame) exactly, and the |sources|·|lengths|-row
+    KS recomputation is metadata-scale. Scale shape: each micro-batch
+    pre-aggregates to ≤ |sources|·|lengths| rows before touching the
+    snapshot; snapshot commits are batch_id-keyed (idempotent under
+    foreachBatch's at-least-once replay)."""
+    from spark_ibm_mq_spark.operators.aggregations import ks_drift_from_counts
+    from spark_ibm_mq_spark.operators.mq_source import _scratch
+
+    d = _scratch("fb_ksdrift_")
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    src = _replay_src(docs, "doc_ksdrift", sf_dir, ("documents",))
+
+    applied: dict[int, str] = {}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:
+            return
+        agg = batch_df.groupBy("source", F.col("n_chars").alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        prev_ids = [b for b in applied if b < batch_id]
+        if prev_ids:
+            prev = batch_df.sparkSession.read.parquet(applied[max(prev_ids)])
+            agg = (
+                prev.unionByName(agg)
+                .groupBy("source", "v")
+                .agg(F.sum("c").cast("bigint").alias("c"))
+            )
+        path = os.path.join(d, f"snap_b{batch_id}")
+        agg.write.mode("overwrite").parquet(path)
+        applied[batch_id] = path
+
+    q = (
+        spark.readStream.schema("source string, n_chars bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(applied) >= 4, f"expected >=4 merge rounds, got {len(applied)}"
+    counts = spark.read.parquet(applied[max(applied)])
+    return ks_drift_from_counts(counts)
