@@ -1488,3 +1488,155 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_jaccard"),
         )
     )
+
+
+# Banding geometries swept by `dedup_lsh_band_profile`: (bands, rows) with
+# bands*rows = 16 signatures. (4,4) is the production funnel's geometry —
+# its row doubles as a sanity anchor against `dedup_minhash_recall_eval`.
+_LSH_SWEEP_CONFIGS = ((2, 8), (4, 4), (8, 2))
+
+
+def _lsh_capture(j: float, r: int, b: int) -> float:
+    """P(candidate | jaccard=j) = 1-(1-j^r)^b, rounded to 4 dp.  Computed
+    driver-side and emitted as IDENTICAL literals in both engines — pow()
+    libm differences can never split the twins on config metadata."""
+    return round(1.0 - (1.0 - j**r) ** b, 4)
+
+
+def _lsh_sweep_oracle() -> str:
+    sig_lines = ",\n           ".join(
+        f"list_aggregate(list_transform(toks, t -> md5('s{i}:' || t)), 'min')"
+        for i in range(_N_MINHASH)
+    )
+    band_ctes = []
+    for b, r in _LSH_SWEEP_CONFIGS:
+        idx = ", ".join(str(k) for k in range(b))
+        hashes = ", ".join(
+            "md5(" + "||".join(f"sig[{k * r + i + 1}]" for i in range(r)) + ")"
+            for k in range(b)
+        )
+        band_ctes.append(
+            f"SELECT doc_id, {b} AS bands, {r} AS rpb,"
+            f" unnest([{idx}]) AS band_idx, unnest([{hashes}]) AS bh FROM sig"
+        )
+    cap70 = " ".join(
+        f"WHEN {b} THEN CAST({_lsh_capture(0.7, r, b)} AS DOUBLE)"
+        for b, r in _LSH_SWEEP_CONFIGS
+    )
+    cap95 = " ".join(
+        f"WHEN {b} THEN CAST({_lsh_capture(0.95, r, b)} AS DOUBLE)"
+        for b, r in _LSH_SWEEP_CONFIGS
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+           [{sig_lines}] AS sig
+        FROM toks
+    ),
+    bands AS ({" UNION ALL ".join(band_ctes)}),
+    buckets AS (
+        SELECT bands, rpb, band_idx, bh, CAST(count(*) AS BIGINT) AS df
+        FROM bands GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(bands AS INTEGER) AS bands,
+           CAST(rpb AS INTEGER) AS rows_per_band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(df) AS BIGINT) AS max_df,
+           CAST(sum(CAST(df AS HUGEINT) * (df - 1) // 2) AS BIGINT)
+               AS pair_volume,
+           CASE bands {cap70} END AS capture_at_070,
+           CASE bands {cap95} END AS capture_at_095
+    FROM buckets GROUP BY bands, rpb
+    """
+
+
+@register("dedup_lsh_band_profile", oracle=_lsh_sweep_oracle())
+def dedup_lsh_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-geometry sweep — the parameter-choice tool for the
+    MinHash funnel: regroups the SAME 16 md5 minhash signatures
+    (session-shared `_md5_minhash_funnel` frame) into 2×8 / 4×4 / 8×2
+    (bands × rows) and reports, per geometry, the two sides of the LSH
+    tradeoff: the theoretical S-curve capture probability
+    1−(1−j^r)^b at j=0.7 and j=0.95 (computed driver-side and emitted as
+    identical literals in both engines — config metadata, immune to pow()
+    libm drift) against the MEASURED candidate workload: bucket count,
+    max bucket df, and Σ C(df,2) — the exact-verify pair volume the band
+    join would admit. More bands → steeper recall at the target
+    similarity but more buckets probed; this query quantifies the knee on
+    the actual corpus. (4,4) is the production geometry, anchored by
+    `dedup_minhash_recall_eval`'s measured recall.
+
+    Scale shape — the reason this sweeps BUCKET AGGREGATES, not pairs:
+    Σ C(df,2) is computable from groupBy(band, hash).count() alone, so
+    the sweep never materializes a candidate pair even for geometries
+    whose pair volume would be quadratic (a 1-row band on a self-similar
+    corpus approaches n²/2 pairs — enumerating them to count them would
+    defeat the diagnostic's purpose). Shuffle rows are (config, band,
+    32-hex hash, doc_id); df·(df−1) is carried in decimal(38,0)/HUGEINT
+    (df can reach corpus scale on a degenerate band, squaring past
+    bigint); pair_volume is emitted as bigint for the fixture — a 100 TB
+    deployment emits the decimal or a log-bucketed variant."""
+    sig, _cand = _md5_minhash_funnel(spark, sf_dir)
+    per_cfg = []
+    for b, r in _LSH_SWEEP_CONFIGS:
+        bands = sig.select(
+            "doc_id",
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rpb"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.md5(
+                            F.concat(
+                                *[
+                                    F.element_at("sig", k * r + i + 1)
+                                    for i in range(r)
+                                ]
+                            )
+                        )
+                        for k in range(b)
+                    ]
+                )
+            ).alias("band_idx", "bh"),
+        )
+        per_cfg.append(bands)
+    all_bands = per_cfg[0]
+    for extra in per_cfg[1:]:
+        all_bands = all_bands.unionByName(extra)
+    buckets = all_bands.groupBy("bands", "rpb", "band_idx", "bh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    c70expr = None
+    c95expr = None
+    for b, r in _LSH_SWEEP_CONFIGS:
+        cond = F.col("bands") == b
+        v70 = F.lit(_lsh_capture(0.7, r, b))
+        v95 = F.lit(_lsh_capture(0.95, r, b))
+        c70expr = F.when(cond, v70) if c70expr is None else c70expr.when(cond, v70)
+        c95expr = F.when(cond, v95) if c95expr is None else c95expr.when(cond, v95)
+    return (
+        buckets.groupBy("bands", "rpb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("df").cast("bigint").alias("max_df"),
+            F.sum(
+                (F.col("df").cast("decimal(38,0)") * (F.col("df") - 1))
+                / F.lit(2)
+            )
+            .cast("bigint")
+            .alias("pair_volume"),
+        )
+        .select(
+            F.col("bands").cast("int").alias("bands"),
+            F.col("rpb").cast("int").alias("rows_per_band"),
+            "n_buckets",
+            "max_df",
+            "pair_volume",
+            c70expr.alias("capture_at_070"),
+            c95expr.alias("capture_at_095"),
+        )
+    )

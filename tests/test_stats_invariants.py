@@ -917,3 +917,53 @@ def test_textrank_matches_manual(spark):
         assert r["n_neighbors"] == len(neigh[a])
         assert r["w_total"] == wsum[a]
         assert abs(r["score"] - score[a]) < 5e-5, (a, r["score"], score[a])
+
+
+def test_lsh_band_profile_matches_manual(spark):
+    """Pure-Python replay of the banding sweep: recompute the 16 md5
+    minhashes, regroup into each geometry, and verify bucket counts,
+    max df, and the sum-C(df,2) pair volume exactly; capture literals
+    must equal 1-(1-j^r)^b."""
+    import hashlib
+
+    from spark_ibm_mq_spark.operators.dedup import dedup_lsh_band_profile
+
+    docs = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    sigs = {}
+    for r in docs:
+        toks = list(dict.fromkeys(r["text"].strip().split()))
+        sigs[r["doc_id"]] = [
+            min(md5(f"s{i}:" + t) for t in toks) for i in range(16)
+        ]
+    want = {}
+    for b, rpb in ((2, 8), (4, 4), (8, 2)):
+        buckets = Counter()
+        for sig in sigs.values():
+            for k in range(b):
+                bh = md5("".join(sig[k * rpb : (k + 1) * rpb]))
+                buckets[(k, bh)] += 1
+        pair_volume = sum(df * (df - 1) // 2 for df in buckets.values())
+        want[(b, rpb)] = (
+            len(buckets),
+            max(buckets.values()),
+            pair_volume,
+            round(1 - (1 - 0.7**rpb) ** b, 4),
+            round(1 - (1 - 0.95**rpb) ** b, 4),
+        )
+    got = {
+        (r["bands"], r["rows_per_band"]): (
+            r["n_buckets"],
+            r["max_df"],
+            r["pair_volume"],
+            r["capture_at_070"],
+            r["capture_at_095"],
+        )
+        for r in dedup_lsh_band_profile(spark, SF_DIR).collect()
+    }
+    assert got == want
