@@ -56,7 +56,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # verified via the HARDENED driver_sim at sf0.01 this session instead.
 # Budget stated here BEFORE registering, per the house rule: <= 6 new
 # ops this round (r13 window shape: those never-checked + 13 r6 carry +
-# rotation — well under 50, no compounding).
+# rotation — well under 50, no compounding).  SPENT: exactly 6 —
+# mm_crossmodal_near_dup, agg_ks_source_drift, graph_label_propagation,
+# text_textrank_keywords, stream_ks_drift_monitor,
+# dedup_lsh_band_profile — every one HARDENED-driver_sim MATCH at
+# sf0.01 (first try), invariant-tested, sf0.1-timed (0.9-3.3 s warm).
+# These 6 never-checked rows lead the r13 window.
 #
 # STABLE TIER (ACTIVE): scripts/stable_tier.py maintains
 # STABLE_TIER.json (per-query sha256 of operator source + oracle SQL +
