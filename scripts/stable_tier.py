@@ -98,17 +98,38 @@ def main() -> None:
     greens = _green_rounds()
     fps = _fingerprints()
     ledger = json.load(open(LEDGER)) if os.path.exists(LEDGER) else {}
-    prev_ledger = {k: dict(v) for k, v in ledger.items()}
-
+    # "_meta" is a reserved non-query key: it pins the ledger's bootstrap
+    # round PERSISTENTLY.  A running min over fingerprint_since_round
+    # values would drift upward as bootstrap-era entries get legitimately
+    # re-stamped, silently un-classifying the oldest real changes as
+    # destabilized (r12 review finding).  Migration: absent meta, the min
+    # of the current since values IS the bootstrap (no entry can predate
+    # it), recorded once here and stable thereafter.
+    meta = ledger.pop("_meta", None) or {
+        "bootstrap_round": min(
+            (e["fingerprint_since_round"] for e in ledger.values()), default=rnd
+        )
+    }
     changed, fresh = [], []
     for name, fp in sorted(fps.items()):
         prev = ledger.get(name)
         if prev is None:
             fresh.append(name)
-            ledger[name] = {"fingerprint": fp, "fingerprint_since_round": rnd}
+            ledger[name] = {
+                "fingerprint": fp,
+                "fingerprint_since_round": rnd,
+                # first-registration round, persisted so --window can defer
+                # same-round registrations (they go AFTER the window by the
+                # registration-cap house rule, not at never-checked priority)
+                "first_tracked_round": rnd,
+            }
         elif prev["fingerprint"] != fp:
             changed.append(name)
-            ledger[name] = {"fingerprint": fp, "fingerprint_since_round": rnd}
+            ledger[name] = {
+                "fingerprint": fp,
+                "fingerprint_since_round": rnd,
+                "first_tracked_round": prev.get("first_tracked_round"),
+            }
     dropped = [n for n in ledger if n not in fps]
     for n in dropped:
         del ledger[n]
@@ -117,6 +138,15 @@ def main() -> None:
     for name in sorted(fps):
         since = ledger[name]["fingerprint_since_round"]
         all_greens = greens.get(name, [])
+        # `r >= since` counts a round-N green as attesting a round-N
+        # fingerprint.  That equality is sound under the round workflow:
+        # within one round every builder edit precedes the driver run
+        # (the driver checks out HEAD at round end), so a same-round
+        # green always post-dates the same-round stamp.  The aliasing
+        # case — an edit AFTER round N's driver run but before
+        # CORRECTNESS_rN lands — cannot occur in-session; if a driver
+        # crash ever produced it, the per-commit sf0.001 parity sweep is
+        # the backstop (condition 3).
         stable_greens = [r for r in all_greens if r >= since]
         if len(all_greens) >= 2 and stable_greens:
             tier_s.append(name)
@@ -143,13 +173,15 @@ def main() -> None:
             "S" if name in tier_s else "pending" if name in tier_pending else "active"
         )
     if update:
-        json.dump(ledger, open(LEDGER, "w"), indent=1, sort_keys=True)
+        json.dump(
+            {"_meta": meta, **ledger}, open(LEDGER, "w"), indent=1, sort_keys=True
+        )
         print(f"ledger written: {LEDGER}")
 
     if "--window" in sys.argv:
         idx = sys.argv.index("--window")
         n_slots = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 50
-        _propose_window(n_slots, rnd, greens, fps, ledger, tier_s)
+        _propose_window(n_slots, rnd, greens, fps, ledger, tier_s, meta)
 
 
 def _propose_window(
@@ -159,24 +191,32 @@ def _propose_window(
     fps: dict[str, str],
     ledger: dict,
     tier_s: list[str],
+    meta: dict,
 ) -> None:
     """Proposed _CHECK_FIRST under the tier rule, in priority order:
-    (1) never-driver-checked oracled queries, (2) destabilized queries —
-    fingerprint changed after the ledger bootstrap and every driver
-    green predates the change (their greens attest dead code; re-enter
-    at never-checked priority), (3) the rotation pool
-    oldest-latest-green first, (4) a deterministic TIER-S sentinel
-    sample (rotates with the round number) filling any remaining slots.
-    Rows-only queries (no oracle) never consume a slot — the r7 policy."""
+    (1) never-driver-checked oracled queries EXCEPT those first
+    registered in the round under construction — the registration-cap
+    house rule places same-round registrations AFTER the window (they
+    lead the NEXT round's never-checked set), and the tool enforces that
+    so the emitted window stays reproducible against the committed one;
+    (2) destabilized queries — fingerprint changed after the ledger
+    bootstrap and every driver green predates the change (their greens
+    attest dead code; re-enter at never-checked priority), (3) the
+    rotation pool oldest-latest-green first, (4) a deterministic TIER-S
+    sentinel sample (rotates with the round number) filling any
+    remaining slots.  Rows-only queries (no oracle) never consume a
+    slot — the r7 policy."""
     from spark_ibm_mq_spark import registry
 
     oracled = set(registry.ORACLE)
-    never = sorted(n for n in fps if n in oracled and not greens.get(n))
-    # Bootstrap entries all carry the ledger's first round as `since`;
-    # a later `since` means the source/oracle REALLY changed then.
-    bootstrap = min(
-        (e["fingerprint_since_round"] for e in ledger.values()), default=0
-    )
+    never_all = sorted(n for n in fps if n in oracled and not greens.get(n))
+    deferred = [
+        n
+        for n in never_all
+        if ledger.get(n, {}).get("first_tracked_round") == rnd
+    ]
+    never = [n for n in never_all if n not in deferred]
+    bootstrap = meta["bootstrap_round"]
     destabilized = sorted(
         n
         for n in fps
@@ -196,7 +236,13 @@ def _propose_window(
     )
     window = never + destabilized + pool[: max(n_slots - len(never) - len(destabilized), 0)]
     window = window[:n_slots]
-    n_rotation = len(window) - min(len(never) + len(destabilized), n_slots)
+    # component counts computed from the TRUNCATED window, so the header
+    # arithmetic always sums to len(window) even when never-checked +
+    # destabilized overflow the slot budget (r12 review finding)
+    wset = set(window)
+    n_never = len(wset & set(never))
+    n_destab = len(wset & set(destabilized))
+    n_rotation = len(window) - n_never - n_destab
     spare = n_slots - len(window)
     sentinels = []
     if spare > 0 and tier_s:
@@ -207,12 +253,17 @@ def _propose_window(
             window += sentinels
     print(
         f"\nproposed r{rnd} window ({len(window)}/{n_slots} slots: "
-        f"{min(len(never), n_slots)} never-checked + "
-        f"{len(destabilized)} destabilized + {max(n_rotation, 0)} rotation + "
+        f"{n_never} never-checked + "
+        f"{n_destab} destabilized + {n_rotation} rotation + "
         f"{len(sentinels)} TIER-S sentinels):"
     )
     for name in window:
         print(f'    "{name}",')
+    if deferred:
+        print(
+            f"deferred same-round registrations ({len(deferred)}, placed "
+            f"AFTER the window; they lead r{rnd + 1}): {', '.join(deferred)}"
+        )
 
 
 if __name__ == "__main__":

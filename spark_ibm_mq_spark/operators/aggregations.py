@@ -1785,7 +1785,8 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per AS (
         SELECT source, n_chars AS v, count(*) AS c
-        FROM documents GROUP BY source, n_chars
+        FROM documents WHERE n_chars IS NOT NULL
+        GROUP BY source, n_chars
     ),
     ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM per GROUP BY source),
     tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM per),
@@ -1863,7 +1864,14 @@ def ks_drift_from_counts(per: DataFrame) -> DataFrame:
     operator above and its incremental streaming twin
     (`stream_ks_drift_monitor`): the counts are the sufficient statistic
     (a trivially associative bigint monoid), so any maintenance strategy
-    that lands the same counts gets the identical KS by construction."""
+    that lands the same counts gets the identical KS by construction.
+
+    NULL lengths are excluded from the ECDF on BOTH engines (the oracle
+    filters them in its count CTE): Spark's default window ordering is
+    NULLS FIRST while DuckDB's is NULLS LAST, so a NULL grid value would
+    shift every cumulative count differently per engine — the filter
+    removes the split class instead of pinning an ordering."""
+    per = per.filter(F.col("v").isNotNull())
     ns = per.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
     tot = per.agg(F.sum("c").cast("bigint").alias("n_all"))
     grid = per.select("v").distinct()

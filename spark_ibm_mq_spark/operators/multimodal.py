@@ -854,8 +854,12 @@ def stream_mm_decode_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two existing candidate generators (pHash bands over the binary payload,
 # coarse cells over the embedding space) into ONE union candidate join with
 # per-generator provenance, then verifies every candidate with BOTH exact
-# metrics.  Reuses the parents' exact geometry verbatim (imported, not
-# copied) so the twins can never drift apart.
+# metrics.  The ORACLE constants (_UNIT_SQL, _dot_sql, _COS_CELLS) are
+# imported from the parents; the Spark-side geometry is mirrored inline
+# (the parents' frames aren't factored as shareable helpers), and
+# tests/test_multimodal_invariants.py::test_crossmodal_superset_of_both_parents
+# is the per-commit drift guard: it pins this op's output as a superset of
+# BOTH parents with identical verified metrics.
 # ---------------------------------------------------------------------------
 
 from spark_ibm_mq_spark.functions.vector import dot, l2_norm  # noqa: E402
@@ -1060,11 +1064,9 @@ def mm_crossmodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = size_gated_broadcast(ph.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("p_b")))
     ua = size_gated_broadcast(unit.select(F.col("vec_id").alias("doc_a"), F.col("u").alias("u_a")))
     ub = size_gated_broadcast(unit.select(F.col("vec_id").alias("doc_b"), F.col("u").alias("u_b")))
-    cos = F.aggregate(
-        F.zip_with("u_a", "u_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # the shared sequential fold (functions.vector.dot) — the documented
+    # bit-identical counterpart of the oracle's _dot_sql
+    cos = dot(F.col("u_a"), F.col("u_b"))
     ham = F.bit_count(F.col("p_a").bitwiseXOR(F.col("p_b"))).cast("int")
     return (
         cand.join(pa, "doc_a")

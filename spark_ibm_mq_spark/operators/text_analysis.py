@@ -1760,7 +1760,9 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ws = edges.groupBy("a").agg(F.sum("w").cast("bigint").alias("wsum"))
     contrib_src = durable_checkpoint(edges.join(ws, "a"), eager=False)
-    nodes = contrib_src.select(F.col("a").alias("node")).distinct()
+    # ws is already one row per vertex — no distinct pass over the
+    # |E|-row joined frame needed (r12 review finding)
+    nodes = ws.select(F.col("a").alias("node"))
     ranks = nodes.select("node", F.lit(1.0).alias("score"))
     for _ in range(_TEXTRANK_ROUNDS):
         c = (
