@@ -862,7 +862,7 @@ def stream_mm_decode_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BOTH parents with identical verified metrics.
 # ---------------------------------------------------------------------------
 
-from spark_ibm_mq_spark.functions.vector import dot, l2_norm  # noqa: E402
+from spark_ibm_mq_spark.functions.vector import dot  # noqa: E402
 from spark_ibm_mq_spark.operators.dedup import (  # noqa: E402
     _COS_CELLS,
     _UNIT_SQL,
@@ -963,7 +963,6 @@ def mm_crossmodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical three-valued logic both engines. Band/cell geometry scale
     caveats are the parents' (band width ∝ log₂ corpus, K ≈ n/cell-size)."""
     d = load_table(spark, sf_dir, "documents")
-    e = load_table(spark, sf_dir, "embeddings")
 
     # --- pHash side (mm_phash_near_dup geometry, 24-bit, 4 x 6-bit bands)
     ph = d.select(
@@ -1006,33 +1005,15 @@ def mm_crossmodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # --- embedding side (dedup_embedding_cosine geometry: 8 cells,
-    # micro-unit-rounded assignment so a 1-ulp divergence can't flip a cell)
-    unit = (
-        e.select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
-        )
-        .withColumn("nrm", l2_norm(F.col("ed")))
-        .select("vec_id", F.transform("ed", lambda x: x / F.col("nrm")).alias("u"))
-    )
-    cent = F.broadcast(
-        unit.orderBy("vec_id")
-        .limit(_COS_CELLS)
-        .select(F.col("vec_id").alias("cell"), F.col("u").alias("cu"))
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.floor(F.col("c_sim") * 1e6).desc(), F.col("cell")
-    )
-    assign = spread(
-        unit.crossJoin(cent)
-        .withColumn("c_sim", dot(F.col("u"), F.col("cu")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell"),
-        "cell",
-        force=True,
-    )
+    # --- embedding side: the session-shared 8-cell assignment engine
+    # (dedup._cell_assignment, also consumed by dedup_embedding_cosine
+    # and emb_hard_negative_mining) — micro-unit-rounded assignment so a
+    # 1-ulp divergence can't flip a cell
+    from spark_ibm_mq_spark.operators.dedup import _cell_assignment
+
+    full_assign = _cell_assignment(spark, sf_dir)
+    unit = full_assign.select("vec_id", "u")
+    assign = full_assign.select("vec_id", "cell")
     cand_cell = (
         assign.alias("a")
         .join(

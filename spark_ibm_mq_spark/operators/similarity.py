@@ -1941,37 +1941,13 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     size), the two argmaxes are one window pass each over the
     anchor-partitioned pair frame, and shuffles carry (id, label,
     sim_mu) ints — vectors stay in the cell-local pair stage."""
-    e = load_table(spark, sf_dir, "embeddings")
-    unit = (
-        e.select(
-            "vec_id",
-            "label",
-            F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
-        )
-        .withColumn("nrm", l2_norm(F.col("ed")))
-        .select(
-            "vec_id",
-            "label",
-            F.transform("ed", lambda x: x / F.col("nrm")).alias("u"),
-        )
-    )
-    cent = F.broadcast(
-        unit.orderBy("vec_id")
-        .limit(_HNM_CELLS)
-        .select(F.col("vec_id").alias("cell"), F.col("u").alias("cu"))
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.floor(F.col("c_sim") * 1e6).desc(), F.col("cell")
-    )
-    assign = spread(
-        unit.crossJoin(cent)
-        .withColumn("c_sim", dot(F.col("u"), F.col("cu")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "u", "cell"),
-        "cell",
-        force=True,
-    )
+    # the normalize + 8-cell assignment engine is the session-shared
+    # `dedup._cell_assignment` memo (same geometry: _HNM_CELLS ==
+    # dedup._COS_CELLS == 8; the oracle CTE above spells it out) — also
+    # consumed by dedup_embedding_cosine and mm_crossmodal_near_dup
+    from spark_ibm_mq_spark.operators.dedup import _cell_assignment
+
+    assign = _cell_assignment(spark, sf_dir)
     a = assign.select(
         F.col("vec_id").alias("anchor"),
         F.col("label").alias("a_label"),
