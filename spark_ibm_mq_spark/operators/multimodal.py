@@ -854,12 +854,14 @@ def stream_mm_decode_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two existing candidate generators (pHash bands over the binary payload,
 # coarse cells over the embedding space) into ONE union candidate join with
 # per-generator provenance, then verifies every candidate with BOTH exact
-# metrics.  The ORACLE constants (_UNIT_SQL, _dot_sql, _COS_CELLS) are
-# imported from the parents; the Spark-side geometry is mirrored inline
-# (the parents' frames aren't factored as shareable helpers), and
+# metrics.  The embedding-cell side is SHARED code: oracle constants
+# (_UNIT_SQL, _dot_sql, _COS_CELLS) and the Spark assignment engine
+# (dedup._cell_assignment, session-memoized) are both imported from the
+# parent, so that half cannot drift.  The pHash band construction is
+# mirrored inline (the parent's bands aren't factored out), and
 # tests/test_multimodal_invariants.py::test_crossmodal_superset_of_both_parents
-# is the per-commit drift guard: it pins this op's output as a superset of
-# BOTH parents with identical verified metrics.
+# is the per-commit drift guard for BOTH halves: it pins this op's output
+# as a superset of both parents with identical verified metrics.
 # ---------------------------------------------------------------------------
 
 from spark_ibm_mq_spark.functions.vector import dot  # noqa: E402
