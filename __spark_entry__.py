@@ -63,6 +63,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # sf0.01 (first try), invariant-tested, sf0.1-timed (0.9-3.3 s warm).
 # These 6 never-checked rows lead the r13 window.
 #
+# Mid-round drift note: the window above matched `--window 50` verbatim
+# at round START; the later cell-assignment memo refactor destabilized
+# dedup_embedding_cosine + emb_hard_negative_mining (outside this
+# window), so the tool's END-of-round proposal shows them at
+# destabilized priority — they queue for r13, the committed r12 window
+# is unchanged.  stable_tier now also tracks SHARED-HELPER fingerprints
+# (registry.declare_helper_deps): an edit to a session-memo engine
+# (_cell_assignment, _md5_minhash_funnel, _knn_graph, ...) bumps every
+# declared consumer's effective-since, so memo edits can no longer slip
+# past the window rotation with stale greens.
+#
 # STABLE TIER (ACTIVE): scripts/stable_tier.py maintains
 # STABLE_TIER.json (per-query sha256 of operator source + oracle SQL +
 # a per-round green ledger).  A query is TIER-S once it is hash-green

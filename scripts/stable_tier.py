@@ -92,6 +92,44 @@ def _fingerprints() -> dict[str, str]:
     return fps
 
 
+def _helper_fingerprints() -> dict[str, str]:
+    """sha256 per DECLARED shared helper (registry.HELPER_DEPS) — keyed
+    "module.qualname".  Tracked separately from query fingerprints so a
+    helper edit destabilizes its consumers through an effective-since
+    bump (never by rewriting their own fingerprints, which would
+    misattribute the change)."""
+    from spark_ibm_mq_spark import registry
+
+    registry.load_all_modules()
+    out = {}
+    for fns in registry.HELPER_DEPS.values():
+        for fn in fns:
+            key = f"{fn.__module__}.{fn.__qualname__}"
+            if key not in out:
+                out[key] = hashlib.sha256(
+                    inspect.getsource(fn).encode()
+                ).hexdigest()
+    return out
+
+
+def _helper_key(fn) -> str:
+    return f"{fn.__module__}.{fn.__qualname__}"
+
+
+def _effective_since(name: str, ledger: dict, meta: dict) -> int:
+    """A query's change round = max(own fingerprint bump, the latest
+    change round of any shared helper it declares).  Queries whose
+    memo/engine moved under them re-enter the window even though their
+    own source is untouched — the r12 review's gate-blind-spot fix."""
+    from spark_ibm_mq_spark import registry
+
+    since = ledger[name]["fingerprint_since_round"]
+    changed = meta.get("helper_changed_round", {})
+    for fn in registry.HELPER_DEPS.get(name, ()):
+        since = max(since, changed.get(_helper_key(fn), 0))
+    return since
+
+
 def main() -> None:
     update = "--update" in sys.argv
     rnd = _current_round()
@@ -110,6 +148,24 @@ def main() -> None:
             (e["fingerprint_since_round"] for e in ledger.values()), default=rnd
         )
     }
+    # Shared-helper change tracking: record each declared helper's source
+    # sha; when it moves, stamp the round — consumers' effective-since
+    # picks it up without touching their own fingerprints.  First sight
+    # of a helper records it at the current sha with no change round
+    # (nothing destabilizes retroactively).
+    helper_fps = _helper_fingerprints()
+    meta.setdefault("helper_fingerprints", {})
+    meta.setdefault("helper_changed_round", {})
+    helpers_changed = []
+    for key, sha in sorted(helper_fps.items()):
+        prev_sha = meta["helper_fingerprints"].get(key)
+        if prev_sha is not None and prev_sha != sha:
+            meta["helper_changed_round"][key] = rnd
+            helpers_changed.append(key)
+        meta["helper_fingerprints"][key] = sha
+    for key in [k for k in meta["helper_fingerprints"] if k not in helper_fps]:
+        del meta["helper_fingerprints"][key]
+        meta["helper_changed_round"].pop(key, None)
     changed, fresh = [], []
     for name, fp in sorted(fps.items()):
         prev = ledger.get(name)
@@ -136,7 +192,7 @@ def main() -> None:
 
     tier_s, tier_pending, tier_active = [], [], []
     for name in sorted(fps):
-        since = ledger[name]["fingerprint_since_round"]
+        since = _effective_since(name, ledger, meta)
         all_greens = greens.get(name, [])
         # `r >= since` counts a round-N green as attesting a round-N
         # fingerprint.  That equality is sound under the round workflow:
@@ -164,6 +220,9 @@ def main() -> None:
     print(f"active rotation pool:     {len(tier_active)}")
     if changed:
         print(f"destabilized this run ({len(changed)}): {', '.join(changed)}")
+    if helpers_changed:
+        print(f"shared helpers changed ({len(helpers_changed)}): "
+              f"{', '.join(helpers_changed)}")
     if fresh and os.path.exists(LEDGER):
         print(f"newly tracked ({len(fresh)}): {', '.join(fresh)}")
     never = [n for n in fps if not greens.get(n)]
@@ -222,8 +281,8 @@ def _propose_window(
         for n in fps
         if n in oracled
         and greens.get(n)
-        and ledger[n]["fingerprint_since_round"] > bootstrap
-        and max(greens[n]) < ledger[n]["fingerprint_since_round"]
+        and _effective_since(n, ledger, meta) > bootstrap
+        and max(greens[n]) < _effective_since(n, ledger, meta)
     )
     taken = set(never) | set(destabilized)
     pool = sorted(

@@ -1923,3 +1923,9 @@ def ks_drift_from_counts(per: DataFrame) -> DataFrame:
             F.col("v").cast("bigint").alias("ks_at"),
         )
     )
+
+
+# Shared-helper dependency declarations (see registry.declare_helper_deps).
+from spark_ibm_mq_spark.registry import declare_helper_deps  # noqa: E402
+
+declare_helper_deps("agg_ks_source_drift", ks_drift_from_counts)

@@ -1669,3 +1669,21 @@ def dedup_lsh_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             c95expr.alias("capture_at_095"),
         )
     )
+
+
+# Shared-helper dependency declarations (registry.declare_helper_deps doc):
+# stable_tier folds these helpers' sources into each consumer's change
+# detection, so an edit to a session-memo engine destabilizes every query
+# that delegates to it — placed at module level so the declarations never
+# alter the queries' own source fingerprints.
+from spark_ibm_mq_spark.registry import declare_helper_deps  # noqa: E402
+
+declare_helper_deps("dedup_embedding_cosine", _cell_assignment)
+declare_helper_deps("dedup_minhash_lsh_md5", _md5_minhash_funnel)
+declare_helper_deps(
+    "dedup_minhash_recall_eval", _md5_minhash_funnel, _jaccard_truth_pairs
+)
+declare_helper_deps("dedup_lsh_band_profile", _md5_minhash_funnel)
+declare_helper_deps("dedup_cluster_resolve", _resolve_duplicate_labels)
+declare_helper_deps("pipeline_canonicalize_dedup", _resolve_duplicate_labels)
+declare_helper_deps("dedup_soft_weighting", _resolve_duplicate_labels)

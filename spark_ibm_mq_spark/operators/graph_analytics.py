@@ -870,3 +870,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("community_size"),
         )
     )
+
+
+# Shared-helper dependency declarations (see registry.declare_helper_deps).
+from spark_ibm_mq_spark.registry import declare_helper_deps  # noqa: E402
+
+declare_helper_deps("graph_pagerank_copurchase", _full_edges)
+declare_helper_deps("graph_kcore_peel", _full_edges)
+declare_helper_deps("graph_bfs_hops", _full_edges)
+declare_helper_deps("graph_knn_degree_profile", _knn_graph)
+declare_helper_deps("graph_triangle_count", _knn_graph)
+declare_helper_deps("graph_degree_assortativity", _knn_graph)
+declare_helper_deps("graph_label_propagation", _knn_graph)
+declare_helper_deps("graph_jaccard_link_prediction", _knn_graph, _wedge_candidates)
+declare_helper_deps("graph_adamic_adar", _knn_graph, _wedge_candidates)

@@ -866,11 +866,12 @@ def stream_mm_decode_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from spark_ibm_mq_spark.functions.vector import dot  # noqa: E402
 from spark_ibm_mq_spark.operators.dedup import (  # noqa: E402
+    _cell_assignment,
     _COS_CELLS,
     _UNIT_SQL,
     _dot_sql,
 )
-from spark_ibm_mq_spark.tables import size_gated_broadcast, spread  # noqa: E402
+from spark_ibm_mq_spark.tables import size_gated_broadcast  # noqa: E402
 
 _XMODAL_UDOT = _dot_sql("ua.u", "ub.u")
 
@@ -1008,11 +1009,9 @@ def mm_crossmodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- embedding side: the session-shared 8-cell assignment engine
-    # (dedup._cell_assignment, also consumed by dedup_embedding_cosine
-    # and emb_hard_negative_mining) — micro-unit-rounded assignment so a
-    # 1-ulp divergence can't flip a cell
-    from spark_ibm_mq_spark.operators.dedup import _cell_assignment
-
+    # (dedup._cell_assignment, module-level import above; also consumed by
+    # dedup_embedding_cosine and emb_hard_negative_mining) —
+    # micro-unit-rounded assignment so a 1-ulp divergence can't flip a cell
     full_assign = _cell_assignment(spark, sf_dir)
     unit = full_assign.select("vec_id", "u")
     assign = full_assign.select("vec_id", "cell")
@@ -1071,3 +1070,19 @@ def mm_crossmodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "from_cell",
         )
     )
+
+
+# Shared-helper dependency declarations (see registry.declare_helper_deps).
+from spark_ibm_mq_spark.registry import declare_helper_deps  # noqa: E402
+
+declare_helper_deps("mm_crossmodal_near_dup", _cell_assignment)
+for _q in (
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_patch_grid_plan",
+    "mm_resize_letterbox_plan",
+    "mm_video_scene_cut_plan",
+    "mm_token_budget_plan",
+):
+    declare_helper_deps(_q, _decode_df, _decode_batches, _fake_decode)
+declare_helper_deps("stream_mm_decode_drain", _decode_batches, _fake_decode)

@@ -23,7 +23,6 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from spark_ibm_mq_spark.functions.vector import dot, l2_norm
 from spark_ibm_mq_spark.operators.dedup import _COS_CELLS, _UNIT_SQL, _dot_sql
 from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
 from spark_ibm_mq_spark.registry import register
@@ -140,31 +139,12 @@ def scale_bucketed_cell_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-centroid cell assignment (same folds as dedup_embedding_cosine)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    unit = (
-        e.select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
-        )
-        .withColumn("nrm", l2_norm(F.col("ed")))
-        .select("vec_id", F.transform("ed", lambda x: x / F.col("nrm")).alias("u"))
-    )
-    cent = F.broadcast(
-        unit.orderBy("vec_id").limit(_COS_CELLS).select(
-            F.col("vec_id").alias("cell"), F.col("u").alias("cu")
-        )
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.floor(F.col("c_sim") * 1e6).desc(), F.col("cell")
-    )
-    return (
-        unit.crossJoin(cent)
-        .withColumn("c_sim", dot(F.col("u"), F.col("cu")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "u", "cell")
-    )
+    """Nearest-centroid cell assignment — delegates to the session-shared
+    `dedup._cell_assignment` engine (one normalize + assign per sweep;
+    this was the fourth verbatim copy until the r12 review flagged it)."""
+    from spark_ibm_mq_spark.operators.dedup import _cell_assignment as shared
+
+    return shared(spark, sf_dir).select("vec_id", "u", "cell")
 
 
 def _cell_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,3 +671,12 @@ def scale_partition_evolution_plan(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("est_files"),
     )
+
+
+# Shared-helper dependency declarations (see registry.declare_helper_deps).
+from spark_ibm_mq_spark.operators.dedup import _cell_assignment as _dedup_cells  # noqa: E402,E501
+from spark_ibm_mq_spark.registry import declare_helper_deps  # noqa: E402
+
+declare_helper_deps(
+    "scale_bucketed_cell_manifest", _cell_table, _cell_assignment, _dedup_cells
+)

@@ -18,8 +18,8 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from spark_ibm_mq_spark.functions.vector import cosine_similarity, dot, l2_norm
-from spark_ibm_mq_spark.operators.dedup import _COS_SQL, _UNIT_SQL, _dot_sql
+from spark_ibm_mq_spark.functions.vector import cosine_similarity, dot
+from spark_ibm_mq_spark.operators.dedup import _COS_CELLS, _COS_SQL, _UNIT_SQL, _dot_sql
 from spark_ibm_mq_spark.registry import ORACLE as _ORACLE
 from spark_ibm_mq_spark.registry import register
 from spark_ibm_mq_spark.tables import (
@@ -1866,7 +1866,11 @@ def emb_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HNM_CELLS = 8  # coarse cells; centroid c = unit embedding of c-th lowest vec_id
+# coarse cells; centroid c = unit embedding of c-th lowest vec_id.  Defined
+# AS the shared engine's constant (not a literal) because the Spark side is
+# hard-wired to dedup._cell_assignment — a literal here could drift the
+# oracle's centroid count away from the engine (r12 review finding).
+_HNM_CELLS = _COS_CELLS
 
 
 @register(
@@ -2005,3 +2009,10 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.col("neg_mu")).alias("neg_sim"),
         _r4(F.col("pos_mu") - F.col("neg_mu")).alias("margin"),
     )
+
+
+# Shared-helper dependency declarations (see registry.declare_helper_deps).
+from spark_ibm_mq_spark.operators.dedup import _cell_assignment as _dedup_cells  # noqa: E402,E501
+from spark_ibm_mq_spark.registry import declare_helper_deps  # noqa: E402
+
+declare_helper_deps("emb_hard_negative_mining", _dedup_cells)

@@ -1406,3 +1406,12 @@ def stream_ks_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(applied) >= 4, f"expected >=4 merge rounds, got {len(applied)}"
     counts = spark.read.parquet(applied[max(applied)])
     return ks_drift_from_counts(counts)
+
+
+# Shared-helper dependency declarations (see registry.declare_helper_deps).
+from spark_ibm_mq_spark.operators.aggregations import (  # noqa: E402
+    ks_drift_from_counts as _ks_helper,
+)
+from spark_ibm_mq_spark.registry import declare_helper_deps  # noqa: E402
+
+declare_helper_deps("stream_ks_drift_monitor", _ks_helper)

@@ -22,6 +22,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Shared-helper dependency declarations (query name -> helper callables).
+# stable_tier.py folds each declared helper's SOURCE into the query's
+# change detection: a registered function's own source + oracle miss
+# edits to session-memo engines (_cell_assignment, _md5_minhash_funnel,
+# _knn_graph, ...) that several queries delegate their math to — the
+# r12 review's gate-blind-spot finding.  Declarations live at module
+# level AFTER the function definitions, NOT in the @register decorator
+# line, so adding one never changes the query's own source fingerprint.
+# One level deep: a helper calling another helper should be declared
+# explicitly by the consumer (transitive closure is not computed).
+HELPER_DEPS: dict[str, tuple[Callable, ...]] = {}
+
+
+def declare_helper_deps(name: str, *fns: Callable) -> None:
+    """Record that query ``name`` delegates computation to ``fns``."""
+    HELPER_DEPS[name] = tuple(fns)
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a named query and optional DuckDB oracle SQL."""

@@ -76,3 +76,46 @@ def test_stable_tier_ledger_in_sync():
         f"ledger out of date for {stale[:5]}{'...' if len(stale) > 5 else ''} — "
         "run `python scripts/stable_tier.py --update` in the operator commit"
     )
+
+
+def test_helper_deps_declared_names_are_registered():
+    """Every registry.declare_helper_deps target must be a registered
+    query, and every declared helper must expose retrievable source
+    (stable_tier folds it into the consumer's change detection)."""
+    import inspect
+
+    from spark_ibm_mq_spark import registry
+
+    registry.load_all_modules()
+    for name, fns in registry.HELPER_DEPS.items():
+        assert name in registry.QUERIES, f"{name} declared but not registered"
+        assert fns, f"{name} declares an empty helper tuple"
+        for fn in fns:
+            assert inspect.getsource(fn)
+
+
+def test_helper_change_bumps_effective_since():
+    """A recorded helper change round must propagate into the consumer's
+    effective since (the r12 gate-blind-spot fix), and queries without
+    declared helpers must be unaffected."""
+    import importlib.util
+
+    from spark_ibm_mq_spark import registry
+
+    registry.load_all_modules()
+    spec = importlib.util.spec_from_file_location(
+        "stable_tier", os.path.join(REPO, "scripts", "stable_tier.py")
+    )
+    st = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(st)
+
+    name = "dedup_embedding_cosine"  # declares dedup._cell_assignment
+    helper_key = st._helper_key(registry.HELPER_DEPS[name][0])
+    ledger = {name: {"fingerprint_since_round": 5},
+              "pricing_summary": {"fingerprint_since_round": 5}}
+    meta = {"helper_changed_round": {helper_key: 9}}
+    assert st._effective_since(name, ledger, meta) == 9
+    assert st._effective_since("pricing_summary", ledger, meta) == 5
+    # a helper change OLDER than the query's own bump must not win
+    meta = {"helper_changed_round": {helper_key: 3}}
+    assert st._effective_since(name, ledger, meta) == 5
