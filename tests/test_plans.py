@@ -947,3 +947,51 @@ def test_scene_cut_single_doc_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:600]
     assert not has_cartesian(df)
+
+
+def test_ks_drift_narrow_scan_and_partitioned_windows(spark):
+    """The KS screen must read ONLY (source, n_chars) from documents and
+    keep its per-source ECDF window partitioned — the only global window
+    runs over the metadata-scale length grid."""
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["agg_ks_source_drift"](spark, SF_DIR)
+    scans = read_schema_columns(df)
+    for cols in scans:
+        assert set(cols) <= {"source", "n_chars"}, cols
+    assert not has_cartesian(df) or "BroadcastNestedLoopJoin" in executed_plan(
+        df
+    )  # the 1-row pooled-total carry rides a broadcast
+
+
+def test_crossmodal_candidates_are_keyed_joins(spark):
+    """mm_crossmodal_near_dup's candidate generators must both be keyed
+    equi-joins: no CartesianProduct anywhere; the only nested-loop join
+    allowed is the broadcast centroid carry of the cell assignment."""
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["mm_crossmodal_near_dup"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # band join + cell join appear as hash joins on their keys
+    assert "band_idx" in plan and "band_val" in plan
+
+
+def test_textrank_keeps_word_graph_joins_hashed(spark):
+    """TextRank's per-round contribution joins run on the word key — no
+    cartesian, and the corpus scan reads only the text column."""
+    df = registry.QUERIES["text_textrank_keywords"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"text"}, cols
+
+
+def test_lsh_band_profile_never_materializes_pairs(spark):
+    """The banding sweep must contain NO self-join at all — its pair
+    volume comes from bucket aggregates (sum C(df,2)), so the plan has
+    exactly one scan of documents and no join nodes."""
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["dedup_lsh_band_profile"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Join" not in plan, "sweep must aggregate buckets, not join pairs"
