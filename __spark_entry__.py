@@ -63,6 +63,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # sf0.01 (first try), invariant-tested, sf0.1-timed (0.9-3.3 s warm).
 # These 6 never-checked rows lead the r13 window.
 #
+# Continuation-session amendment (stated BEFORE registering, same house
+# rule): r12 resumed with a fresh session after the 6-op budget above
+# was spent.  r13 window math with further registrations: 6 + 4
+# never-checked + 2 destabilized (cell-assignment refactor, below) +
+# 13 r6 carry ≈ 25 of 50 slots — no compounding risk.  AMENDED budget:
+# <= 4 more ops this session (dedup_line_level, dedup_boundary_overlap,
+# text_oov_rate, text_mattr_diversity), each oracled + invariant-tested
+# + hardened-sim MATCH at sf0.01 + sf0.1-timed before its commit.
+#
 # Mid-round drift note: the window above matched `--window 50` verbatim
 # at round START; the later cell-assignment memo refactor destabilized
 # dedup_embedding_cosine + emb_hard_negative_mining (outside this

@@ -1671,6 +1671,211 @@ def dedup_lsh_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINE_W = 10  # tokens per pseudo-line (fixture docs are single-line streams)
+
+
+@register(
+    "dedup_line_level",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS idx,
+               array_to_string(
+                   toks[CAST(i * {_LINE_W} + 1 AS INTEGER)
+                        :CAST(i * {_LINE_W} + {_LINE_W} AS INTEGER)], ' ') AS line,
+               CAST(len(toks[CAST(i * {_LINE_W} + 1 AS INTEGER)
+                             :CAST(i * {_LINE_W} + {_LINE_W} AS INTEGER)])
+                    AS BIGINT) AS n_toks
+        FROM t, LATERAL unnest(
+            range(0, CAST(ceil(len(toks) / {_LINE_W}.0) AS BIGINT))) r(i)
+    ),
+    flagged AS (
+        SELECT doc_id, n_toks,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) = 1
+                   AS keep
+        FROM lines
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           round(sum(CASE WHEN keep THEN n_toks ELSE 0 END) * 1.0
+                 / sum(n_toks), 4) AS kept_ratio
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level exact dedup (the "remove all but one occurrence
+    of each line across the corpus" pass of C4/RefinedWeb), re-expressed
+    over the fixture's single-line token streams: each document is cut
+    into consecutive 10-token pseudo-lines, and a line SURVIVES
+    only at its globally-first occurrence — ordered by (doc_id, idx), so
+    a line repeated within one document also dedups to its first site.
+    Output is the per-document retention report (chunk/token counts kept
+    vs total) a corpus-curation pipeline uses to trim boilerplate before
+    training; complements `dedup_exact_docs_hash` (whole-doc identity)
+    and `dedup_substr_spans` (rolling-shingle duplication MASS — spans
+    overlap and count occurrences; lines here tile the document and are
+    kept/dropped at exactly one site).
+
+    Exactness: line identity is the exact chunk text, first-occurrence
+    order is the fully-specified (doc_id, idx) tuple, and every output is
+    integer algebra except one round(4) ratio in [0, 1] (no signed-zero
+    exposure). Plan: chunk cutting is a per-row higher-order expression
+    inside the scan stage (zero shuffles — document text never leaves its
+    partition; only 10-token chunk strings shuffle); ONE exchange on the
+    line key ranks first occurrences, ONE on doc_id rolls the report up.
+    At 100 TB key the rank window on xxhash64(line) so the exchange
+    carries 8-byte keys, and rewrite the row_number window as the
+    min(struct(doc_id, idx)) groupBy + join-back form: boilerplate lines
+    are exactly the hot keys, a window partition cannot be split by AQE,
+    but a min-struct partial agg combines map-side before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), (F.ceil(F.size(toks) / F.lit(_LINE_W)) - 1).cast("int")
+        ),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(toks, i * _LINE_W + 1, _LINE_W)).alias(
+                "line"
+            ),
+            F.size(F.slice(toks, i * _LINE_W + 1, _LINE_W))
+            .cast("bigint")
+            .alias("n_toks"),
+        ),
+    )
+    lines = (
+        spread(d, "doc_id")
+        .select("doc_id", F.posexplode(chunks).alias("idx", "ch"))
+        .select(
+            "doc_id",
+            F.col("idx").cast("bigint").alias("idx"),
+            F.col("ch.line").alias("line"),
+            F.col("ch.n_toks").alias("n_toks"),
+        )
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "idx")
+    flagged = lines.withColumn("keep", F.row_number().over(w) == 1)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chunks"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("keep"), F.col("n_toks")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "kept_chunks",
+            "n_tokens",
+            "kept_tokens",
+            F.round(F.col("kept_tokens") / F.col("n_tokens"), 4).alias(
+                "kept_ratio"
+            ),
+        )
+    )
+
+
+_BOUND_K_MIN, _BOUND_K_MAX = 2, 6  # overlap widths probed (tokens)
+_BOUND_DF_CAP = 64  # boilerplate cap on head-gram bucket frequency
+
+
+@register(
+    "dedup_boundary_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    ks AS (SELECT CAST(k AS BIGINT) AS k
+           FROM range({_BOUND_K_MIN}, {_BOUND_K_MAX + 1}) r(k)),
+    heads AS (
+        SELECT doc_id AS doc_b, k,
+               array_to_string(toks[1:CAST(k AS INTEGER)], ' ') AS g
+        FROM t, ks WHERE len(toks) >= k
+    ),
+    tails AS (
+        SELECT doc_id AS doc_a, k,
+               array_to_string(
+                   toks[CAST(len(toks) - k + 1 AS INTEGER):len(toks)], ' ')
+                   AS g
+        FROM t, ks WHERE len(toks) >= k
+    ),
+    hdf AS (SELECT k, g, count(*) AS c FROM heads GROUP BY 1, 2),
+    heads_kept AS (
+        SELECT h.doc_b, h.k, h.g
+        FROM heads h JOIN hdf ON h.k = hdf.k AND h.g = hdf.g
+        WHERE hdf.c <= {_BOUND_DF_CAP}
+    )
+    SELECT ta.doc_a, hk.doc_b, CAST(max(ta.k) AS BIGINT) AS max_overlap
+    FROM tails ta
+    JOIN heads_kept hk ON ta.k = hk.k AND ta.g = hk.g
+    WHERE ta.doc_a <> hk.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-concatenation boundary detection: a DIRECTED pair (a, b)
+    where the last k tokens of document a equal the first k tokens of
+    document b signals that b may continue a — the overlapping-segment
+    artifact crawl pipelines produce when one page is captured across two
+    fetches. For each pair the report carries the LARGEST matching width
+    k ∈ [2, 6]; downstream curation stitches or
+    drops the continuation. Directed, so (a, b) and (b, a) are distinct
+    findings; same-document self-joints are excluded.
+
+    Exactness: gram identity is exact text, max_overlap is an integer max
+    — no floats anywhere. Plan: head/tail grams are per-row prefix/suffix
+    slices inside the scan stage; the pair generator is the house-rule
+    equi-join on the (k, gram) key (dedup.py module doc) — candidates
+    ∝ Σ per-bucket head·tail frequency, never n², with a df ≤ 64
+    boilerplate cap on head-gram buckets (identical in the oracle)
+    bounding the hot keys a common page opening would otherwise create
+    at 100 TB; only (doc_id, k, ≤6-token gram) tuples shuffle, never
+    document bodies."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    ks = F.array(*[F.lit(k) for k in range(_BOUND_K_MIN, _BOUND_K_MAX + 1)])
+    base = spread(d, "doc_id").select(
+        "doc_id", toks.alias("toks"), F.explode(ks).alias("k")
+    ).filter(F.size("toks") >= F.col("k"))
+    heads = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("k").cast("bigint").alias("k"),
+        F.concat_ws(" ", F.slice("toks", F.lit(1), F.col("k"))).alias("g"),
+    )
+    tails = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("k").cast("bigint").alias("k"),
+        F.concat_ws(
+            " ", F.slice("toks", F.size("toks") - F.col("k") + 1, F.col("k"))
+        ).alias("g"),
+    )
+    hdf = heads.groupBy("k", "g").agg(F.count(F.lit(1)).alias("c"))
+    heads_kept = (
+        heads.join(hdf.filter(F.col("c") <= _BOUND_DF_CAP), ["k", "g"])
+        .select("doc_b", "k", "g")
+    )
+    return (
+        tails.join(heads_kept, ["k", "g"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("k").cast("bigint").alias("max_overlap"))
+    )
+
+
 # Shared-helper dependency declarations (registry.declare_helper_deps doc):
 # stable_tier folds these helpers' sources into each consumer's change
 # detection, so an edit to a session-memo engine destabilizes every query

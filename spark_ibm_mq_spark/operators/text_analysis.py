@@ -1792,3 +1792,201 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 4).alias("score"),
         )
     )
+
+
+_VOCAB_K = 20  # vocabulary size for the coverage screen
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+    vocab AS (
+        SELECT t FROM (SELECT t, sum(c) AS c FROM st GROUP BY 1)
+        ORDER BY c DESC, t ASC LIMIT {_VOCAB_K}
+    )
+    SELECT st.source,
+           CAST(sum(st.c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.t IS NULL THEN st.c ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+           round(sum(CASE WHEN v.t IS NULL THEN st.c ELSE 0 END) * 1.0
+                 / sum(st.c), 4) AS oov_rate
+    FROM st LEFT JOIN vocab v ON st.t = v.t
+    GROUP BY st.source
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / out-of-vocabulary screen: build the corpus
+    top-K token vocabulary (K=20; ties broken by token text so the cut is
+    deterministic), then report each source's token mass falling OUTSIDE
+    it — the coverage check run before committing to a tokenizer or a
+    fixed vocab, and the per-source skew signal (a source with high OOV
+    rate against the corpus vocabulary is distributionally alien).
+    Complements `text_vocab_build` (which emits the vocabulary itself)
+    and `text_tokenizer_fertility` (subword split ratios).
+
+    Exactness: counts are integers; the rank-K cut is fully ordered by
+    (count DESC, token ASC) in both engines; one round(4) ratio in
+    [0, 1]. Plan: tokens collapse to (source, token, count) via a
+    map-side-combinable groupBy BEFORE anything joins — raw token
+    occurrences never shuffle twice; the global frequency rollup reuses
+    that compact frame; the K-row vocabulary broadcasts (size-gated) onto
+    it; final rollup shuffles one row per (source, token). The top-K
+    window runs on the post-aggregation type frame (|vocabulary| rows,
+    ~31 here), the same dimension-sized global-sort escape documented for
+    the RFM ntiles — at 100 TB the type frame is still tiny relative to
+    the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        spread(d, "doc_id")
+        .select("source", F.explode(tokens("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    freq = st.groupBy("t").agg(F.sum("c").alias("tc"))
+    vocab = (
+        freq.withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("tc"), F.asc("t"))),
+        )
+        .filter(F.col("r") <= _VOCAB_K)
+        .select("t", F.lit(1).alias("in_v"))
+    )
+    return (
+        st.join(size_gated_broadcast(vocab), "t", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_v").isNull(), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("oov_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "oov_tokens",
+            F.round(F.col("oov_tokens") / F.col("n_tokens"), 4).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+_MATTR_W = 25  # moving-average TTR window (tokens)
+
+
+@register(
+    "text_mattr_diversity",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               greatest(CAST(len(toks) AS BIGINT) - {_MATTR_W} + 1, 1)
+                   AS n_windows,
+               CAST(list_sum(list_transform(
+                        range(1, CAST(greatest(len(toks) - {_MATTR_W} + 1, 1)
+                                      AS BIGINT) + 1),
+                        i -> len(list_distinct(
+                                 toks[CAST(i AS INTEGER)
+                                      :CAST(i + {_MATTR_W} - 1 AS INTEGER)]))))
+                    AS BIGINT) AS dsum
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           ((dsum * 20000 + least(n_tokens, {_MATTR_W}) * n_windows)
+            // (2 * least(n_tokens, {_MATTR_W}) * n_windows)) / 10000.0
+               AS mattr
+    FROM wins
+    """,
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity via MATTR (moving-average type-token ratio,
+    Covington & McFall): slide a 25-token window over each document, take
+    the type/token ratio in each window, average — the length-robust
+    diversity score corpus-quality pipelines use where raw TTR collapses
+    for long documents (repetitive machine-generated text scores low at
+    any length). Documents shorter than the window fall back to one
+    whole-document window (the standard short-text convention).
+
+    Exactness: the per-window distinct count is an integer, so the score
+    is the rational dsum / (W · n_windows) — rounded to 4 decimals in
+    INTEGER arithmetic (floor((dsum·2e4 + W·m) / (2·W·m)) / 1e4, exact
+    half-up without float division on either engine, the micro-unit
+    pattern from the signed-zero convention in FIXTURES.md). The engines
+    compute dsum DIFFERENTLY but integer-identically: the oracle keeps
+    the definitional O(n·W) slice sweep; the Spark side uses the
+    next-occurrence closed form — position j is distinct within window
+    [i, i+W-1] iff its token's next occurrence falls past the window
+    end, so j contributes to exactly
+    max(0, min(j, m, next(j)−W) − max(1, j−W+1) + 1) windows — O(n log n)
+    per document via one array_sort (property-checked against the brute
+    sweep over random corpora in tests/test_r12b_ops.py). Plan:
+    ZERO-SHUFFLE — the whole sweep is a per-row higher-order expression
+    inside the scan stage (the token array is let-bound as a lambda
+    variable, the cdc-chunking CollapseProject lesson); nothing leaves
+    the document's partition, output is one row per document — at 100 TB
+    it scans, computes, and writes with no exchange at all."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks).cast("bigint")
+    n_windows = F.greatest(n - _MATTR_W + 1, F.lit(1).cast("bigint"))
+    w = _MATTR_W
+    # next-occurrence sweep: sort (token, pos) pairs once, read next(j)
+    # from the following pair when it carries the same token, then sum
+    # each position's closed-form window-contribution count.
+    dsum = F.expr(
+        f"""
+        element_at(transform(array(split(trim(text), '\\\\s+')), tk ->
+          CASE WHEN size(tk) < {w}
+               THEN CAST(size(array_distinct(tk)) AS BIGINT)
+          ELSE element_at(transform(
+            array(array_sort(transform(sequence(1, size(tk)),
+                             j -> struct(element_at(tk, j) AS t, j AS j)))),
+            ps -> aggregate(sequence(1, size(tk)), CAST(0 AS BIGINT),
+              (acc, k) -> acc + CAST(greatest(
+                  least(element_at(ps, k).j,
+                        size(tk) - {w - 1},
+                        (CASE WHEN k < size(tk)
+                               AND element_at(ps, k + 1).t
+                                   = element_at(ps, k).t
+                              THEN element_at(ps, k + 1).j
+                              ELSE size(tk) + 1 END) - {w})
+                  - greatest(1, element_at(ps, k).j - {w - 1}) + 1,
+                  0) AS BIGINT))), 1)
+          END), 1)
+        """
+    )
+    w_eff = F.least(n, F.lit(_MATTR_W).cast("bigint"))
+    # dsum is referenced exactly ONCE downstream, so CollapseProject
+    # re-inlining the named column is harmless here (contrast the
+    # cdc-chunking let-binding note, where multiple references to an
+    # expensive named expression forced the transform-bound form)
+    return (
+        spread(d, "doc_id")
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            dsum.alias("dsum0"),
+            w_eff.alias("w_eff0"),
+            n_windows.alias("n_windows0"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.expr(
+                    "(dsum0 * 20000 + w_eff0 * n_windows0) "
+                    "DIV (2 * w_eff0 * n_windows0)"
+                )
+                / F.lit(10000.0)
+            ).alias("mattr"),
+        )
+    )

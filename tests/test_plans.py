@@ -995,3 +995,58 @@ def test_lsh_band_profile_never_materializes_pairs(spark):
     df = registry.QUERIES["dedup_lsh_band_profile"](spark, SF_DIR)
     plan = executed_plan(df)
     assert "Join" not in plan, "sweep must aggregate buckets, not join pairs"
+
+
+def test_line_level_dedup_keyed_exchanges_only(spark):
+    """Line-level dedup must read only (doc_id, text), generate chunks
+    per-row (no join anywhere), and shuffle at most 3 times: the spread,
+    the line-key rank window, the doc_id rollup."""
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["dedup_line_level"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text"}, cols
+    plan = executed_plan(df)
+    assert "Join" not in plan, plan[:600]
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:600]
+
+
+def test_boundary_overlap_gram_equi_join(spark):
+    """The joint detector's pairs must come from the (k, gram) hash join
+    — no cartesian, no nested-loop join, narrow scan."""
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["dedup_boundary_overlap"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in executed_plan(df)
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_oov_rate_collapses_tokens_before_join(spark):
+    """Raw token rows must collapse to (source, token, count) via a
+    partial+final HashAggregate BEFORE the vocabulary join — the join
+    and the global top-K window both run on post-aggregation frames."""
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["text_oov_rate"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = executed_plan(df)
+    # the vocabulary side broadcasts (size-gated): its K rows never
+    # justify a shuffle join against the compact (source, token) frame
+    assert "BroadcastHashJoin" in plan, plan[:600]
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "source", "text"}, cols
+
+
+def test_mattr_single_spread_exchange(spark):
+    """MATTR is a pure per-row sweep: exactly ONE exchange (the spread
+    that fans the single-file scan across cores), no joins, no windows,
+    no aggregates past the scan stage."""
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["text_mattr_diversity"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("Exchange") <= 1, plan[:600]
+    assert "Join" not in plan and "Window" not in plan, plan[:600]
