@@ -1732,10 +1732,12 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition; only 10-token chunk strings shuffle); ONE exchange on the
     line key ranks first occurrences, ONE on doc_id rolls the report up.
     At 100 TB key the rank window on xxhash64(line) so the exchange
-    carries 8-byte keys, and rewrite the row_number window as the
-    min(struct(doc_id, idx)) groupBy + join-back form: boilerplate lines
-    are exactly the hot keys, a window partition cannot be split by AQE,
-    but a min-struct partial agg combines map-side before the shuffle."""
+    carries 8-byte keys, and rewrite the row_number window as a
+    groupBy + join-back min over a PACKED (doc_id·2^k + idx) bigint key:
+    boilerplate lines are exactly the hot keys, a window partition
+    cannot be split by AQE, but an integer-min partial agg combines
+    map-side before the shuffle (packed, not min(struct) — a struct
+    min falls back to SortAggregate; see emb_hard_negative_mining)."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     chunks = F.transform(
