@@ -159,22 +159,30 @@ def _score_outlier(first: float, rerun: float, committed_median: float) -> float
 
 
 def _ambient_calibration(spark) -> float:
-    """Median seconds for a FIXED JVM-side workload (codegen'd range sum,
-    no data, no shuffle). Same-code bench totals on this host swing ±25%
-    with ambient load (VERDICT r8), and the r12 session measured a broad
-    1.19x median inflation that the >2x outlier gate rightly ignores —
-    this probe stamps each record with the machine's speed AT RUN TIME so
-    two records can be compared normalized (ratio of calibrations) instead
-    of adjudicated by feel. Recorded at start and end of the run;
-    provenance only, never gates or rescales the per-query numbers."""
+    """Min seconds over 5 runs of a FIXED driver-side BLAS workload
+    (2500x2500 ones-matmul, ~31 GFLOP). Same-code bench totals on this
+    host swing ±25% with ambient load (VERDICT r8), and the r12 session
+    measured a broad 1.12-1.19x median inflation that the >2x outlier
+    gate rightly ignores — this probe stamps each record with the
+    machine's speed AT RUN TIME so two records can be compared normalized
+    (ratio of calibrations) instead of adjudicated by feel.
+
+    Deliberately NOT a Spark/JVM workload: a codegen'd range-sum probe
+    was tried first and decayed 0.32 -> 0.15 s across one session purely
+    from JIT tiering — it measured JVM warmth, not machine speed. BLAS
+    has no warmup tail; min-of-5 takes the least-contended sample.
+    Recorded at start and end of the run; provenance only, never gates
+    or rescales the per-query numbers."""
+    import numpy as np
+
+    a = np.ones((2500, 2500))
+    a @ a  # first call pays any thread-pool spin-up
     samples = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
-        spark.range(0, 400_000_000, 1, 32).selectExpr(
-            "sum(id % 1000007)"
-        ).collect()
+        a @ a
         samples.append(time.perf_counter() - t0)
-    return round(statistics.median(samples), 4)
+    return round(min(samples), 4)
 
 
 def main() -> None:
