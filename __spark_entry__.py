@@ -77,7 +77,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_embedding_cosine + emb_hard_negative_mining (outside this
 # window), so the tool's END-of-round proposal shows them at
 # destabilized priority — they queue for r13, the committed r12 window
-# is unchanged.  stable_tier now also tracks SHARED-HELPER fingerprints
+# is unchanged.  End-of-round state after the continuation session:
+# 10 never-checked (the 6 + 4 amended registrations above) lead r13 per
+# `--window 50`; emb_hard_negative_mining was destabilized a SECOND
+# time by the packed-key argmax rewrite (sim MATCH at sf0.01), and
+# TIER-S holds 50 queries out of rotation.  stable_tier now also tracks SHARED-HELPER fingerprints
 # (registry.declare_helper_deps): an edit to a session-memo engine
 # (_cell_assignment, _md5_minhash_funnel, _knn_graph, ...) bumps every
 # declared consumer's effective-since, so memo edits can no longer slip
