@@ -184,3 +184,26 @@ def test_mattr_next_occurrence_closed_form_property():
         w = rng.choice([2, 3, 5, 25])
         toks = [rng.choice("abcdefgh") for _ in range(n)]
         assert brute(toks, w) == closed(toks, w)
+
+
+def test_packed_argmax_key_matches_explicit_ordering():
+    """emb_hard_negative_mining packs its pick order into
+    (sim_mu + 1e6) * 2^40 + (2^40 - 1 - cand) so the argmax stays a
+    hash-aggregable bigint max; prove over random inputs that max(key)
+    selects exactly the row an explicit (sim_mu DESC, cand ASC) sort
+    would, and that the decode round-trips."""
+    import random
+
+    rng = random.Random(7)
+    m = 1 << 40
+    for _ in range(2000):
+        rows = [
+            (rng.randint(-1_000_000, 1_000_000), rng.randint(0, 10_000))
+            for _ in range(rng.randint(1, 30))
+        ]
+        keys = [(s + 1_000_000) * m + (m - 1 - c) for s, c in rows]
+        best = max(keys)
+        dec = (best // m - 1_000_000, m - 1 - best % m)
+        expect = sorted(rows, key=lambda r: (-r[0], r[1]))[0]
+        assert dec == expect
+        assert 0 <= best < 2**63
