@@ -76,6 +76,13 @@ def mq_source_throughput(spark, n_msgs: int = 50_000) -> dict[str, float]:
     spark.read.format("ibmmq").option("path", d2).option("queue", "BENCH.Q").load().count()
     t_big = statistics.median(_drain_times(d2, n_big))
 
+    # the throughput brokers are measurement scratch (~25 MB/run) — drop
+    # them so repeated bench runs don't accumulate tempdirs
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(d2, ignore_errors=True)
+
     return {
         "mq_source_msgs_per_sec": round(n_msgs / t_small, 1),
         "mq_source_sustained_msgs_per_sec": round(n_big / t_big, 1),
