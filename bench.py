@@ -165,7 +165,7 @@ def _score_outlier(first: float, rerun: float, committed_median: float) -> float
     return min(first, max(rerun, committed_median))
 
 
-def _ambient_calibration(spark) -> float:
+def _ambient_calibration() -> float:
     """Min seconds over 5 runs of a FIXED driver-side BLAS workload
     (2500x2500 ones-matmul, ~31 GFLOP). Same-code bench totals on this
     host swing ±25% with ambient load (VERDICT r8), and the r12 session
@@ -208,7 +208,7 @@ def main() -> None:
     # warm the Python datasource/UDF worker pool too (worker fork + package
     # zip distribution is one-time session cost, not per-query cost)
     registry.QUERIES["mq_source_batch_drain"](spark, sf_dir).limit(1).count()
-    calib_start = _ambient_calibration(spark)
+    calib_start = _ambient_calibration()
 
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
@@ -265,8 +265,10 @@ def main() -> None:
         timings[name] = scored
 
     total = round(sum(timings.values()), 4)
-    calib_end = _ambient_calibration(spark)
     mq_rates = mq_source_throughput(spark)
+    # sampled AFTER the MQ drains so the start/end bracket covers
+    # everything the record stores, including the throughput rates
+    calib_end = _ambient_calibration()
 
     # Full per-query map: too large for the driver's 2000-char stdout tail
     # (every BENCH_r{1..4}.json recorded parsed:null because the ~3.5 KB

@@ -1850,7 +1850,11 @@ def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     ks = F.array(*[F.lit(k) for k in range(_BOUND_K_MIN, _BOUND_K_MAX + 1)])
-    base = spread(d, "doc_id").select(
+    # force=True: three consumer subtrees (head-df cap, kept heads,
+    # tails) hang off this frame, and only a real exchange gives
+    # ReuseExchange an anchor — without it a multi-file table at scale
+    # re-scans and re-tokenizes once per consumer
+    base = spread(d, "doc_id", force=True).select(
         "doc_id", toks.alias("toks"), F.explode(ks).alias("k")
     ).filter(F.size("toks") >= F.col("k"))
     heads = base.select(

@@ -1942,10 +1942,12 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(dot*1e6) micro-units with cand-id tiebreaks — gate/rank
     decisions never compare raw doubles. Scale shape: candidates come
     from a cell equi-join (never all-pairs; K cells scale with corpus
-    size), BOTH argmaxes ride one map-side-combinable max(struct) pass
-    over the pair frame (one anchor-keyed exchange, no window sort, the
-    join evaluated once), and shuffles carry (id, label, sim_mu) ints —
-    vectors stay in the cell-local pair stage."""
+    size), BOTH argmaxes ride one map-side-combinable PACKED-BIGINT max
+    pass over the pair frame (one anchor-keyed exchange, no window sort,
+    the join evaluated once; NOT max(struct), which falls back to
+    SortAggregate — SCALE.md rule 3), and shuffles carry
+    (id, label, sim_mu) ints — vectors stay in the cell-local pair
+    stage."""
     # the normalize + 8-cell assignment engine is the session-shared
     # `dedup._cell_assignment` memo (same geometry: _HNM_CELLS ==
     # dedup._COS_CELLS == 8; the oracle CTE above spells it out) — also

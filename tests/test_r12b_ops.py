@@ -24,13 +24,19 @@ _MATTR_W = 25
 
 
 def _docs():
+    import re
+
     con = duckdb.connect()
     rows = con.execute(
         "SELECT doc_id, text, source FROM "
         f"read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
     con.close()
-    return [(i, t.strip().split(), s) for i, t, s in rows]
+    # regex split like BOTH engines, not str.split(): on an empty or
+    # whitespace-only text the engines' split yields [''] (one empty
+    # token) where str.split() yields [] — the manual recompute must
+    # diverge with the engines on that edge, not silently differ
+    return [(i, re.split(r"\s+", t.strip()), s) for i, t, s in rows]
 
 
 def test_line_level_matches_manual(spark):
