@@ -31,127 +31,97 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries() in
-# dict order.  Round-12 window — emitted verbatim by
-# `python scripts/stable_tier.py --window 50` per VERDICT r11 task 3
-# (TIER-S ACTIVE this round: 50 queries left rotation after the r11
-# greens landed and the pending->S flip rule was implemented):
-# (a) 7 never-driver-checked oracled queries — the 6 r11 multimodal ops
-#     + agg_mutual_information, the r11 window's ONE red row (negative
-#     -0.0/-+0.0 round() split, VERDICT r11 task 1): both sides now
-#     normalize signed zero with a trailing `+ 0.0` (FIXTURES.md
-#     convention) and the hardened driver_sim (copysign-aware
-#     _cells_equal, task 2) reproduces the driver failure on the
-#     pre-fix code and MATCHes post-fix;
-# (b) 8 destabilized re-queues — fingerprint moved in r11 (memo /
-#     overflow / guard hardening) AFTER their only driver greens, so
-#     those greens attest dead code (stable_tier.py now detects this
-#     post-bootstrap class directly instead of only prior-TIER-S);
-# (c) 35 rotation rows, oldest-latest-green first — the r6-vintage
-#     tier; 13 r6 rows carry to r13 (pipeline_pii_scrub, proj_compute,
-#     scale_* x3, sim_ann_ivf + 7 more — `stable_tier.py --window`
-#     re-emits them next round).
-# Window math (task 4, HARD cap): 7 + 8 + 35 = 50 exactly -> ZERO free
-# slots for r12 registrations; any operator registered this round goes
-# immediately AFTER the window (never-checked priority for r13) and is
-# verified via the HARDENED driver_sim at sf0.01 this session instead.
-# Budget stated here BEFORE registering, per the house rule: <= 6 new
-# ops this round (r13 window shape: those never-checked + 13 r6 carry +
-# rotation — well under 50, no compounding).  SPENT: exactly 6 —
-# mm_crossmodal_near_dup, agg_ks_source_drift, graph_label_propagation,
-# text_textrank_keywords, stream_ks_drift_monitor,
-# dedup_lsh_band_profile — every one HARDENED-driver_sim MATCH at
-# sf0.01 (first try), invariant-tested, sf0.1-timed (0.9-3.3 s warm).
-# These 6 never-checked rows lead the r13 window.
-#
-# Continuation-session amendment (stated BEFORE registering, same house
-# rule): r12 resumed with a fresh session after the 6-op budget above
-# was spent.  r13 window math with further registrations: 6 + 4
-# never-checked + 2 destabilized (cell-assignment refactor, below) +
-# 13 r6 carry ≈ 25 of 50 slots — no compounding risk.  AMENDED budget:
-# <= 4 more ops this session (dedup_line_level, dedup_boundary_overlap,
-# text_oov_rate, text_mattr_diversity), each oracled + invariant-tested
-# + hardened-sim MATCH at sf0.01 + sf0.1-timed before its commit.
-#
-# Mid-round drift note: the window above matched `--window 50` verbatim
-# at round START; the later cell-assignment memo refactor destabilized
-# dedup_embedding_cosine + emb_hard_negative_mining (outside this
-# window), so the tool's END-of-round proposal shows them at
-# destabilized priority — they queue for r13, the committed r12 window
-# is unchanged.  End-of-round state after the continuation session:
-# 10 never-checked (the 6 + 4 amended registrations above) lead r13 per
-# `--window 50`; emb_hard_negative_mining was destabilized a SECOND
-# time by the packed-key argmax rewrite (sim MATCH at sf0.01), and
-# TIER-S holds 50 queries out of rotation.  stable_tier now also tracks SHARED-HELPER fingerprints
-# (registry.declare_helper_deps): an edit to a session-memo engine
-# (_cell_assignment, _md5_minhash_funnel, _knn_graph, ...) bumps every
-# declared consumer's effective-since, so memo edits can no longer slip
-# past the window rotation with stale greens.
+# dict order.  Round-13 window — emitted VERBATIM by
+# `python scripts/stable_tier.py --window 50` after this round's early
+# fixes (ADVICE r12: packed-argmax offset 1_000_001, text_oov_rate
+# TakeOrderedAndProject cut; VERDICT r12 task 5: dedup_line_level
+# packed-min rewrite — each re-verified hardened-driver_sim MATCH at
+# sf0.01 post-change):
+# (a) 10 never-driver-checked r12 registrations (the 6 budgeted + 4
+#     amended ops), every one sim-MATCHed in r12 AND re-MATCHed after
+#     this round's edits where touched (dedup_line_level, text_oov_rate);
+# (b) 1 destabilized: emb_hard_negative_mining — packed-argmax key
+#     offset moved to 1_000_001 this round (its THIRD fingerprint move
+#     since its last green; sim MATCH post-change, property test
+#     extended to the negative-key regression);
+#     (dedup_embedding_cosine, r12's other destabilized row, went
+#     driver-GREEN in the r12 window before the refactor landed — the
+#     r12 record attests the current fingerprint, so it rotates
+#     normally.)
+# (c) 39 rotation rows, oldest-latest-green first (13 r6-vintage carry
+#     rows lead: pipeline_pii_scrub .. string_funcs).
+# Window math (HARD cap): 10 + 1 + 39 = 50 exactly -> ZERO free slots
+# for r13 registrations; anything registered this round queues AFTER
+# the window at never-checked priority for r14 and is verified via the
+# hardened driver_sim at sf0.01 in-session instead.  Registration
+# budget stated here BEFORE registering, per the house rule: <= 4 new
+# ops this round (r14 window shape: those + the 57-query pending tier
+# rotating through — no compounding).  SPENT: 0 so far.
 #
 # STABLE TIER (ACTIVE): scripts/stable_tier.py maintains
 # STABLE_TIER.json (per-query sha256 of operator source + oracle SQL +
-# a per-round green ledger).  A query is TIER-S once it is hash-green
-# in 2+ distinct rounds with at least one green at its CURRENT
-# fingerprint (the per-commit sf0.001 parity sweep bridges the
-# pre-fingerprint provenance gap); TIER-S queries leave window rotation
-# and re-enter at never-checked priority if any commit changes their
-# fingerprint.  Windows are built as: never-checked -> destabilized ->
-# oldest-green rotation -> deterministic TIER-S sentinels.  Run
-# `python scripts/stable_tier.py --update` after ANY operator-source
+# declared shared-helper engines + a per-round green ledger).  A query
+# is TIER-S once it is hash-green in 2+ distinct rounds with at least
+# one green at its CURRENT fingerprint; TIER-S queries leave window
+# rotation and re-enter at never-checked priority if any commit moves
+# their fingerprint.  After the r12 window landed 50/50 green, TIER-S
+# holds 93 queries out of rotation (57 more pending one repeat green).
+# Run `python scripts/stable_tier.py --update` after ANY operator-source
 # change, and build each round's window from `--window 50`.
 _CHECK_FIRST = [
-    # --- (a) never driver-checked (7): 6 r11 multimodal + the r11 red row ---
-    "agg_mutual_information",
-    "mm_audio_chunk_plan",
-    "mm_phash_near_dup",
-    "mm_resize_letterbox_plan",
-    "mm_token_budget_plan",
-    "mm_video_scene_cut_plan",
-    "stream_mm_decode_drain",
-    # --- (b) destabilized in r11 after their last driver green (8) ---
-    "dedup_minhash_lsh_md5",
-    "dedup_minhash_recall_eval",
-    "dedup_soft_weighting",
-    "events_alert_debounce",
-    "graph_adamic_adar",
-    "graph_jaccard_link_prediction",
-    "mm_decode_features",
-    "text_compression_ratio_proxy",
-    # --- (c) rotation: 35 oldest-latest-green (r6-vintage tier) ---
-    "agg_cube_orders",
-    "agg_grouping_sets_sql",
-    "agg_heavy_hitters_cms",
-    "agg_monthly_orders",
-    "agg_percentiles",
-    "agg_rollup_flags",
-    "agg_skew_kurtosis",
-    "agg_stats",
-    "agg_value_histogram",
-    "datetime_funcs",
-    "dedup_embedding_cosine",
-    "dedup_exact_docs_hash",
-    "dedup_exact_events",
-    "dedup_ngram_jaccard",
-    "dedup_substr_spans",
-    "emb_centroid_per_label",
-    "emb_kmeans_3iter",
-    "emb_pq_codes",
-    "events_anomaly_zscore",
-    "events_top_paths",
-    "join_asof_click_before_purchase",
-    "join_bloom_prefilter",
-    "join_left_order_counts",
-    "join_revenue_by_nation",
-    "json_funcs",
-    "mm_frame_sample",
-    "mq_envelope_build",
-    "mq_gap_detect",
-    "mq_key_decompose",
-    "mq_latest_wins",
-    "mq_seq_repair",
-    "mq_sink_roundtrip",
-    "mq_source_batch_drain",
-    "mq_source_multi_queue_union",
-    "pipeline_chunk_documents",
+    # --- (a) never driver-checked (10): the r12 registrations ---
+    "agg_ks_source_drift",
+    "dedup_boundary_overlap",
+    "dedup_line_level",
+    "dedup_lsh_band_profile",
+    "graph_label_propagation",
+    "mm_crossmodal_near_dup",
+    "stream_ks_drift_monitor",
+    "text_mattr_diversity",
+    "text_oov_rate",
+    "text_textrank_keywords",
+    # --- (b) destabilized after last green (1) ---
+    "emb_hard_negative_mining",
+    # --- (c) rotation: 39 oldest-latest-green (r6-vintage carry first) ---
+    "pipeline_pii_scrub",
+    "proj_compute",
+    "scale_bucketed_cell_manifest",
+    "scale_partitioned_scan_pruned",
+    "scale_salted_join",
+    "sim_ann_ivf",
+    "sim_ann_lsh_signed",
+    "sim_ann_recall_eval",
+    "sim_topk_bruteforce",
+    "stream_stream_left_join",
+    "string_funcs",
+    "affinity_copurchase_pmi",
+    "agg_bitmap_distinct_rollup",
+    "agg_collect_event_types",
+    "agg_latest_order_per_cust",
+    "agg_pivot_event_types",
+    "agg_rfm_segments",
+    "array_funcs",
+    "conditional_case",
+    "dedup_cluster_resolve",
+    "dedup_containment_3gram",
+    "events_attribution_last_touch",
+    "events_cohort_ltv",
+    "events_dau_rolling",
+    "events_hourly_gap_fill",
+    "filter_predicates",
+    "graph_pagerank_copurchase",
+    "hash_funcs",
+    "join_anti_inactive",
+    "join_asof_tolerance",
+    "join_full_outer_nation_presence",
+    "join_price_bands",
+    "join_right_outer_orders",
+    "join_semi_purchasers",
+    "map_funcs",
+    "math_funcs",
+    "mm_binary_meta",
+    "mq_dlq_split",
+    "mq_ordered_replay",
 ]
 
 

@@ -192,6 +192,64 @@ def _ambient_calibration() -> float:
     return round(min(samples), 4)
 
 
+_CALIB_DEGRADED_RATIO = 1.25
+
+
+def _calibration_verdict(
+    calib_start: float, calib_end: float, committed_provenance: dict | None
+) -> dict:
+    """Compare this run's ambient-calibration probes against the last
+    COMMITTED record's and say whether the run is DEGRADED (VERDICT r12
+    task 4: the r12 driver record's 308.8 s total stood unlabeled next to
+    a 214.4 s same-code total, on a host whose own probe read 32 % slower
+    — act on the probe instead of leaving adjudication to the reader).
+
+    The run's ambient speed is the WORSE (max) of its start/end probes —
+    a run that degraded mid-flight is degraded; the committed reference
+    is the BETTER (min) of its probes — the fastest the host has
+    demonstrably run this workload. ratio > 1.25 ⇒ labeled degraded
+    (labels, never refuses: a driver-invoked run must still emit a
+    record, but one that carries its own health verdict). No committed
+    probe (pre-r12 records, fresh checkout) ⇒ explicitly
+    ``no-reference``, never silently healthy."""
+    current = round(max(calib_start, calib_end), 4)
+    ref = None
+    if committed_provenance:
+        probes = committed_provenance.get("ambient_calibration_sec") or {}
+        vals = [v for v in (probes.get("start"), probes.get("end"))
+                if isinstance(v, (int, float))]
+        if vals:
+            ref = min(vals)
+    if ref is None:
+        return {"status": "no-reference", "current_worst": current}
+    ratio = round(current / ref, 4)
+    return {
+        "status": "degraded" if ratio > _CALIB_DEGRADED_RATIO else "healthy",
+        "current_worst": current,
+        "committed_best": ref,
+        "ratio": ratio,
+        "threshold": _CALIB_DEGRADED_RATIO,
+    }
+
+
+def _committed_provenance(here: str) -> dict | None:
+    """provenance block of HEAD's bench_full.json (same HEAD-not-worktree
+    rule as _committed_baseline: a dirty mid-session file must not move
+    its own goalposts)."""
+    import subprocess
+
+    try:
+        blob = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:bench_full.json"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if blob.returncode == 0:
+            return json.loads(blob.stdout).get("provenance")
+    except Exception:
+        pass
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -269,6 +327,9 @@ def main() -> None:
     # sampled AFTER the MQ drains so the start/end bracket covers
     # everything the record stores, including the throughput rates
     calib_end = _ambient_calibration()
+    calib_verdict = _calibration_verdict(
+        calib_start, calib_end, _committed_provenance(here)
+    )
 
     # Full per-query map: too large for the driver's 2000-char stdout tail
     # (every BENCH_r{1..4}.json recorded parsed:null because the ~3.5 KB
@@ -297,6 +358,11 @@ def main() -> None:
                 "start": calib_start,
                 "end": calib_end,
             },
+            # the probe now GATES the record's health label (VERDICT r12
+            # task 4): worst current probe vs best committed probe; >1.25x
+            # ⇒ the whole record is stamped degraded so a slow-host total
+            # can never again stand unlabeled next to a healthy one.
+            "ambient_verdict": calib_verdict,
             "run_label": os.environ.get(
                 "SPARK_GRAFT_BENCH_LABEL",
                 # An unset env var must be distinguishable from a genuine

@@ -1,0 +1,140 @@
+"""A/B the md5-minhash funnel's SIGNATURE-frame strategy (VERDICT r12
+task 2): lazy forced-exchange sig (the live choice, dedup.py) vs a
+session-checkpointed sig — re-measured now that `dedup_lsh_band_profile`
+is a FOURTH funnel consumer (the 1.38-vs-3.21 interleaved ratio that
+justified laziness predates it).
+
+Usage::
+
+    python scripts/sig_strategy_ab.py [--sessions N] [--sf-dir DIR]
+
+Protocol: alternating FRESH Spark sessions (new applicationId ⇒ fresh
+session memo), each running the full funnel FAMILY in bench order
+(sorted names, like bench.py's main loop) with bench.py's per-query
+isolation (noop write, clearCache + JVM GC). The signal is the FAMILY
+SUM per session — per-query numbers mislead because cand/sig
+materialization cost lands on whichever consumer runs first. Variant B
+is produced WITHOUT code changes by seeding the session memo with
+``durable_checkpoint(sig, eager=False)`` before any consumer runs, so
+both variants execute the identical committed operator code.
+
+Output: one human block + ONE JSON line (``{"sig_ab": ...}``) for the
+bench provenance trail.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from spark_ibm_mq_spark import registry  # noqa: E402
+from spark_ibm_mq_spark.operators import dedup  # noqa: E402
+from spark_ibm_mq_spark.session import get_spark  # noqa: E402
+from spark_ibm_mq_spark.tables import durable_checkpoint  # noqa: E402
+
+# the funnel consumers + the truth-pair sibling, in bench.py's sorted
+# execution order — the family VERDICT r12 flagged (+16% best-to-best)
+FAMILY = [
+    "dedup_lsh_band_profile",
+    "dedup_minhash_lsh_md5",
+    "dedup_minhash_recall_eval",
+    "dedup_ngram_jaccard",
+]
+
+
+def _run_family(spark, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in FAMILY:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 4)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    return out
+
+
+def _session(variant: str, sf_dir: str) -> dict[str, float]:
+    spark = get_spark(f"sig-ab-{variant}")
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        if variant == "ckpt":
+            # seed the memo with a checkpointed sig BEFORE any consumer
+            # acts: identical committed code runs, but every consumer
+            # reads sig back from checkpoint blocks instead of
+            # recomputing 16 md5/token through the forced exchange.
+            sig, cand = dedup._md5_minhash_funnel(spark, sf_dir)
+            key = (spark.sparkContext.applicationId, sf_dir)
+            dedup._MD5_FUNNEL_MEMO[key] = (
+                durable_checkpoint(sig, eager=False),
+                cand,
+            )
+        return _run_family(spark, sf_dir)
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--sessions", type=int, default=4,
+                    help="sessions PER VARIANT (alternating)")
+    ap.add_argument(
+        "--sf-dir", dest="sf",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    args = ap.parse_args()
+    registry.load_all_modules()
+
+    sums: dict[str, list[float]] = {"lazy": [], "ckpt": []}
+    per_q: dict[str, dict[str, list[float]]] = {
+        "lazy": {n: [] for n in FAMILY},
+        "ckpt": {n: [] for n in FAMILY},
+    }
+    for i in range(args.sessions):
+        for variant in ("lazy", "ckpt"):
+            t = _session(variant, args.sf)
+            sums[variant].append(round(sum(t.values()), 4))
+            for n, v in t.items():
+                per_q[variant][n].append(v)
+            print(
+                f"  session {i + 1}/{args.sessions} {variant}: "
+                f"sum={sums[variant][-1]:.2f}s  {t}",
+                file=sys.stderr,
+            )
+
+    ratios = [a / b for a, b in zip(sums["lazy"], sums["ckpt"])]
+    rec = {
+        "sig_ab": {
+            "family": FAMILY,
+            "sf_dir": args.sf,
+            "sessions_per_variant": args.sessions,
+            "lazy_sums": sums["lazy"],
+            "ckpt_sums": sums["ckpt"],
+            "lazy_median_sum": round(statistics.median(sums["lazy"]), 4),
+            "ckpt_median_sum": round(statistics.median(sums["ckpt"]), 4),
+            "pairwise_lazy_over_ckpt": [round(r, 4) for r in ratios],
+            "per_query_medians": {
+                v: {n: round(statistics.median(s), 4) for n, s in qq.items()}
+                for v, qq in per_q.items()
+            },
+            "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+    }
+    print(
+        f"lazy  family-sum median: {rec['sig_ab']['lazy_median_sum']}s\n"
+        f"ckpt  family-sum median: {rec['sig_ab']['ckpt_median_sum']}s\n"
+        f"pairwise lazy/ckpt ratios: {rec['sig_ab']['pairwise_lazy_over_ckpt']}",
+        file=sys.stderr,
+    )
+    print(json.dumps(rec, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()

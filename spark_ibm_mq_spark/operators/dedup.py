@@ -1727,19 +1727,38 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: line identity is the exact chunk text, first-occurrence
     order is the fully-specified (doc_id, idx) tuple, and every output is
     integer algebra except one round(4) ratio in [0, 1] (no signed-zero
-    exposure). Plan: chunk cutting is a per-row higher-order expression
-    inside the scan stage (zero shuffles — document text never leaves its
-    partition; only 10-token chunk strings shuffle); ONE exchange on the
-    line key ranks first occurrences, ONE on doc_id rolls the report up.
-    At 100 TB key the rank window on xxhash64(line) so the exchange
-    carries 8-byte keys, and rewrite the row_number window as a
-    groupBy + join-back min over a PACKED (doc_id·2^k + idx) bigint key:
-    boilerplate lines are exactly the hot keys, a window partition
-    cannot be split by AQE, but an integer-min partial agg combines
-    map-side before the shuffle (packed, not min(struct) — a struct
-    min falls back to SortAggregate; see emb_hard_negative_mining)."""
+    exposure). Plan (the packed-key form — VERDICT r12 task 5; the
+    row_number-window form this replaced could not be split by AQE on a
+    boilerplate hot line): chunk cutting is a per-row higher-order
+    expression inside the scan stage (document text never leaves its
+    partition; only 10-token chunk strings shuffle). First occurrences
+    come from ONE map-side-combinable integer-min aggregate over a
+    PACKED bigint key (doc_id·2^20 + idx) grouped by line — the
+    boilerplate hot key partial-combines to one row per map task BEFORE
+    the exchange, which a window partition never does — then the min
+    DECODES back to its winning doc_id (packed, not min(struct): a
+    struct min falls back to SortAggregate, see
+    emb_hard_negative_mining). Per-doc totals (chunk/token counts) are
+    plain per-row arithmetic on the token array — the denominators never
+    ride the explode — and the final report is a doc-count-sized
+    doc_id equi-join of totals against kept-winner rollups. Bounds
+    audit (SCALE.md rule 7): idx < 2^20 caps a document at ~10M tokens
+    (line-level pipelines cap document length orders of magnitude
+    lower), leaving doc_id headroom 2^43 ≈ 8.8e12; both nonnegative so
+    DIV truncation is exact. At 100 TB the one remaining fat exchange
+    carries (line, packed) — keying it on xxhash64(line) would cut key
+    bytes ~8x at a 2^-64-per-pair collision risk; the exact string key
+    stays live here because the oracle contract is exact."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
+    # totals per doc are per-row arithmetic: chunks tile the token array,
+    # so n_chunks = ceil(|toks|/W) and n_tokens = |toks| exactly match
+    # the exploded frame's count(*)/sum(n_toks) without re-exploding it.
+    totals = spread(d, "doc_id").select(
+        "doc_id",
+        F.ceil(F.size(toks) / F.lit(_LINE_W)).cast("bigint").alias("n_chunks"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
     chunks = F.transform(
         F.sequence(
             F.lit(0), (F.ceil(F.size(toks) / F.lit(_LINE_W)) - 1).cast("int")
@@ -1753,39 +1772,44 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_toks"),
         ),
     )
+    _idx_m = 1 << 20
     lines = (
         spread(d, "doc_id")
         .select("doc_id", F.posexplode(chunks).alias("idx", "ch"))
         .select(
-            "doc_id",
-            F.col("idx").cast("bigint").alias("idx"),
+            (F.col("doc_id") * _idx_m + F.col("idx")).alias("pk"),
             F.col("ch.line").alias("line"),
             F.col("ch.n_toks").alias("n_toks"),
         )
     )
-    w = Window.partitionBy("line").orderBy("doc_id", "idx")
-    flagged = lines.withColumn("keep", F.row_number().over(w) == 1)
-    return (
-        flagged.groupBy("doc_id")
+    # identical line text ⟹ identical token slice ⟹ identical n_toks,
+    # so min(n_toks) is THE chunk's token count, not a mixture.
+    kept = (
+        lines.groupBy("line")
+        .agg(F.min("pk").alias("mk"), F.min("n_toks").alias("nt"))
+        .select(F.expr(f"mk DIV {_idx_m}").alias("doc_id"), "nt")
+        .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-            F.sum(F.when(F.col("keep"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("kept_chunks"),
-            F.sum("n_toks").cast("bigint").alias("n_tokens"),
-            F.sum(F.when(F.col("keep"), F.col("n_toks")).otherwise(0))
-            .cast("bigint")
-            .alias("kept_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("kept_chunks"),
+            F.sum("nt").cast("bigint").alias("kept_tokens"),
         )
+    )
+    return (
+        totals.join(kept, "doc_id", "left")
         .select(
             "doc_id",
             "n_chunks",
-            "kept_chunks",
-            "n_tokens",
-            "kept_tokens",
-            F.round(F.col("kept_tokens") / F.col("n_tokens"), 4).alias(
-                "kept_ratio"
+            F.coalesce("kept_chunks", F.lit(0)).cast("bigint").alias(
+                "kept_chunks"
             ),
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias(
+                "kept_tokens"
+            ),
+        )
+        .withColumn(
+            "kept_ratio",
+            F.round(F.col("kept_tokens") / F.col("n_tokens"), 4),
         )
     )
 

@@ -1978,17 +1978,23 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Both argmaxes in ONE aggregation pass over the pair frame: the
     # (sim_mu desc, cand asc) pick order is packed into a single BIGINT
-    # key (sim_mu + 1e6) * 2^40 + (2^40 - 1 - cand), so max(key) is a
+    # key (sim_mu + 1e6 + 1) * 2^40 + (2^40 - 1 - cand), so max(key) is a
     # plain hash-aggregable bigint max — a max(struct) pick here falls
     # back to SortAggregate and SORTS the whole pair frame twice
     # (measured ~1.6x slower than even the old two-window form).
     # vs the two-window form this computes the cell join once instead of
     # twice and the partial max combines map-side before the single
-    # (anchor)-keyed exchange. Bounds audit (SCALE.md rule 7): offset
-    # sim_mu ≤ 2e6, so key ≤ 2e6·2^40 + 2^40 ≈ 2.2e18 < 2^63; id
-    # headroom cand < 2^40 covers 100 TB vec-id spaces.
+    # (anchor)-keyed exchange. Bounds audit (SCALE.md rule 7): the
+    # offset is 1e6 + 1, NOT 1e6, because a double dot of antipodal
+    # unit vectors can round just below -1 so sim_mu = floor(dot*1e6)
+    # reaches -1_000_001; the extra +1 keeps the key NONNEGATIVE there
+    # (Spark's DIV/% truncate toward zero, so a negative key would
+    # decode to the wrong (sim_mu, cand)). Upper side: dot rounding
+    # above +1 still floors to 1_000_000, so offset sim_mu ≤ 2e6 + 1
+    # and key ≤ (2e6+1)·2^40 + 2^40 ≈ 2.2e18 < 2^63; id headroom
+    # cand < 2^40 covers 100 TB vec-id spaces.
     _m = 1 << 40
-    key = (F.col("sim_mu") + F.lit(1_000_000)) * F.lit(_m) + (
+    key = (F.col("sim_mu") + F.lit(1_000_001)) * F.lit(_m) + (
         F.lit(_m - 1) - F.col("cand")
     )
     same = F.col("a_label") == F.col("c_label")
@@ -2003,11 +2009,11 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor",
             "a_label",
             F.struct(
-                F.expr(f"pk DIV {_m} - 1000000").alias("sim_mu"),
+                F.expr(f"pk DIV {_m} - 1000001").alias("sim_mu"),
                 F.expr(f"{_m - 1} - pk % {_m}").alias("cand"),
             ).alias("pp"),
             F.struct(
-                F.expr(f"nk DIV {_m} - 1000000").alias("sim_mu"),
+                F.expr(f"nk DIV {_m} - 1000001").alias("sim_mu"),
                 F.expr(f"{_m - 1} - nk % {_m}").alias("cand"),
             ).alias("np"),
         )

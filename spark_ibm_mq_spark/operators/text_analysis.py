@@ -1836,11 +1836,13 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable groupBy BEFORE anything joins — raw token
     occurrences never shuffle twice; the global frequency rollup reuses
     that compact frame; the K-row vocabulary broadcasts (size-gated) onto
-    it; final rollup shuffles one row per (source, token). The top-K
-    window runs on the post-aggregation type frame (|vocabulary| rows,
-    ~31 here), the same dimension-sized global-sort escape documented for
-    the RFM ntiles — at 100 TB the type frame is still tiny relative to
-    the corpus."""
+    it; final rollup shuffles one row per (source, token). The top-K cut
+    is orderBy().limit(K), which Spark plans as a PARALLEL
+    TakeOrderedAndProject (per-partition top-K then a K-row driver
+    merge) — the distinct-token frame is corpus-proportional at 100 TB
+    (billions of rows), so an unpartitioned row_number window here would
+    funnel it through ONE task (ADVICE r12); the limit form keeps the
+    same deterministic (count DESC, token ASC) cut."""
     d = load_table(spark, sf_dir, "documents")
     st = (
         spread(d, "doc_id")
@@ -1850,11 +1852,8 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = st.groupBy("t").agg(F.sum("c").alias("tc"))
     vocab = (
-        freq.withColumn(
-            "r",
-            F.row_number().over(Window.orderBy(F.desc("tc"), F.asc("t"))),
-        )
-        .filter(F.col("r") <= _VOCAB_K)
+        freq.orderBy(F.desc("tc"), F.asc("t"))
+        .limit(_VOCAB_K)
         .select("t", F.lit(1).alias("in_v"))
     )
     return (

@@ -95,3 +95,44 @@ def test_committed_baseline_no_git_falls_back_to_file(tmp_path):
     )
     assert _committed_baseline(str(d), 0.1) == ({"q1": 2.0}, "worktree")
     assert _committed_baseline(str(tmp_path / "missing"), 0.1) == ({}, "none")
+
+
+def test_calibration_verdict_labels_degraded_runs():
+    """VERDICT r12 task 4: the ambient probe must GATE the record's health
+    label — worst current probe vs best committed probe, >1.25x ⇒
+    degraded."""
+    from bench import _calibration_verdict
+
+    committed = {"ambient_calibration_sec": {"start": 0.160, "end": 0.165}}
+    # the live r12 case: driver probe 0.212 vs builder 0.160 → 1.325x
+    v = _calibration_verdict(0.212, 0.205, committed)
+    assert v["status"] == "degraded"
+    assert v["current_worst"] == 0.212  # the WORSE of start/end
+    assert v["committed_best"] == 0.160  # the BETTER committed probe
+    assert v["ratio"] == 1.325
+    # healthy: within 25% of the committed best
+    assert _calibration_verdict(0.150, 0.170, committed)["status"] == "healthy"
+    # boundary: exactly 1.25x is NOT degraded (strict >)
+    assert _calibration_verdict(0.16, 0.20, committed)["status"] == "healthy"
+    # a run that degraded mid-flight is degraded (end probe is the max)
+    assert _calibration_verdict(0.150, 0.212, committed)["status"] == "degraded"
+
+
+def test_calibration_verdict_without_reference_is_explicit():
+    """No committed probe ⇒ 'no-reference', never silently healthy."""
+    from bench import _calibration_verdict
+
+    assert _calibration_verdict(0.2, 0.2, None)["status"] == "no-reference"
+    assert _calibration_verdict(0.2, 0.2, {})["status"] == "no-reference"
+    # committed provenance exists but predates the probe (r1-r11 records)
+    assert (
+        _calibration_verdict(0.2, 0.2, {"run_label": "x"})["status"]
+        == "no-reference"
+    )
+    # a malformed probe block (nulls) is also no-reference
+    assert (
+        _calibration_verdict(
+            0.2, 0.2, {"ambient_calibration_sec": {"start": None}}
+        )["status"]
+        == "no-reference"
+    )

@@ -194,22 +194,49 @@ def test_mattr_next_occurrence_closed_form_property():
 
 def test_packed_argmax_key_matches_explicit_ordering():
     """emb_hard_negative_mining packs its pick order into
-    (sim_mu + 1e6) * 2^40 + (2^40 - 1 - cand) so the argmax stays a
+    (sim_mu + 1e6 + 1) * 2^40 + (2^40 - 1 - cand) so the argmax stays a
     hash-aggregable bigint max; prove over random inputs that max(key)
     selects exactly the row an explicit (sim_mu DESC, cand ASC) sort
-    would, and that the decode round-trips."""
+    would, and that the decode round-trips. The sample range includes
+    sim_mu = -1_000_001 — reachable when the double dot of antipodal
+    unit vectors rounds just below -1 — where the old +1e6 offset
+    produced a NEGATIVE key whose truncate-toward-zero DIV/% decode was
+    wrong (ADVICE r12)."""
     import random
 
     rng = random.Random(7)
     m = 1 << 40
+    off = 1_000_001
     for _ in range(2000):
         rows = [
-            (rng.randint(-1_000_000, 1_000_000), rng.randint(0, 10_000))
+            (rng.randint(-1_000_001, 1_000_000), rng.randint(0, 10_000))
             for _ in range(rng.randint(1, 30))
         ]
-        keys = [(s + 1_000_000) * m + (m - 1 - c) for s, c in rows]
+        keys = [(s + off) * m + (m - 1 - c) for s, c in rows]
         best = max(keys)
-        dec = (best // m - 1_000_000, m - 1 - best % m)
+        dec = (best // m - off, m - 1 - best % m)
         expect = sorted(rows, key=lambda r: (-r[0], r[1]))[0]
         assert dec == expect
         assert 0 <= best < 2**63
+    # the exact regression case from ADVICE r12: (-1_000_001, 5) must
+    # round-trip under a truncate-toward-zero DIV/%, which it only does
+    # with a nonnegative key.
+    s_mu, cand = -1_000_001, 5
+    k = (s_mu + off) * m + (m - 1 - cand)
+    assert k >= 0
+
+    def _trunc_div(a, b):  # Spark DIV semantics (truncate toward zero)
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    def _trunc_mod(a, b):  # Spark % semantics (sign follows dividend)
+        r = abs(a) % b
+        return r if a >= 0 else -r
+
+    assert (_trunc_div(k, m) - off, m - 1 - _trunc_mod(k, m)) == (s_mu, cand)
+    # and the OLD offset demonstrably mis-decoded it:
+    k_old = (s_mu + 1_000_000) * m + (m - 1 - cand)
+    assert (
+        _trunc_div(k_old, m) - 1_000_000,
+        m - 1 - _trunc_mod(k_old, m),
+    ) != (s_mu, cand)
