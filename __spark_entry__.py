@@ -58,6 +58,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # ops this round (r14 window shape: those + the 57-query pending tier
 # rotating through — no compounding).  SPENT: 0 so far.
 #
+# Mid-round destabilization note (r14 builder): the VERDICT r12 task-2
+# A/B reversed the md5-funnel sig strategy to CHECKPOINTED
+# (dedup.py `_md5_minhash_funnel`), which moved the fingerprints of
+# dedup_minhash_lsh_md5 and dedup_minhash_recall_eval AFTER their r12
+# greens — both re-verified hardened-sim MATCH at sf0.01 post-change
+# this session, and both queue at destabilized priority for the r14
+# window (dedup_lsh_band_profile, the third consumer, is already in
+# THIS window and gets its green at the new fingerprint).
+#
 # STABLE TIER (ACTIVE): scripts/stable_tier.py maintains
 # STABLE_TIER.json (per-query sha256 of operator source + oracle SQL +
 # declared shared-helper engines + a per-round green ledger).  A query

@@ -61,7 +61,7 @@ def _run_family(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def _session(variant: str, sf_dir: str) -> dict[str, float]:
+def _session(variant: str, sf_dir: str, passes: int) -> list[dict[str, float]]:
     spark = get_spark(f"sig-ab-{variant}")
     spark.sparkContext.setLogLevel("WARN")
     try:
@@ -76,7 +76,11 @@ def _session(variant: str, sf_dir: str) -> dict[str, float]:
                 durable_checkpoint(sig, eager=False),
                 cand,
             )
-        return _run_family(spark, sf_dir)
+        # pass 1 is the cold profile (what bench.py's first-of-3 runs
+        # pay); passes 2+ are the warm profile (what bench.py's
+        # median-of-3 scores) — report both, they answer different
+        # questions.
+        return [_run_family(spark, sf_dir) for _ in range(passes)]
     finally:
         spark.stop()
 
@@ -85,6 +89,8 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--sessions", type=int, default=4,
                     help="sessions PER VARIANT (alternating)")
+    ap.add_argument("--passes", type=int, default=1,
+                    help="family passes per session (1=cold; 2+ adds warm)")
     ap.add_argument(
         "--sf-dir", dest="sf",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
@@ -92,47 +98,57 @@ def main() -> None:
     args = ap.parse_args()
     registry.load_all_modules()
 
-    sums: dict[str, list[float]] = {"lazy": [], "ckpt": []}
-    per_q: dict[str, dict[str, list[float]]] = {
-        "lazy": {n: [] for n in FAMILY},
-        "ckpt": {n: [] for n in FAMILY},
+    # sums[variant][pass_idx] = list of per-session family sums
+    sums: dict[str, list[list[float]]] = {
+        "lazy": [[] for _ in range(args.passes)],
+        "ckpt": [[] for _ in range(args.passes)],
     }
     for i in range(args.sessions):
         for variant in ("lazy", "ckpt"):
-            t = _session(variant, args.sf)
-            sums[variant].append(round(sum(t.values()), 4))
-            for n, v in t.items():
-                per_q[variant][n].append(v)
+            per_pass = _session(variant, args.sf, args.passes)
+            for p, t in enumerate(per_pass):
+                sums[variant][p].append(round(sum(t.values()), 4))
             print(
                 f"  session {i + 1}/{args.sessions} {variant}: "
-                f"sum={sums[variant][-1]:.2f}s  {t}",
+                + "  ".join(
+                    f"pass{p + 1}={sums[variant][p][-1]:.2f}s"
+                    for p in range(args.passes)
+                )
+                + f"  last={per_pass[-1]}",
                 file=sys.stderr,
             )
 
-    ratios = [a / b for a, b in zip(sums["lazy"], sums["ckpt"])]
     rec = {
         "sig_ab": {
             "family": FAMILY,
             "sf_dir": args.sf,
             "sessions_per_variant": args.sessions,
-            "lazy_sums": sums["lazy"],
-            "ckpt_sums": sums["ckpt"],
-            "lazy_median_sum": round(statistics.median(sums["lazy"]), 4),
-            "ckpt_median_sum": round(statistics.median(sums["ckpt"]), 4),
-            "pairwise_lazy_over_ckpt": [round(r, 4) for r in ratios],
-            "per_query_medians": {
-                v: {n: round(statistics.median(s), 4) for n, s in qq.items()}
-                for v, qq in per_q.items()
+            "passes_per_session": args.passes,
+            "per_pass": {
+                v: [
+                    {
+                        "sums": s,
+                        "median": round(statistics.median(s), 4),
+                    }
+                    for s in sums[v]
+                ]
+                for v in ("lazy", "ckpt")
             },
+            "pairwise_lazy_over_ckpt_by_pass": [
+                [round(a / b, 4) for a, b in zip(sums["lazy"][p], sums["ckpt"][p])]
+                for p in range(args.passes)
+            ],
             "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
     }
-    print(
-        f"lazy  family-sum median: {rec['sig_ab']['lazy_median_sum']}s\n"
-        f"ckpt  family-sum median: {rec['sig_ab']['ckpt_median_sum']}s\n"
-        f"pairwise lazy/ckpt ratios: {rec['sig_ab']['pairwise_lazy_over_ckpt']}",
-        file=sys.stderr,
-    )
+    for p in range(args.passes):
+        print(
+            f"pass {p + 1}: lazy median "
+            f"{rec['sig_ab']['per_pass']['lazy'][p]['median']}s vs ckpt "
+            f"{rec['sig_ab']['per_pass']['ckpt'][p]['median']}s  ratios "
+            f"{rec['sig_ab']['pairwise_lazy_over_ckpt_by_pass'][p]}",
+            file=sys.stderr,
+        )
     print(json.dumps(rec, separators=(",", ":")))
 
 

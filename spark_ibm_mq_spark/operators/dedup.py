@@ -265,12 +265,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The md5 MinHash funnel's expensive halves, shared by the oracled twin
-# (`dedup_minhash_lsh_md5`) and the candidate-quality eval
-# (`dedup_minhash_recall_eval`): the 16-md5-per-doc signature frame and
+# (`dedup_minhash_lsh_md5`), the candidate-quality eval
+# (`dedup_minhash_recall_eval`), and the banding-geometry sweep
+# (`dedup_lsh_band_profile`): the 16-md5-per-doc signature frame and
 # the distinct band-join candidate pairs each materialize once per
-# session — same memo discipline as _LABELS_MEMO/_PAIRS_MEMO. Only the
-# compact candidate PAIR set checkpoints; the signature frame stays lazy
-# (see the in-function note: a sig checkpoint measured SLOWER).
+# session — same memo discipline as _LABELS_MEMO/_PAIRS_MEMO. BOTH
+# halves checkpoint since r13 (see the in-function A/B note: the lazy
+# sig that won at two consumers loses at three).
 _MD5_FUNNEL_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
@@ -278,9 +279,9 @@ def _md5_minhash_funnel(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """(sig, cand): sig = (doc_id, toks, 16-md5 minhash array),
-    lazy (shared via its forced exchange); cand = DISTINCT band-collision
-    (doc_a, doc_b), checkpointed. Candidate volume ∝ band collisions,
-    never n²."""
+    checkpointed (lazily, at the first consumer action); cand = DISTINCT
+    band-collision (doc_a, doc_b), checkpointed. Candidate volume ∝ band
+    collisions, never n²."""
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     memoized = _MD5_FUNNEL_MEMO.get(memo_key)
     if memoized is not None:
@@ -297,19 +298,31 @@ def _md5_minhash_funnel(
         )
 
     rows_per_band = _N_MINHASH // _BANDS
-    # sig is NOT checkpointed: materializing (toks, 16x32-hex) arrays costs
-    # more than the recompute it saves — interleaved pair/control ratios:
-    # 2.32 no memo, 3.21 with a sig checkpoint, 1.38 with the cand-only
-    # memo kept here; the twin's three consumers share sig through the
-    # forced exchange instead, as before (ReuseExchange).
-    sig = spread(
-        arrs.select(
+    # sig IS checkpointed (reversal of the r11 lazy decision, re-measured
+    # per VERDICT r12 task 2 after dedup_lsh_band_profile became a THIRD
+    # sig consumer): a ReuseExchange shares sig only WITHIN one action, so
+    # the lazy form recomputes 16 md5/token once per consumer ACTION —
+    # 3x at current count (cand materialization, lsh_md5, band_profile) —
+    # where the checkpoint materializes once and reads blocks after.
+    # scripts/sig_strategy_ab.py, alternating fresh sessions at sf0.1,
+    # 10 cold + 6 warm pairs: ckpt wins 8/10 cold and 4/6 warm pairs;
+    # min-of-samples (the robust estimator under this host's one-sided
+    # ambient noise, same rationale as bench.py's calibration probe)
+    # reads cold 21.4s vs 36.5s family-sum (-41%) and warm 10.4s vs
+    # 11.6s (-10%). At 100 TB the gap widens with every added consumer:
+    # one columnar write vs k full md5 passes. The r11 counter-evidence
+    # (ckpt ratio 3.21 vs lazy 1.38) predates the third consumer.
+    sig = durable_checkpoint(
+        spread(
+            arrs.select(
+                "doc_id",
+                "toks",
+                F.array(*[_mh(i) for i in range(_N_MINHASH)]).alias("sig"),
+            ),
             "doc_id",
-            "toks",
-            F.array(*[_mh(i) for i in range(_N_MINHASH)]).alias("sig"),
+            force=True,
         ),
-        "doc_id",
-        force=True,
+        eager=False,
     )
     bands = sig.select(
         "doc_id",
