@@ -1919,6 +1919,123 @@ def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_TAU_MU = 400_000  # near-dup gate, micro-units (cos >= 0.4; the
+# fixture-scaled analogue of SemDeDup's ~0.96 web threshold — same value
+# dedup_embedding_cosine uses, so the two ops describe the SAME pair set)
+
+
+@register(
+    "dedup_semdedup_prune",
+    oracle=f"""
+    WITH unit AS (SELECT vec_id, {_UNIT_SQL} AS u FROM embeddings),
+    cent AS (SELECT vec_id AS cell, u AS cu FROM unit ORDER BY vec_id LIMIT {_COS_CELLS}),
+    assign AS (
+        SELECT vec_id, u, cell FROM (
+            SELECT e.vec_id, e.u, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor(({_dot_sql('e.u', 'c.cu')}) * 1000000) DESC, c.cell) AS rn
+            FROM unit e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    am AS (
+        SELECT a.vec_id, a.cell,  a.u,
+               CAST(floor(({_dot_sql('a.u', 'c.cu')}) * 1000000) AS BIGINT)
+                   AS cent_mu
+        FROM assign a JOIN cent c ON a.cell = c.cell
+    ),
+    pruned AS (
+        SELECT DISTINCT a.vec_id
+        FROM am a JOIN am b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        WHERE floor(({_dot_sql('a.u', 'b.u')}) * 1000000)
+                  >= {_SEMDEDUP_TAU_MU}
+          AND (b.cent_mu < a.cent_mu
+               OR (b.cent_mu = a.cent_mu AND b.vec_id < a.vec_id))
+    )
+    SELECT am.vec_id, am.cell, am.cent_mu,
+           CAST(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS pruned
+    FROM am LEFT JOIN pruned p ON am.vec_id = p.vec_id
+    """,
+)
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "Semantic deduplication ... "): cluster
+    embeddings, and within each cluster drop every member of a near-dup
+    pair EXCEPT the one least similar to the cluster centroid — the
+    semantic-level pass that removes paraphrases and templated rewrites
+    exact/MinHash dedup cannot see. Output is the per-vector curation
+    report: (vec_id, cell, centroid similarity in micro-units, pruned
+    flag); `dedup_embedding_cosine` lists the same pair set, THIS op
+    resolves it to a keep/drop decision.
+
+    Keep rule (the paper's): a vector is pruned iff some other vector in
+    its cell sits within the cosine gate AND is STRICTLY LESS central
+    (lower floor(dot(u, centroid)·1e6); micro-unit ties keep the lower
+    vec_id) — so every near-dup group keeps exactly its least-central
+    exemplar, the member that preserves the most diversity.
+
+    Exactness: cell assignment is the shared `_cell_assignment` engine
+    (floored micro-unit argmax, cell-id tie-break); BOTH the near-dup
+    gate and the centrality comparison happen in floored micro-units, so
+    a 1-ulp dot divergence can neither admit a pair nor flip a winner;
+    output is all-integer. Scale shape: centroids broadcast (K rows);
+    candidate pairs come from the cell equi-join (never all-pairs — the
+    dedup_embedding_cosine analysis applies verbatim, K must scale with
+    the corpus); the dominance test is a per-pair integer compare, the
+    pruned set a distinct on vec_id, and the final attach a
+    corpus-row-count LEFT join. Nothing beyond the pair join touches
+    vectors."""
+    assign = _cell_assignment(spark, sf_dir).select("vec_id", "u", "cell")
+    cent = F.broadcast(
+        assign.orderBy("vec_id")
+        .limit(_COS_CELLS)
+        .select(F.col("vec_id").alias("cell_c"), F.col("u").alias("cu"))
+    )
+    am = assign.join(cent, F.col("cell") == F.col("cell_c")).select(
+        "vec_id",
+        "cell",
+        "u",
+        F.floor(dot(F.col("u"), F.col("cu")) * 1e6)
+        .cast("bigint")
+        .alias("cent_mu"),
+    )
+    a = am.select(
+        F.col("vec_id").alias("va"),
+        F.col("cell").alias("ca"),
+        F.col("u").alias("ua"),
+        F.col("cent_mu").alias("ma"),
+    )
+    b = am.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cell").alias("cb"),
+        F.col("u").alias("ub"),
+        F.col("cent_mu").alias("mb"),
+    )
+    sim_mu = F.floor(dot(F.col("ua"), F.col("ub")) * 1e6)
+    dominated = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") != F.col("vb")))
+        .filter(
+            (sim_mu >= _SEMDEDUP_TAU_MU)
+            & (
+                (F.col("mb") < F.col("ma"))
+                | ((F.col("mb") == F.col("ma")) & (F.col("vb") < F.col("va")))
+            )
+        )
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("pr", F.lit(1))
+    )
+    return (
+        am.select("vec_id", "cell", "cent_mu")
+        .join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "cent_mu",
+            F.coalesce("pr", F.lit(0)).cast("bigint").alias("pruned"),
+        )
+    )
+
+
 # Shared-helper dependency declarations (registry.declare_helper_deps doc):
 # stable_tier folds these helpers' sources into each consumer's change
 # detection, so an edit to a session-memo engine destabilizes every query
@@ -1927,6 +2044,7 @@ def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 from spark_ibm_mq_spark.registry import declare_helper_deps  # noqa: E402
 
 declare_helper_deps("dedup_embedding_cosine", _cell_assignment)
+declare_helper_deps("dedup_semdedup_prune", _cell_assignment)
 declare_helper_deps("dedup_minhash_lsh_md5", _md5_minhash_funnel)
 declare_helper_deps(
     "dedup_minhash_recall_eval", _md5_minhash_funnel, _jaccard_truth_pairs

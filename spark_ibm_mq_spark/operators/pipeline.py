@@ -1755,3 +1755,116 @@ def pipeline_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_str",
         "max_str",
     )
+
+
+_DSIR_B = 64  # hashed feature buckets (DSIR uses 10k at web scale)
+_DSIR_TARGET = "src0"  # deterministic target domain: first source id
+# hex char -> 0..15 via instr; two chars give 0..255, % B keeps char 1's
+# low 2 bits + all of char 2 — uniform because md5 hex chars are uniform.
+# instr/substring/md5 are bit-identical across Spark and DuckDB; the
+# ascii()%k house trick (pipeline_domain_mix) caps at 16 buckets, this
+# form reaches any power-of-two B <= 256.
+_DSIR_BUCKET = (
+    "((instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1)"
+    f" % {_DSIR_B}"
+)
+
+
+@register(
+    "pipeline_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    tb AS (SELECT doc_id, source, CAST({_DSIR_BUCKET} AS BIGINT) AS b
+           FROM tok),
+    db AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS n
+           FROM tb GROUP BY 1, 2, 3),
+    raw AS (SELECT b, CAST(sum(n) AS BIGINT) AS cr FROM db GROUP BY 1),
+    tgt AS (SELECT b, CAST(sum(n) AS BIGINT) AS ct FROM db
+            WHERE source = '{_DSIR_TARGET}' GROUP BY 1),
+    model AS (
+        SELECT raw.b, COALESCE(tgt.ct, 0) AS ct, raw.cr
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+    ),
+    tots AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+        FROM model
+    )
+    SELECT db.doc_id, db.source,
+           CAST(sum(db.n) AS BIGINT) AS n_tokens,
+           round(sum(db.n * ln(((m.ct + 1) * 1.0 * (t.tr + {_DSIR_B}))
+                               / ((t.tt + {_DSIR_B}) * 1.0 * (m.cr + 1)))),
+                 4) AS dsir_logw
+    FROM db JOIN model m ON db.b = m.b CROSS JOIN tots t
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how target-like its hashed-n-gram feature distribution is —
+    log w(d) = Σ_features n_f(d) · ln(p_target(f) / p_raw(f)) — the
+    standing method for up-sampling a raw crawl toward a trusted domain
+    before pretraining. Features are unigrams hashed into B=64 buckets
+    (md5-derived, engine-identical); the target model is the
+    'src0' source, the raw model the whole corpus; both
+    Laplace-smoothed ((c+1)/(T+B)) so empty buckets stay finite.
+    Downstream selection samples ∝ exp(log w) or takes a top quantile;
+    the score itself is the operator.
+
+    Exactness: bucket ids and all counts are integers; each bucket's log
+    ratio is ONE ln over an identically-associated double expression
+    ((ct+1)·1.0·(tr+B)) / ((tt+B)·1.0·(cr+1)) — both engines build the
+    same doubles and ln agrees to ~1 ulp (the text_unigram_logprob
+    precedent), absorbed by round(4) on the per-doc sum.
+
+    Plan shape (the part that survives 100 TB): tokens hash to buckets
+    INSIDE the scan stage (md5 + instr, no UDF), collapse map-side to
+    (doc_id, bucket, n) — at most B=64 rows per document regardless of
+    length, so the one real exchange carries O(docs·B) ints, never raw
+    tokens; the raw/target models are B-row rollups OF that frame (no
+    second pass over the corpus), broadcast back with the 1-row totals;
+    the final reduce keys on doc_id. Raising B to DSIR's web-scale 10k
+    changes only the broadcast size (~10k rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    tb = (
+        spread(d, "doc_id")
+        .select("doc_id", "source", F.explode(tokens("text")).alias("t"))
+        .select(
+            "doc_id",
+            "source",
+            F.expr(_DSIR_BUCKET).cast("bigint").alias("b"),
+        )
+    )
+    db = tb.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    raw = db.groupBy("b").agg(F.sum("n").alias("cr"))
+    tgt = (
+        db.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.sum("n").alias("ct"))
+    )
+    model = raw.join(tgt, "b", "left").select(
+        "b", F.coalesce("ct", F.lit(0)).alias("ct"), "cr"
+    )
+    tots = model.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lw = F.log(
+        ((F.col("ct") + 1) * F.lit(1.0) * (F.col("tr") + _DSIR_B))
+        / ((F.col("tt") + _DSIR_B) * F.lit(1.0) * (F.col("cr") + 1))
+    )
+    return (
+        db.join(F.broadcast(model), "b")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("n") * lw), 4).alias("dsir_logw"),
+        )
+    )

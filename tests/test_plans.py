@@ -1058,3 +1058,34 @@ def test_mattr_single_spread_exchange(spark):
     plan = executed_plan(df)
     assert plan.count("Exchange") <= 1, plan[:600]
     assert "Join" not in plan and "Window" not in plan, plan[:600]
+
+
+def test_dsir_collapses_buckets_before_model_join(spark):
+    """DSIR must hash tokens to buckets inside the scan stage and collapse
+    to (doc_id, bucket, n) via a partial+final HashAggregate BEFORE the
+    model join; the 64-row model and 1-row totals broadcast — raw token
+    rows never join anything."""
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["pipeline_dsir_importance"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = executed_plan(df)
+    assert "partial_count" in plan or "partial_sum" in plan, plan[:600]
+    assert "BroadcastHashJoin" in plan, plan[:600]
+    assert "SortMergeJoin" not in plan, plan[:600]
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "source", "text"}, cols
+
+
+def test_semdedup_cell_equi_join_only(spark):
+    """SemDeDup's candidate pairs must come from the cell equi-join —
+    never an all-pairs product — and the scan must read only the
+    embedding columns the shared cell-assignment engine needs."""
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["dedup_semdedup_prune"](spark, SF_DIR)
+    assert not has_cartesian(df)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:600]
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"vec_id", "embedding", "label"}, cols
