@@ -1798,7 +1798,7 @@ _DSIR_BUCKET = (
            CAST(sum(db.n) AS BIGINT) AS n_tokens,
            round(sum(db.n * ln(((m.ct + 1) * 1.0 * (t.tr + {_DSIR_B}))
                                / ((t.tt + {_DSIR_B}) * 1.0 * (m.cr + 1)))),
-                 4) AS dsir_logw
+                 4) + 0.0 AS dsir_logw
     FROM db JOIN model m ON db.b = m.b CROSS JOIN tots t
     GROUP BY 1, 2
     """,
@@ -1865,6 +1865,11 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(
             F.sum("n").cast("bigint").alias("n_tokens"),
-            F.round(F.sum(F.col("n") * lw), 4).alias("dsir_logw"),
+            # trailing + 0.0: a doc's weight can round to zero from below,
+            # and the engines disagree on the SIGN of that zero
+            # (FIXTURES.md signed-zero convention)
+            (F.round(F.sum(F.col("n") * lw), 4) + F.lit(0.0)).alias(
+                "dsir_logw"
+            ),
         )
     )
