@@ -56,13 +56,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # hardened driver_sim at sf0.01 in-session instead.  Registration
 # budget stated here BEFORE registering, per the house rule: <= 4 new
 # ops this round (r14 window shape: those + the 57-query pending tier
-# rotating through — no compounding).  SPENT: 2 —
-# pipeline_dsir_importance (DSIR hashed-n-gram importance weights) and
+# rotating through — no compounding).  SPENT: 3 —
+# pipeline_dsir_importance (DSIR hashed-n-gram importance weights),
 # dedup_semdedup_prune (SemDeDup keep/drop resolution on the shared
-# cell assignment); each oracled + invariant-tested (tests/
-# test_r13_ops.py manual recomputes) + plan-asserted + hardened-sim
-# MATCH at sf0.01 first try + sf0.1-timed (1.8-5.2 s / 3.5-7.8 s).
-# Both queue AFTER this window at never-checked priority for r14.
+# cell assignment), and stream_dsir_model_update (the DSIR count frame
+# as a foreachBatch monoid, batch oracle reused verbatim per the IVM
+# discipline); each oracled + invariant-tested (tests/test_r13_ops.py
+# manual recomputes + stream==batch equality) + plan-asserted (batch
+# ops) + hardened-sim MATCH at sf0.01 first try + sf0.1-timed.
+# All three queue AFTER this window at never-checked priority for r14.
 #
 # Mid-round destabilization note (r14 builder): the VERDICT r12 task-2
 # A/B reversed the md5-funnel sig strategy to CHECKPOINTED

@@ -1771,9 +1771,7 @@ _DSIR_BUCKET = (
 )
 
 
-@register(
-    "pipeline_dsir_importance",
-    oracle=f"""
+_DSIR_ORACLE = f"""
     WITH tok AS (
         SELECT doc_id, source,
                unnest(string_split_regex(trim(text), '\\s+')) AS t
@@ -1801,8 +1799,51 @@ _DSIR_BUCKET = (
                  4) + 0.0 AS dsir_logw
     FROM db JOIN model m ON db.b = m.b CROSS JOIN tots t
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+def dsir_scores_from_bucket_counts(db: DataFrame) -> DataFrame:
+    """The DSIR read-time computation from its sufficient statistic — the
+    (doc_id, source, b, n) bucket-count frame: build the Laplace-smoothed
+    target/raw models as B-row rollups OF that frame, broadcast them back,
+    and emit per-doc scores. Shared VERBATIM by `pipeline_dsir_importance`
+    (batch) and `stream_dsir_model_update` (incremental) — the same
+    reuse-the-batch-computation factoring as `ks_drift_from_counts`, and
+    for the same reason: the models are corpus-wide, so any per-batch
+    score would compare against provisional totals; the stream maintains
+    the count frame exactly and THIS recomputation is cheap (model = B
+    rows; the score join is the same one the batch op pays)."""
+    raw = db.groupBy("b").agg(F.sum("n").alias("cr"))
+    tgt = (
+        db.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.sum("n").alias("ct"))
+    )
+    model = raw.join(tgt, "b", "left").select(
+        "b", F.coalesce("ct", F.lit(0)).alias("ct"), "cr"
+    )
+    tots = model.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lw = F.log(
+        ((F.col("ct") + 1) * F.lit(1.0) * (F.col("tr") + _DSIR_B))
+        / ((F.col("tt") + _DSIR_B) * F.lit(1.0) * (F.col("cr") + 1))
+    )
+    return (
+        db.join(F.broadcast(model), "b")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            # trailing + 0.0: a doc's weight can round to zero from below,
+            # and the engines disagree on the SIGN of that zero
+            # (FIXTURES.md signed-zero convention)
+            (F.round(F.sum(F.col("n") * lw), 4) + F.lit(0.0)).alias(
+                "dsir_logw"
+            ),
+        )
+    )
+
+
+@register("pipeline_dsir_importance", oracle=_DSIR_ORACLE)
 def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every document
@@ -1843,33 +1884,4 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = tb.groupBy("doc_id", "source", "b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    raw = db.groupBy("b").agg(F.sum("n").alias("cr"))
-    tgt = (
-        db.filter(F.col("source") == _DSIR_TARGET)
-        .groupBy("b")
-        .agg(F.sum("n").alias("ct"))
-    )
-    model = raw.join(tgt, "b", "left").select(
-        "b", F.coalesce("ct", F.lit(0)).alias("ct"), "cr"
-    )
-    tots = model.agg(
-        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
-    )
-    lw = F.log(
-        ((F.col("ct") + 1) * F.lit(1.0) * (F.col("tr") + _DSIR_B))
-        / ((F.col("tt") + _DSIR_B) * F.lit(1.0) * (F.col("cr") + 1))
-    )
-    return (
-        db.join(F.broadcast(model), "b")
-        .crossJoin(F.broadcast(tots))
-        .groupBy("doc_id", "source")
-        .agg(
-            F.sum("n").cast("bigint").alias("n_tokens"),
-            # trailing + 0.0: a doc's weight can round to zero from below,
-            # and the engines disagree on the SIGN of that zero
-            # (FIXTURES.md signed-zero convention)
-            (F.round(F.sum(F.col("n") * lw), 4) + F.lit(0.0)).alias(
-                "dsir_logw"
-            ),
-        )
-    )
+    return dsir_scores_from_bucket_counts(db)

@@ -1408,6 +1408,99 @@ def stream_ks_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift_from_counts(counts)
 
 
+def _dsir_oracle() -> str:
+    # incremental-view-maintenance contract: the merged bucket-count state
+    # must equal the one-shot computation, so the batch oracle is reused
+    # verbatim (the stream_ks_drift_monitor discipline)
+    from spark_ibm_mq_spark.registry import ORACLE
+
+    return ORACLE["pipeline_dsir_importance"]
+
+
+@register("stream_dsir_model_update", oracle=_dsir_oracle())
+def stream_dsir_model_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pipeline_dsir_importance` maintained INCREMENTALLY — the
+    deployment shape of importance-weighted data selection, which in
+    production scores feeds as they land rather than re-hashing the
+    corpus per model refresh: documents replay in 4 micro-batches
+    through a foreachBatch merge that folds each batch's
+    (doc_id, source, bucket, n) hashed-feature counts into a running
+    snapshot (a trivially associative bigint monoid), and the scores
+    derive from the merged counts at read time via the SAME
+    `dsir_scores_from_bucket_counts` the batch operator uses. Final
+    output must equal the one-shot computation — the
+    incremental-view-maintenance guarantee — which is why this twin
+    reuses the batch oracle VERBATIM.
+
+    Scoring at read time is the correct factoring, not a shortcut: the
+    target/raw models are corpus-wide, so any per-batch score would
+    compare against provisional totals; the stream maintains the
+    sufficient statistic (the bucket-count frame) exactly, and the
+    read-time model rebuild is B=64 rows. Scale shape: each micro-batch
+    pre-aggregates its raw tokens to ≤ |batch docs|·B rows before
+    touching the snapshot — the snapshot is O(docs·B) ints, the same
+    frame the batch operator shuffles, NOT raw tokens; snapshot commits
+    are batch_id-keyed (idempotent under foreachBatch's at-least-once
+    replay)."""
+    from spark_ibm_mq_spark.functions.text import tokens
+    from spark_ibm_mq_spark.operators.mq_source import _scratch
+    from spark_ibm_mq_spark.operators.pipeline import (
+        _DSIR_BUCKET,
+        dsir_scores_from_bucket_counts,
+    )
+
+    d = _scratch("fb_dsir_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = _replay_src(docs, "doc_dsir", sf_dir, ("documents",))
+
+    applied: dict[int, str] = {}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:
+            return
+        agg = (
+            batch_df.select(
+                "doc_id",
+                "source",
+                F.explode(tokens("text")).alias("t"),
+            )
+            .select(
+                "doc_id",
+                "source",
+                F.expr(_DSIR_BUCKET).cast("bigint").alias("b"),
+            )
+            .groupBy("doc_id", "source", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        prev_ids = [b for b in applied if b < batch_id]
+        if prev_ids:
+            prev = batch_df.sparkSession.read.parquet(applied[max(prev_ids)])
+            agg = (
+                prev.unionByName(agg)
+                .groupBy("doc_id", "source", "b")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+        path = os.path.join(d, f"snap_b{batch_id}")
+        agg.write.mode("overwrite").parquet(path)
+        applied[batch_id] = path
+
+    q = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(applied) >= 4, f"expected >=4 merge rounds, got {len(applied)}"
+    counts = spark.read.parquet(applied[max(applied)])
+    return dsir_scores_from_bucket_counts(counts)
+
+
 # Shared-helper dependency declarations (see registry.declare_helper_deps).
 from spark_ibm_mq_spark.operators.aggregations import (  # noqa: E402
     ks_drift_from_counts as _ks_helper,
@@ -1415,3 +1508,10 @@ from spark_ibm_mq_spark.operators.aggregations import (  # noqa: E402
 from spark_ibm_mq_spark.registry import declare_helper_deps  # noqa: E402
 
 declare_helper_deps("stream_ks_drift_monitor", _ks_helper)
+
+from spark_ibm_mq_spark.operators.pipeline import (  # noqa: E402
+    dsir_scores_from_bucket_counts as _dsir_helper,
+)
+
+declare_helper_deps("stream_dsir_model_update", _dsir_helper)
+declare_helper_deps("pipeline_dsir_importance", _dsir_helper)

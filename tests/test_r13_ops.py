@@ -158,3 +158,20 @@ def test_semdedup_prune_matches_manual(spark):
         assert any(v not in pruned for v in endpoints), c
     # and the fixture must actually exercise pruning
     assert pruned, "fixture produced no near-dup pairs; gate untested"
+
+
+def test_stream_dsir_equals_batch(spark):
+    """The IVM guarantee, driven: the streaming twin's final state must
+    equal the one-shot batch computation row-for-row."""
+    from spark_ibm_mq_spark.operators.pipeline import pipeline_dsir_importance
+    from spark_ibm_mq_spark.operators.streaming_analytics import (
+        stream_dsir_model_update,
+    )
+
+    batch = sorted(
+        map(tuple, pipeline_dsir_importance(spark, SF_DIR).collect())
+    )
+    stream = sorted(
+        map(tuple, stream_dsir_model_update(spark, SF_DIR).collect())
+    )
+    assert batch == stream and len(batch) > 0
