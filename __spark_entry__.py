@@ -48,8 +48,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     driver-GREEN in the r12 window before the refactor landed — the
 #     r12 record attests the current fingerprint, so it rotates
 #     normally.)
-# (c) 39 rotation rows, oldest-latest-green first (13 r6-vintage carry
-#     rows lead: pipeline_pii_scrub .. string_funcs).
+# (c) 39 rotation rows, oldest-latest-green first (11 r6-vintage carry
+#     rows lead: pipeline_pii_scrub .. string_funcs — r12's note said 13
+#     would carry, but the r12 window's greens promoted 2 of them to
+#     TIER-S, out of rotation).
 # Window math (HARD cap): 10 + 1 + 39 = 50 exactly -> ZERO free slots
 # for r13 registrations; anything registered this round queues AFTER
 # the window at never-checked priority for r14 and is verified via the

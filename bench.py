@@ -101,26 +101,16 @@ def mq_source_throughput(spark, n_msgs: int = 50_000) -> dict[str, float]:
 _RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
-def _committed_baseline(here: str, sf) -> tuple[dict[str, float], str]:
-    """Per-query medians from the LAST COMMITTED bench_full.json (VERDICT
-    r10 task 3) plus a provenance tag recorded in the output — a gate that
-    silently degraded to no-baseline would make `outlier_reruns: {}`
-    indistinguishable from "no outliers detected". Compares against HEAD's
-    record, not the possibly-dirty working-tree file, so a mid-session run
-    can't move its own goalposts. Only a record at the SAME scale factor
-    counts (an sf0.01 record would flag every sf0.1 query as an outlier).
-    Returns (medians, source) with source ∈ HEAD | worktree |
-    <tier>-sf-mismatch | none — `worktree` (no git available; fresh
+def _committed_record(here: str) -> tuple[dict | None, str]:
+    """The LAST COMMITTED bench_full.json, fetched ONCE per run and shared
+    by the outlier baseline and the calibration verdict (they must read
+    the SAME record, or a git-less checkout would gate outliers against a
+    baseline while reporting 'no-reference' ambient health). HEAD's blob
+    is preferred over the working-tree file so a mid-session run can't
+    move its own goalposts; `worktree` is the no-git fallback (fresh
     checkout == committed, but a dirty mid-session file IS the
-    goalpost-move risk), the sf-mismatch tags (a record exists but at a
-    different scale factor, so the gate ran WITHOUT a baseline), and
-    `none` are all visible in bench_full.json for exactly that reason."""
+    goalpost-move risk). Returns (record|None, HEAD|worktree|none)."""
     import subprocess
-
-    def _result(rec: dict, tier: str) -> tuple[dict[str, float], str]:
-        if rec.get("sf") == sf:
-            return dict(rec.get("queries", {})), tier
-        return {}, f"{tier}-sf-mismatch"
 
     try:
         blob = subprocess.run(
@@ -128,14 +118,33 @@ def _committed_baseline(here: str, sf) -> tuple[dict[str, float], str]:
             capture_output=True, text=True, timeout=30,
         )
         if blob.returncode == 0:
-            return _result(json.loads(blob.stdout), "HEAD")
+            return json.loads(blob.stdout), "HEAD"
     except Exception:
         pass
     try:
         with open(os.path.join(here, "bench_full.json")) as f:
-            return _result(json.load(f), "worktree")
+            return json.load(f), "worktree"
     except Exception:
+        return None, "none"
+
+
+def _committed_baseline(
+    here: str, sf, rec_tier: tuple[dict | None, str] | None = None
+) -> tuple[dict[str, float], str]:
+    """Per-query medians from the last committed record (VERDICT r10
+    task 3) plus a provenance tag recorded in the output — a gate that
+    silently degraded to no-baseline would make `outlier_reruns: {}`
+    indistinguishable from "no outliers detected". Only a record at the
+    SAME scale factor counts (an sf0.01 record would flag every sf0.1
+    query as an outlier); the sf-mismatch tags and `none` are visible in
+    bench_full.json for exactly that reason. Pass a prefetched
+    ``rec_tier`` to share one `_committed_record` fetch per run."""
+    rec, tier = rec_tier if rec_tier is not None else _committed_record(here)
+    if rec is None:
         return {}, "none"
+    if rec.get("sf") == sf:
+        return dict(rec.get("queries", {})), tier
+    return {}, f"{tier}-sf-mismatch"
 
 
 def _is_outlier(first: float, committed_median: float | None) -> bool:
@@ -178,8 +187,9 @@ def _ambient_calibration() -> float:
     was tried first and decayed 0.32 -> 0.15 s across one session purely
     from JIT tiering — it measured JVM warmth, not machine speed. BLAS
     has no warmup tail; min-of-5 takes the least-contended sample.
-    Recorded at start and end of the run; provenance only, never gates
-    or rescales the per-query numbers."""
+    Recorded at start and end of the run; since r13 it also GATES the
+    record's health label via _calibration_verdict (worst current probe
+    vs best committed) — it still never rescales per-query numbers."""
     import numpy as np
 
     a = np.ones((2500, 2500))
@@ -206,18 +216,31 @@ def _calibration_verdict(
 
     The run's ambient speed is the WORSE (max) of its start/end probes —
     a run that degraded mid-flight is degraded; the committed reference
-    is the BETTER (min) of its probes — the fastest the host has
-    demonstrably run this workload. ratio > 1.25 ⇒ labeled degraded
-    (labels, never refuses: a driver-invoked run must still emit a
-    record, but one that carries its own health verdict). No committed
-    probe (pre-r12 records, fresh checkout) ⇒ explicitly
-    ``no-reference``, never silently healthy."""
+    is the BETTER (min) of the last record's probes AND the reference
+    that record was itself judged against (its verdict's
+    ``committed_best``): degraded records still get committed by design,
+    so without that carry-forward one slow committed record would
+    ratchet the reference slow and launder every later equally-slow run
+    as "healthy" — the min propagates the host's demonstrated best
+    through degraded history. ratio > 1.25 ⇒ labeled degraded (labels,
+    never refuses: a driver-invoked run must still emit a record, but
+    one that carries its own health verdict). No committed probe
+    (pre-r12 records, fresh checkout) ⇒ explicitly ``no-reference``,
+    never silently healthy."""
     current = round(max(calib_start, calib_end), 4)
     ref = None
     if committed_provenance:
         probes = committed_provenance.get("ambient_calibration_sec") or {}
-        vals = [v for v in (probes.get("start"), probes.get("end"))
-                if isinstance(v, (int, float))]
+        prior = committed_provenance.get("ambient_verdict") or {}
+        vals = [
+            v
+            for v in (
+                probes.get("start"),
+                probes.get("end"),
+                prior.get("committed_best"),
+            )
+            if isinstance(v, (int, float))
+        ]
         if vals:
             ref = min(vals)
     if ref is None:
@@ -230,24 +253,6 @@ def _calibration_verdict(
         "ratio": ratio,
         "threshold": _CALIB_DEGRADED_RATIO,
     }
-
-
-def _committed_provenance(here: str) -> dict | None:
-    """provenance block of HEAD's bench_full.json (same HEAD-not-worktree
-    rule as _committed_baseline: a dirty mid-session file must not move
-    its own goalposts)."""
-    import subprocess
-
-    try:
-        blob = subprocess.run(
-            ["git", "-C", here, "show", "HEAD:bench_full.json"],
-            capture_output=True, text=True, timeout=30,
-        )
-        if blob.returncode == 0:
-            return json.loads(blob.stdout).get("provenance")
-    except Exception:
-        pass
-    return None
 
 
 def main() -> None:
@@ -300,7 +305,10 @@ def main() -> None:
     # can never enter the committed history as if real — and a memo-warm
     # rerun can never ratchet the baseline downward either (ADVICE r11).
     here = os.path.dirname(os.path.abspath(__file__))
-    baseline, baseline_source = _committed_baseline(here, sf)
+    committed_rec_tier = _committed_record(here)
+    baseline, baseline_source = _committed_baseline(
+        here, sf, committed_rec_tier
+    )
     outlier_reruns: dict[str, dict[str, float]] = {}
     for name, first in sorted(timings.items()):
         base = baseline.get(name)
@@ -328,7 +336,9 @@ def main() -> None:
     # everything the record stores, including the throughput rates
     calib_end = _ambient_calibration()
     calib_verdict = _calibration_verdict(
-        calib_start, calib_end, _committed_provenance(here)
+        calib_start,
+        calib_end,
+        (committed_rec_tier[0] or {}).get("provenance"),
     )
 
     # Full per-query map: too large for the driver's 2000-char stdout tail

@@ -1,8 +1,9 @@
 """A/B the md5-minhash funnel's SIGNATURE-frame strategy (VERDICT r12
-task 2): lazy forced-exchange sig (the live choice, dedup.py) vs a
-session-checkpointed sig — re-measured now that `dedup_lsh_band_profile`
-is a FOURTH funnel consumer (the 1.38-vs-3.21 interleaved ratio that
-justified laziness predates it).
+task 2): lazy forced-exchange sig (the r11-r12 choice, superseded) vs a
+session-checkpointed sig (the live choice since r13, picked by this
+script's records in scripts/sig_ab*.json) — re-measured after
+`dedup_lsh_band_profile` became a THIRD sig-consuming action (the
+1.38-vs-3.21 interleaved ratio that justified laziness predates it).
 
 Usage::
 
@@ -13,10 +14,12 @@ session memo), each running the full funnel FAMILY in bench order
 (sorted names, like bench.py's main loop) with bench.py's per-query
 isolation (noop write, clearCache + JVM GC). The signal is the FAMILY
 SUM per session — per-query numbers mislead because cand/sig
-materialization cost lands on whichever consumer runs first. Variant B
-is produced WITHOUT code changes by seeding the session memo with
-``durable_checkpoint(sig, eager=False)`` before any consumer runs, so
-both variants execute the identical committed operator code.
+materialization cost lands on whichever consumer runs first. The arms
+differ ONLY by the live `dedup._SIG_CHECKPOINT` flag (flipped per
+session before the memo builds), so both execute the same committed
+operator code; the historical records in scripts/sig_ab*.json were
+taken when lazy was the committed default, with the ckpt arm seeded
+via a memo override — same contrast, opposite baseline.
 
 Output: one human block + ONE JSON line (``{"sig_ab": ...}``) for the
 bench provenance trail.
@@ -37,8 +40,6 @@ sys.path.insert(0, REPO)
 from spark_ibm_mq_spark import registry  # noqa: E402
 from spark_ibm_mq_spark.operators import dedup  # noqa: E402
 from spark_ibm_mq_spark.session import get_spark  # noqa: E402
-from spark_ibm_mq_spark.tables import durable_checkpoint  # noqa: E402
-
 # the funnel consumers + the truth-pair sibling, in bench.py's sorted
 # execution order — the family VERDICT r12 flagged (+16% best-to-best)
 FAMILY = [
@@ -65,23 +66,18 @@ def _session(variant: str, sf_dir: str, passes: int) -> list[dict[str, float]]:
     spark = get_spark(f"sig-ab-{variant}")
     spark.sparkContext.setLogLevel("WARN")
     try:
-        if variant == "ckpt":
-            # seed the memo with a checkpointed sig BEFORE any consumer
-            # acts: identical committed code runs, but every consumer
-            # reads sig back from checkpoint blocks instead of
-            # recomputing 16 md5/token through the forced exchange.
-            sig, cand = dedup._md5_minhash_funnel(spark, sf_dir)
-            key = (spark.sparkContext.applicationId, sf_dir)
-            dedup._MD5_FUNNEL_MEMO[key] = (
-                durable_checkpoint(sig, eager=False),
-                cand,
-            )
+        # flip the live funnel's strategy flag per arm (dedup.py
+        # _SIG_CHECKPOINT): since r13 the committed default IS the
+        # checkpoint, so the 'lazy' arm must explicitly disable it —
+        # both arms otherwise execute identical committed code.
+        dedup._SIG_CHECKPOINT = variant == "ckpt"
         # pass 1 is the cold profile (what bench.py's first-of-3 runs
         # pay); passes 2+ are the warm profile (what bench.py's
         # median-of-3 scores) — report both, they answer different
         # questions.
         return [_run_family(spark, sf_dir) for _ in range(passes)]
     finally:
+        dedup._SIG_CHECKPOINT = True  # restore the committed default
         spark.stop()
 
 

@@ -274,6 +274,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sig that won at two consumers loses at three).
 _MD5_FUNNEL_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
+# The sig strategy lives in a FLAG so scripts/sig_strategy_ab.py can still
+# measure the superseded lazy arm against the live one (a committed A/B
+# tool whose variants silently both run the winner cannot reproduce the
+# measurement that picked it). Production value: True (checkpointed).
+_SIG_CHECKPOINT = True
+
 
 def _md5_minhash_funnel(
     spark: SparkSession, sf_dir: str
@@ -312,18 +318,17 @@ def _md5_minhash_funnel(
     # 11.6s (-10%). At 100 TB the gap widens with every added consumer:
     # one columnar write vs k full md5 passes. The r11 counter-evidence
     # (ckpt ratio 3.21 vs lazy 1.38) predates the third consumer.
-    sig = durable_checkpoint(
-        spread(
-            arrs.select(
-                "doc_id",
-                "toks",
-                F.array(*[_mh(i) for i in range(_N_MINHASH)]).alias("sig"),
-            ),
+    sig = spread(
+        arrs.select(
             "doc_id",
-            force=True,
+            "toks",
+            F.array(*[_mh(i) for i in range(_N_MINHASH)]).alias("sig"),
         ),
-        eager=False,
+        "doc_id",
+        force=True,
     )
+    if _SIG_CHECKPOINT:
+        sig = durable_checkpoint(sig, eager=False)
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -1762,7 +1767,15 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries (line, packed) — keying it on xxhash64(line) would cut key
     bytes ~8x at a 2^-64-per-pair collision risk; the exact string key
     stays live here because the oracle contract is exact."""
-    d = load_table(spark, sf_dir, "documents")
+    # NULL-text documents must stay OUT of the report on both engines:
+    # the kept side drops them naturally (posexplode of a null chunk
+    # array emits no rows, as does the oracle's lines CTE), but the
+    # per-row totals frame would otherwise emit a null-metrics row for
+    # them — an output-domain divergence the fixture can't currently
+    # exercise but a regeneration could.
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     toks = tokens("text")
     # totals per doc are per-row arithmetic: chunks tile the token array,
     # so n_chunks = ceil(|toks|/W) and n_tokens = |toks| exactly match

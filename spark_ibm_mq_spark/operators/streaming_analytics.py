@@ -93,6 +93,81 @@ def _replay_src(
     return out
 
 
+def run_snapshot_merge_stream(
+    spark: SparkSession,
+    *,
+    src: str,
+    schema: str,
+    scratch: str,
+    batch_agg,
+    merge,
+    min_batches: int = 4,
+) -> DataFrame:
+    """The foreachBatch snapshot-merge scaffold shared by the six
+    incremental-view-maintenance twins (upsert, CDC apply, TPC-H Q1,
+    CUSUM, KS drift, DSIR): replay ``src`` one file per micro-batch,
+    reduce each batch with ``batch_agg``, fold it into the previous
+    snapshot with ``merge(prev, agg)``, and return the FINAL snapshot
+    frame. Factored once (r13 review) so the commit discipline lives in
+    one place instead of six near-verbatim copies:
+
+    - snapshots are named by batch_id and committed to a driver-side
+      log (the ``applied`` dict) — the Delta/Iceberg commit model minus
+      the manifest;
+    - the merge is IDEMPOTENT on batch_id: foreachBatch's contract is
+      at-least-once, so a replay of a committed batch is skipped and a
+      replay of an UNcommitted one overwrites its own partial output;
+    - each micro-batch is pre-aggregated by ``batch_agg`` BEFORE
+      touching the snapshot, so the merge shuffle carries one row per
+      touched key, never raw input rows — state lives in the store,
+      not executor memory.
+    """
+    applied: dict[int, str] = {}  # batch_id -> committed snapshot path
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:
+            return  # replay of a committed batch: already folded in, skip
+        agg = batch_agg(batch_df)
+        prev_ids = [b for b in applied if b < batch_id]
+        if prev_ids:
+            prev = batch_df.sparkSession.read.parquet(applied[max(prev_ids)])
+            agg = merge(prev, agg)
+        path = os.path.join(scratch, f"snap_b{batch_id}")
+        # overwrite: a replay of an UNcommitted batch redoes its own write
+        agg.write.mode("overwrite").parquet(path)
+        applied[batch_id] = path
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert (
+        len(applied) >= min_batches
+    ), f"expected >={min_batches} merge rounds, got {len(applied)}"
+    return spark.read.parquet(applied[max(applied)])
+
+
+def additive_merge(keys: list[str], sums: list[str]):
+    """merge() for the count-monoid twins: union the snapshot with the
+    batch partial and re-sum every measure per key — valid exactly when
+    all measures are ASSOCIATIVE bigint sums."""
+
+    def _m(prev: DataFrame, agg: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(agg)
+            .groupBy(*keys)
+            .agg(*[F.sum(c).cast("bigint").alias(c) for c in sums])
+        )
+
+    return _m
+
+
 def _run_to_memory(
     stream_df: DataFrame, mode: str, shuffle_partitions: int = 4
 ) -> DataFrame:
@@ -635,53 +710,38 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _replay_src(ev, "ev_upsert", sf_dir, ("events",))
 
     ordinal = F.struct("ts", "event_id")
-    applied: dict[int, str] = {}  # batch_id -> committed snapshot path
 
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in applied:
-            return  # replay of a committed batch: already folded in, skip
-        agg = batch_df.groupBy("user_id").agg(
-            F.max_by("event_id", ordinal).alias("last_event_id"),
-            F.max_by("event_type", ordinal).alias("last_event_type"),
-            F.max("ts").alias("last_ts"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.max(ordinal).alias("last_ord"),
-        )
-        prev_ids = [b for b in applied if b < batch_id]
-        if prev_ids:
-            prev = batch_df.sparkSession.read.parquet(applied[max(prev_ids)])
-            agg = (
-                prev.unionByName(agg)
-                .groupBy("user_id")
-                .agg(
-                    F.max_by("last_event_id", "last_ord").alias("last_event_id"),
-                    F.max_by("last_event_type", "last_ord").alias("last_event_type"),
-                    F.max("last_ts").alias("last_ts"),
-                    F.sum("n_events").alias("n_events"),
-                    F.max("last_ord").alias("last_ord"),
-                )
+    def _fold(prev: DataFrame, agg: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(agg)
+            .groupBy("user_id")
+            .agg(
+                F.max_by("last_event_id", "last_ord").alias("last_event_id"),
+                F.max_by("last_event_type", "last_ord").alias("last_event_type"),
+                F.max("last_ts").alias("last_ts"),
+                F.sum("n_events").alias("n_events"),
+                F.max("last_ord").alias("last_ord"),
             )
-        path = os.path.join(d, f"snap_b{batch_id}")
-        # overwrite: a replay of an UNcommitted batch redoes its own write
-        agg.write.mode("overwrite").parquet(path)
-        applied[batch_id] = path
-
-    q = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp, user_id bigint, "
-            "event_type string, value double, props string"
         )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", os.path.join(d, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    assert len(applied) >= 4, f"expected >=4 merge rounds, got {len(applied)}"
+
     return (
-        spark.read.parquet(applied[max(applied)])
+        run_snapshot_merge_stream(
+            spark,
+            src=src,
+            schema=(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double, props string"
+            ),
+            scratch=d,
+            batch_agg=lambda b: b.groupBy("user_id").agg(
+                F.max_by("event_id", ordinal).alias("last_event_id"),
+                F.max_by("event_type", ordinal).alias("last_event_type"),
+                F.max("ts").alias("last_ts"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.max(ordinal).alias("last_ord"),
+            ),
+            merge=_fold,
+        )
         .select(
             "user_id",
             "last_event_id",
@@ -797,11 +857,7 @@ def stream_cdc_merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     src = _replay_src(ev, "ev_cdc", sf_dir, ("events",))
 
-    applied: dict[int, str] = {}
-
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in applied:
-            return
+    def _batch_agg(batch_df: DataFrame) -> DataFrame:
         cdc = batch_df.select(
             "user_id",
             "ts",
@@ -812,45 +868,37 @@ def stream_cdc_merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("op"),
             "value",
         )
-        agg = cdc.groupBy("user_id").agg(
+        return cdc.groupBy("user_id").agg(
             F.max(F.struct("ts", "seq", "op", "value")).alias("last"),
             F.count(F.lit(1)).cast("bigint").alias("n_changes"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
             .cast("bigint")
             .alias("n_deletes"),
         )
-        prev_ids = [b for b in applied if b < batch_id]
-        if prev_ids:
-            prev = batch_df.sparkSession.read.parquet(applied[max(prev_ids)])
-            agg = (
-                prev.unionByName(agg)
-                .groupBy("user_id")
-                .agg(
-                    F.max("last").alias("last"),
-                    F.sum("n_changes").cast("bigint").alias("n_changes"),
-                    F.sum("n_deletes").cast("bigint").alias("n_deletes"),
-                )
-            )
-        path = os.path.join(d, f"snap_b{batch_id}")
-        agg.write.mode("overwrite").parquet(path)
-        applied[batch_id] = path
 
-    q = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp, user_id bigint, "
-            "event_type string, value double, props string"
+    def _fold(prev: DataFrame, agg: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(agg)
+            .groupBy("user_id")
+            .agg(
+                F.max("last").alias("last"),
+                F.sum("n_changes").cast("bigint").alias("n_changes"),
+                F.sum("n_deletes").cast("bigint").alias("n_deletes"),
+            )
         )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", os.path.join(d, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    assert len(applied) >= 4, f"expected >=4 merge rounds, got {len(applied)}"
+
     return (
-        spark.read.parquet(applied[max(applied)])
+        run_snapshot_merge_stream(
+            spark,
+            src=src,
+            schema=(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double, props string"
+            ),
+            scratch=d,
+            batch_agg=_batch_agg,
+            merge=_fold,
+        )
         .filter(F.col("last.op") != "D")
         .select(
             "user_id",
@@ -941,16 +989,12 @@ def stream_tpch_q1_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = _replay_src(li, "li_q1", sf_dir, ("lineitem",))
 
-    applied: dict[int, str] = {}
-
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in applied:
-            return
+    def _batch_agg(batch_df: DataFrame) -> DataFrame:
         qty = F.floor(F.col("l_quantity") + 0.5).cast("bigint")
         ext_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
         disc_h = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
         tax_h = F.floor(F.col("l_tax") * 100 + 0.5).cast("bigint")
-        agg = (
+        return (
             batch_df.filter(F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp"))
             .select(
                 "l_returnflag",
@@ -976,41 +1020,22 @@ def stream_tpch_q1_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("bigint").alias("n"),
             )
         )
-        prev_ids = [b for b in applied if b < batch_id]
-        if prev_ids:
-            prev = batch_df.sparkSession.read.parquet(applied[max(prev_ids)])
-            agg = (
-                prev.unionByName(agg)
-                .groupBy("l_returnflag", "l_linestatus")
-                .agg(
-                    F.sum("s_qty").cast("bigint").alias("s_qty"),
-                    F.sum("s_base").cast("bigint").alias("s_base"),
-                    F.sum("s_disc").cast("bigint").alias("s_disc"),
-                    F.sum("s_charge").cast("bigint").alias("s_charge"),
-                    F.sum("s_disc_rate").cast("bigint").alias("s_disc_rate"),
-                    F.sum("n").cast("bigint").alias("n"),
-                )
-            )
-        path = os.path.join(d, f"snap_b{batch_id}")
-        agg.write.mode("overwrite").parquet(path)
-        applied[batch_id] = path
 
-    q = (
-        spark.readStream.schema(
+    snap = run_snapshot_merge_stream(
+        spark,
+        src=src,
+        schema=(
             "l_returnflag string, l_linestatus string, l_quantity double, "
             "l_extendedprice double, l_discount double, l_tax double, "
             "l_shipdate timestamp"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", os.path.join(d, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+        ),
+        scratch=d,
+        batch_agg=_batch_agg,
+        merge=additive_merge(
+            ["l_returnflag", "l_linestatus"],
+            ["s_qty", "s_base", "s_disc", "s_charge", "s_disc_rate", "n"],
+        ),
     )
-    q.awaitTermination()
-    assert len(applied) >= 4, f"expected >=4 merge rounds, got {len(applied)}"
-    snap = spark.read.parquet(applied[max(applied)])
     return snap.select(
         "l_returnflag",
         "l_linestatus",
@@ -1279,38 +1304,16 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = _replay_src(ev, "ev_cusum", sf_dir, ("events",))
 
-    applied: dict[int, str] = {}
-
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in applied:
-            return
-        agg = batch_df.groupBy(F.to_date("ts").alias("d")).agg(
+    daily = run_snapshot_merge_stream(
+        spark,
+        src=src,
+        schema="ts timestamp",
+        scratch=d,
+        batch_agg=lambda b: b.groupBy(F.to_date("ts").alias("d")).agg(
             F.count(F.lit(1)).cast("bigint").alias("x")
-        )
-        prev_ids = [b for b in applied if b < batch_id]
-        if prev_ids:
-            prev = batch_df.sparkSession.read.parquet(applied[max(prev_ids)])
-            agg = (
-                prev.unionByName(agg)
-                .groupBy("d")
-                .agg(F.sum("x").cast("bigint").alias("x"))
-            )
-        path = os.path.join(d, f"snap_b{batch_id}")
-        agg.write.mode("overwrite").parquet(path)
-        applied[batch_id] = path
-
-    q = (
-        spark.readStream.schema("ts timestamp")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", os.path.join(d, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+        ),
+        merge=additive_merge(["d"], ["x"]),
     )
-    q.awaitTermination()
-    assert len(applied) >= 4, f"expected >=4 merge rounds, got {len(applied)}"
-    daily = spark.read.parquet(applied[max(applied)])
     params = daily.agg(
         F.expr("CAST(sum(x) div count(*) AS BIGINT)").alias("mu"),
         F.expr("CAST(greatest(sum(x) div count(*) div 20, 1) AS BIGINT)").alias(
@@ -1373,38 +1376,16 @@ def stream_ks_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
     src = _replay_src(docs, "doc_ksdrift", sf_dir, ("documents",))
 
-    applied: dict[int, str] = {}
-
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in applied:
-            return
-        agg = batch_df.groupBy("source", F.col("n_chars").alias("v")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("c")
-        )
-        prev_ids = [b for b in applied if b < batch_id]
-        if prev_ids:
-            prev = batch_df.sparkSession.read.parquet(applied[max(prev_ids)])
-            agg = (
-                prev.unionByName(agg)
-                .groupBy("source", "v")
-                .agg(F.sum("c").cast("bigint").alias("c"))
-            )
-        path = os.path.join(d, f"snap_b{batch_id}")
-        agg.write.mode("overwrite").parquet(path)
-        applied[batch_id] = path
-
-    q = (
-        spark.readStream.schema("source string, n_chars bigint")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", os.path.join(d, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    counts = run_snapshot_merge_stream(
+        spark,
+        src=src,
+        schema="source string, n_chars bigint",
+        scratch=d,
+        batch_agg=lambda b: b.groupBy(
+            "source", F.col("n_chars").alias("v")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("c")),
+        merge=additive_merge(["source", "v"], ["c"]),
     )
-    q.awaitTermination()
-    assert len(applied) >= 4, f"expected >=4 merge rounds, got {len(applied)}"
-    counts = spark.read.parquet(applied[max(applied)])
     return ks_drift_from_counts(counts)
 
 
@@ -1455,17 +1436,13 @@ def stream_dsir_model_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = _replay_src(docs, "doc_dsir", sf_dir, ("documents",))
 
-    applied: dict[int, str] = {}
-
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in applied:
-            return
-        agg = (
-            batch_df.select(
-                "doc_id",
-                "source",
-                F.explode(tokens("text")).alias("t"),
-            )
+    counts = run_snapshot_merge_stream(
+        spark,
+        src=src,
+        schema="doc_id bigint, source string, text string",
+        scratch=d,
+        batch_agg=lambda b: (
+            b.select("doc_id", "source", F.explode(tokens("text")).alias("t"))
             .select(
                 "doc_id",
                 "source",
@@ -1473,31 +1450,9 @@ def stream_dsir_model_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("doc_id", "source", "b")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        )
-        prev_ids = [b for b in applied if b < batch_id]
-        if prev_ids:
-            prev = batch_df.sparkSession.read.parquet(applied[max(prev_ids)])
-            agg = (
-                prev.unionByName(agg)
-                .groupBy("doc_id", "source", "b")
-                .agg(F.sum("n").cast("bigint").alias("n"))
-            )
-        path = os.path.join(d, f"snap_b{batch_id}")
-        agg.write.mode("overwrite").parquet(path)
-        applied[batch_id] = path
-
-    q = (
-        spark.readStream.schema("doc_id bigint, source string, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", os.path.join(d, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+        ),
+        merge=additive_merge(["doc_id", "source", "b"], ["n"]),
     )
-    q.awaitTermination()
-    assert len(applied) >= 4, f"expected >=4 merge rounds, got {len(applied)}"
-    counts = spark.read.parquet(applied[max(applied)])
     return dsir_scores_from_bucket_counts(counts)
 
 
@@ -1515,3 +1470,15 @@ from spark_ibm_mq_spark.operators.pipeline import (  # noqa: E402
 
 declare_helper_deps("stream_dsir_model_update", _dsir_helper)
 declare_helper_deps("pipeline_dsir_importance", _dsir_helper)
+
+# every IVM twin runs on the shared snapshot-merge scaffold: an edit to
+# its commit discipline must destabilize all six consumers
+for _ivm_twin in (
+    "stream_foreachbatch_upsert",
+    "stream_cdc_merge_with_deletes",
+    "stream_tpch_q1_incremental",
+    "stream_cusum_monitor",
+    "stream_ks_drift_monitor",
+    "stream_dsir_model_update",
+):
+    declare_helper_deps(_ivm_twin, run_snapshot_merge_stream, additive_merge)

@@ -136,3 +136,31 @@ def test_calibration_verdict_without_reference_is_explicit():
         )["status"]
         == "no-reference"
     )
+
+
+def test_calibration_reference_survives_degraded_commits():
+    """One committed degraded record must not ratchet the reference slow:
+    the verdict's reference is the min over the last record's probes AND
+    the committed_best that record was judged against."""
+    from bench import _calibration_verdict
+
+    # a degraded record got committed (by design); its probes read 0.17
+    # but it was judged against the host's demonstrated best 0.13
+    degraded_committed = {
+        "ambient_calibration_sec": {"start": 0.17, "end": 0.17},
+        "ambient_verdict": {
+            "status": "degraded",
+            "committed_best": 0.13,
+            "ratio": 1.3077,
+        },
+    }
+    # an equally-slow next run must STILL read degraded (0.17/0.13 > 1.25),
+    # not launder itself healthy against the slow record's own probes
+    v = _calibration_verdict(0.17, 0.17, degraded_committed)
+    assert v["status"] == "degraded"
+    assert v["committed_best"] == 0.13
+    # and a genuinely recovered run reads healthy against the same history
+    assert (
+        _calibration_verdict(0.14, 0.14, degraded_committed)["status"]
+        == "healthy"
+    )
