@@ -2063,6 +2063,18 @@ declare_helper_deps(
     "dedup_minhash_recall_eval", _md5_minhash_funnel, _jaccard_truth_pairs
 )
 declare_helper_deps("dedup_lsh_band_profile", _md5_minhash_funnel)
-declare_helper_deps("dedup_cluster_resolve", _resolve_duplicate_labels)
-declare_helper_deps("pipeline_canonicalize_dedup", _resolve_duplicate_labels)
-declare_helper_deps("dedup_soft_weighting", _resolve_duplicate_labels)
+# the label engine CALLS _jaccard_truth_pairs, so its consumers must
+# declare BOTH (r13 census audit): declarations are not transitive — a
+# truth-pair edit previously destabilized only dedup_minhash_recall_eval
+# while the three label consumers kept stale greens.
+declare_helper_deps(
+    "dedup_cluster_resolve", _resolve_duplicate_labels, _jaccard_truth_pairs
+)
+declare_helper_deps(
+    "pipeline_canonicalize_dedup",
+    _resolve_duplicate_labels,
+    _jaccard_truth_pairs,
+)
+declare_helper_deps(
+    "dedup_soft_weighting", _resolve_duplicate_labels, _jaccard_truth_pairs
+)
