@@ -202,49 +202,102 @@ def _ambient_calibration() -> float:
     return round(min(samples), 4)
 
 
+def _ambient_membw_calibration() -> float:
+    """Min seconds over 3 runs of a FIXED memory-bandwidth workload
+    (copy + reduce over a 256 MB float64 array — streaming traffic far
+    beyond any cache level), the second leg of the calibration bracket
+    (VERDICT r13 task 3). The BLAS probe is compute-bound and saturates
+    in-cache: round 13 produced TWO records whose CPU probe read healthy
+    while every query family carried a uniform 1.28-1.35x inflation —
+    the signature of memory/IO-side contention the matmul cannot see.
+    This probe times exactly the resource those queries (shuffle spill,
+    Arrow batches, parquet decode) actually contend on. min-of-3: the
+    array is allocated once so there is no page-fault warmup tail after
+    the throwaway first pass."""
+    import numpy as np
+
+    a = np.ones(32_000_000, dtype=np.float64)  # 256 MB working set
+    b = a.copy()  # throwaway: pays allocation + first-touch faults
+    float(b.sum())
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b = a.copy()
+        float(b.sum())
+        samples.append(time.perf_counter() - t0)
+    del a, b
+    return round(min(samples), 4)
+
+
 _CALIB_DEGRADED_RATIO = 1.25
+# Reference carry-forward window (ADVICE r13 #2): the verdict's reference
+# used to be a monotone min over ALL history (probes + each prior verdict's
+# committed_best), so one anomalously fast probe — a turbo burst, cold-cache
+# luck — ratcheted the reference fast FOREVER and labeled every later
+# normal-speed run degraded with no recovery path. The reference is now the
+# min over the last N records' best probes (carried as probe_history in the
+# verdict): an outlier ages out after N records, and a consistent streak of
+# slower-than-old-reference runs re-baselines once the outlier leaves the
+# window — while a single committed degraded record still cannot launder the
+# next equally-slow run (the healthy records' probes remain in the window).
+_CALIB_HISTORY_N = 5
 
 
-def _calibration_verdict(
-    calib_start: float, calib_end: float, committed_provenance: dict | None
-) -> dict:
-    """Compare this run's ambient-calibration probes against the last
-    COMMITTED record's and say whether the run is DEGRADED (VERDICT r12
-    task 4: the r12 driver record's 308.8 s total stood unlabeled next to
-    a 214.4 s same-code total, on a host whose own probe read 32 % slower
-    — act on the probe instead of leaving adjudication to the reader).
+def _probe_verdict(
+    start: float | None,
+    end: float | None,
+    probes: dict,
+    prior: dict,
+    start_key: str,
+    end_key: str,
+    hist_key: str,
+    legacy_best_key: str | None,
+) -> dict | None:
+    """One probe kind's verdict (shared by the CPU and membw legs).
 
     The run's ambient speed is the WORSE (max) of its start/end probes —
-    a run that degraded mid-flight is degraded; the committed reference
-    is the BETTER (min) of the last record's probes AND the reference
-    that record was itself judged against (its verdict's
-    ``committed_best``): degraded records still get committed by design,
-    so without that carry-forward one slow committed record would
-    ratchet the reference slow and launder every later equally-slow run
-    as "healthy" — the min propagates the host's demonstrated best
-    through degraded history. ratio > 1.25 ⇒ labeled degraded (labels,
-    never refuses: a driver-invoked run must still emit a record, but
-    one that carries its own health verdict). No committed probe
-    (pre-r12 records, fresh checkout) ⇒ explicitly ``no-reference``,
-    never silently healthy."""
-    current = round(max(calib_start, calib_end), 4)
-    ref = None
-    if committed_provenance:
-        probes = committed_provenance.get("ambient_calibration_sec") or {}
-        prior = committed_provenance.get("ambient_verdict") or {}
-        vals = [
-            v
-            for v in (
-                probes.get("start"),
-                probes.get("end"),
-                prior.get("committed_best"),
-            )
-            if isinstance(v, (int, float))
-        ]
-        if vals:
-            ref = min(vals)
-    if ref is None:
-        return {"status": "no-reference", "current_worst": current}
+    a run that degraded mid-flight is degraded. The reference is the min
+    over a BOUNDED window: the last record's probes plus its verdict's
+    ``probe_history`` (the last ``_CALIB_HISTORY_N`` records' best
+    probes). Degraded records still get committed by design, and their
+    probes enter the history too — the min over the window ignores them
+    while any healthy probe remains, so a single slow committed record
+    cannot launder the next equally-slow run; but unlike the old
+    unbounded carry-forward, an anomalously FAST probe ages out of the
+    window after N records instead of poisoning the label forever
+    (ADVICE r13 #2). Pre-history records (≤r13) fall back to the legacy
+    ``committed_best`` carry for one transition round. Returns None when
+    this run took no such probe (membw on a pre-upgrade replay)."""
+    if start is None and end is None:
+        return None
+    cur_vals = [v for v in (start, end) if isinstance(v, (int, float))]
+    current = round(max(cur_vals), 4)
+    hist = [
+        v
+        for v in (prior.get(hist_key) or [])
+        if isinstance(v, (int, float))
+    ][-_CALIB_HISTORY_N:]
+    ref_vals = [
+        v
+        for v in (probes.get(start_key), probes.get(end_key))
+        if isinstance(v, (int, float))
+    ]
+    if hist:
+        ref_vals += hist
+    elif legacy_best_key is not None:
+        legacy = prior.get(legacy_best_key)
+        if isinstance(legacy, (int, float)):
+            ref_vals.append(legacy)
+    new_hist = (hist + ([min(cur_vals)] if cur_vals else []))[
+        -_CALIB_HISTORY_N:
+    ]
+    if not ref_vals:
+        return {
+            "status": "no-reference",
+            "current_worst": current,
+            hist_key: new_hist,
+        }
+    ref = min(ref_vals)
     ratio = round(current / ref, 4)
     return {
         "status": "degraded" if ratio > _CALIB_DEGRADED_RATIO else "healthy",
@@ -252,7 +305,61 @@ def _calibration_verdict(
         "committed_best": ref,
         "ratio": ratio,
         "threshold": _CALIB_DEGRADED_RATIO,
+        hist_key: new_hist,
     }
+
+
+def _calibration_verdict(
+    calib_start: float,
+    calib_end: float,
+    committed_provenance: dict | None,
+    membw_start: float | None = None,
+    membw_end: float | None = None,
+) -> dict:
+    """Compare this run's ambient-calibration probes against the last
+    COMMITTED record's and say whether the run is DEGRADED (VERDICT r12
+    task 4: the r12 driver record's 308.8 s total stood unlabeled next to
+    a 214.4 s same-code total, on a host whose own probe read 32 % slower
+    — act on the probe instead of leaving adjudication to the reader).
+
+    Two probe legs since r14 (VERDICT r13 task 3): the BLAS/CPU probe and
+    the memory-bandwidth probe, each judged worst-current vs
+    bounded-window-best by :func:`_probe_verdict`; the record is labeled
+    degraded if EITHER leg degrades (r13's blind spot: two records with
+    healthy CPU probes carried 1.28-1.35x broad inflation — memory-side
+    contention only the membw leg can see). Labels, never refuses: a
+    driver-invoked run must still emit a record, but one that carries its
+    own health verdict. No committed probe (pre-r12 records, fresh
+    checkout) ⇒ explicitly ``no-reference``, never silently healthy."""
+    probes = (committed_provenance or {}).get("ambient_calibration_sec") or {}
+    prior = (committed_provenance or {}).get("ambient_verdict") or {}
+    cpu = _probe_verdict(
+        calib_start,
+        calib_end,
+        probes,
+        prior,
+        "start",
+        "end",
+        "probe_history",
+        "committed_best",
+    )
+    out = dict(cpu)
+    membw = _probe_verdict(
+        membw_start,
+        membw_end,
+        probes,
+        # membw had no legacy committed_best — only the history carries
+        prior.get("membw") or {},
+        "membw_start",
+        "membw_end",
+        "membw_probe_history",
+        None,
+    )
+    if membw is not None:
+        out["membw"] = membw
+        if membw["status"] == "degraded":
+            out["status"] = "degraded"
+    return out
 
 
 def main() -> None:
@@ -272,6 +379,7 @@ def main() -> None:
     # zip distribution is one-time session cost, not per-query cost)
     registry.QUERIES["mq_source_batch_drain"](spark, sf_dir).limit(1).count()
     calib_start = _ambient_calibration()
+    membw_start = _ambient_membw_calibration()
 
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
@@ -335,10 +443,13 @@ def main() -> None:
     # sampled AFTER the MQ drains so the start/end bracket covers
     # everything the record stores, including the throughput rates
     calib_end = _ambient_calibration()
+    membw_end = _ambient_membw_calibration()
     calib_verdict = _calibration_verdict(
         calib_start,
         calib_end,
         (committed_rec_tier[0] or {}).get("provenance"),
+        membw_start=membw_start,
+        membw_end=membw_end,
     )
 
     # Full per-query map: too large for the driver's 2000-char stdout tail
@@ -367,6 +478,11 @@ def main() -> None:
             "ambient_calibration_sec": {
                 "start": calib_start,
                 "end": calib_end,
+                # second leg since r14 (VERDICT r13 task 3): streaming
+                # copy+reduce — sees the memory-side contention the
+                # compute-bound BLAS probe is blind to
+                "membw_start": membw_start,
+                "membw_end": membw_end,
             },
             # the probe now GATES the record's health label (VERDICT r12
             # task 4): worst current probe vs best committed probe; >1.25x

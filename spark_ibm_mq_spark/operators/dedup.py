@@ -1690,6 +1690,33 @@ def dedup_lsh_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LINE_W = 10  # tokens per pseudo-line (fixture docs are single-line streams)
+_LINE_IDX_M = 1 << 20  # packed-key radix: chunk idx domain per document
+
+
+def _guarded_line_pack(doc_id, idx):  # -> Column
+    """Pack (doc_id, chunk idx) into one bigint first-occurrence key,
+    raising loudly on any row outside the envelope [0, 2^43) x [0, 2^20)
+    (ADVICE r13 #1: an out-of-range row would DECODE to the wrong
+    winner and silently corrupt kept_chunks/kept_tokens — the bound
+    used to be a docstring audit only). The when-branch keeps the
+    guard JVM-side for every in-bounds row; raise_error only
+    evaluates on a violation."""
+    return (
+        F.when(
+            (idx >= 0)
+            & (idx < F.lit(_LINE_IDX_M))
+            & (doc_id >= 0)
+            & (doc_id < F.lit(1 << 43)),
+            doc_id * _LINE_IDX_M + idx,
+        )
+        .otherwise(
+            F.raise_error(
+                "dedup_line_level: (doc_id, chunk idx) outside the "
+                "packed-key envelope [0, 2^43) x [0, 2^20)"
+            )
+        )
+        .cast("bigint")
+    )
 
 
 @register(
@@ -1763,7 +1790,11 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit (SCALE.md rule 7): idx < 2^20 caps a document at ~10M tokens
     (line-level pipelines cap document length orders of magnitude
     lower), leaving doc_id headroom 2^43 ≈ 8.8e12; both nonnegative so
-    DIV truncation is exact. At 100 TB the one remaining fat exchange
+    DIV truncation is exact — and the bound is ENFORCED, not just
+    audited (ADVICE r13 #1): the packed key raises via
+    ``raise_error`` on any out-of-range (doc_id, idx), so a fixture
+    regeneration outside the envelope fails loudly instead of silently
+    electing the wrong first-occurrence winner. At 100 TB the one remaining fat exchange
     carries (line, packed) — keying it on xxhash64(line) would cut key
     bytes ~8x at a 2^-64-per-pair collision risk; the exact string key
     stays live here because the oracle contract is exact."""
@@ -1798,12 +1829,11 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_toks"),
         ),
     )
-    _idx_m = 1 << 20
     lines = (
         spread(d, "doc_id")
         .select("doc_id", F.posexplode(chunks).alias("idx", "ch"))
         .select(
-            (F.col("doc_id") * _idx_m + F.col("idx")).alias("pk"),
+            _guarded_line_pack(F.col("doc_id"), F.col("idx")).alias("pk"),
             F.col("ch.line").alias("line"),
             F.col("ch.n_toks").alias("n_toks"),
         )
@@ -1813,7 +1843,7 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         lines.groupBy("line")
         .agg(F.min("pk").alias("mk"), F.min("n_toks").alias("nt"))
-        .select(F.expr(f"mk DIV {_idx_m}").alias("doc_id"), "nt")
+        .select(F.expr(f"mk DIV {_LINE_IDX_M}").alias("doc_id"), "nt")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("kept_chunks"),
@@ -1980,11 +2010,17 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag); `dedup_embedding_cosine` lists the same pair set, THIS op
     resolves it to a keep/drop decision.
 
-    Keep rule (the paper's): a vector is pruned iff some other vector in
-    its cell sits within the cosine gate AND is STRICTLY LESS central
-    (lower floor(dot(u, centroid)·1e6); micro-unit ties keep the lower
-    vec_id) — so every near-dup group keeps exactly its least-central
-    exemplar, the member that preserves the most diversity.
+    Keep rule: a vector is pruned iff some other vector in its cell sits
+    within the cosine gate AND is STRICTLY LESS central (lower
+    floor(dot(u, centroid)·1e6); micro-unit ties keep the lower vec_id)
+    — so every cell keeps AT LEAST its least-central gated member, the
+    member that preserves the most diversity. This is pairwise
+    dominance, not connected-component resolution (ADVICE r13 #3): in a
+    chain a–b, b–c where the a–c pair is outside the gate, both a and c
+    can survive — which matches the property the invariant test asserts
+    and how SemDeDup is applied in practice (one pass, no transitive
+    closure); `dedup_cluster_resolve` is the op that collapses
+    transitive groups to one representative.
 
     Exactness: cell assignment is the shared `_cell_assignment` engine
     (floored micro-unit argmax, cell-id tie-break); BOTH the near-dup

@@ -36,8 +36,20 @@ HELPER_DEPS: dict[str, tuple[Callable, ...]] = {}
 
 
 def declare_helper_deps(name: str, *fns: Callable) -> None:
-    """Record that query ``name`` delegates computation to ``fns``."""
-    HELPER_DEPS[name] = tuple(fns)
+    """Record that query ``name`` delegates computation to ``fns``.
+
+    MERGES with any earlier declaration for the same query (order
+    preserved, duplicates dropped): r13's IVM-twin loop re-declared
+    ``stream_ks_drift_monitor`` / ``stream_dsir_model_update`` after
+    their individual declarations and the then-assignment semantics
+    silently CLOBBERED their ks/dsir helper deps out of the freshness
+    ledger — a helper edit would have left both queries' greens stale.
+    Multiple call sites for one query are legitimate (a shared-scaffold
+    loop plus a per-query declaration), so merge is the only safe
+    semantics."""
+    HELPER_DEPS[name] = tuple(
+        dict.fromkeys(HELPER_DEPS.get(name, ()) + fns)
+    )
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -164,3 +164,113 @@ def test_calibration_reference_survives_degraded_commits():
         _calibration_verdict(0.14, 0.14, degraded_committed)["status"]
         == "healthy"
     )
+
+
+def test_membw_probe_gates_the_record():
+    """VERDICT r13 task 3: round 13 produced two records whose CPU probe
+    read healthy while every query family carried 1.28-1.35x uniform
+    inflation — memory-side contention. The membw leg must degrade the
+    record even when the CPU leg is healthy."""
+    from bench import _calibration_verdict
+
+    committed = {
+        "ambient_calibration_sec": {
+            "start": 0.130,
+            "end": 0.132,
+            "membw_start": 0.080,
+            "membw_end": 0.082,
+        }
+    }
+    # CPU healthy (1.0x) but membw 1.5x slower -> the r13 blind spot
+    v = _calibration_verdict(
+        0.130, 0.130, committed, membw_start=0.120, membw_end=0.118
+    )
+    assert v["status"] == "degraded"
+    assert v["membw"]["status"] == "degraded"
+    assert v["membw"]["committed_best"] == 0.080
+    assert v["membw"]["ratio"] == 1.5
+    # both legs healthy -> healthy
+    h = _calibration_verdict(
+        0.131, 0.130, committed, membw_start=0.083, membw_end=0.081
+    )
+    assert h["status"] == "healthy"
+    assert h["membw"]["status"] == "healthy"
+    # a pre-upgrade replay with no membw probe keeps the one-leg verdict
+    one = _calibration_verdict(0.131, 0.130, committed)
+    assert one["status"] == "healthy"
+    assert "membw" not in one
+    # prior record lacks membw probes (r13 and earlier) -> membw leg is
+    # explicitly no-reference, never silently healthy, and does not
+    # block an otherwise-healthy record
+    old = {"ambient_calibration_sec": {"start": 0.130, "end": 0.132}}
+    first = _calibration_verdict(
+        0.131, 0.130, old, membw_start=0.083, membw_end=0.081
+    )
+    assert first["status"] == "healthy"
+    assert first["membw"]["status"] == "no-reference"
+
+
+def test_calibration_reference_carry_is_bounded():
+    """ADVICE r13 #2: the reference used to be a monotone min carried
+    through every record, so one anomalously fast probe (turbo burst)
+    labeled all later normal-speed runs degraded forever. The reference
+    is now min over a bounded probe_history window: the outlier ages
+    out after _CALIB_HISTORY_N records."""
+    from bench import _CALIB_HISTORY_N, _calibration_verdict
+
+    # one 0.090 turbo-burst outlier among normal 0.130 probes
+    committed = {
+        "ambient_calibration_sec": {"start": 0.130, "end": 0.131},
+        "ambient_verdict": {
+            "probe_history": [0.090, 0.130, 0.129, 0.131, 0.130],
+            "committed_best": 0.090,
+        },
+    }
+    # while the outlier is in the window, a normal 0.130 run reads
+    # degraded (0.130/0.090 = 1.44x) — same as the old behavior
+    v = _calibration_verdict(0.130, 0.130, committed)
+    assert v["status"] == "degraded"
+    assert v["committed_best"] == 0.090
+    # the new history drops the outlier (oldest entry) and appends this
+    # run's best probe: the carry is bounded, not monotone
+    assert len(v["probe_history"]) == _CALIB_HISTORY_N
+    assert 0.090 not in v["probe_history"]
+    assert v["probe_history"][-1] == 0.130
+    # the NEXT normal run, judged against the outlier-free history,
+    # re-baselines to healthy — the recovery path the old rule lacked
+    nxt = {
+        "ambient_calibration_sec": {"start": 0.130, "end": 0.130},
+        "ambient_verdict": v,
+    }
+    assert _calibration_verdict(0.131, 0.130, nxt)["status"] == "healthy"
+    # legacy committed_best is ONLY consulted when no history exists
+    # (the one-round transition from pre-r14 records)
+    legacy = {
+        "ambient_calibration_sec": {"start": 0.130, "end": 0.131},
+        "ambient_verdict": {"committed_best": 0.090},
+    }
+    assert _calibration_verdict(0.130, 0.130, legacy)["status"] == "degraded"
+
+
+def test_degraded_commit_still_cannot_launder_with_history():
+    """The bounded window keeps the old guarantee: a committed degraded
+    record's own slow probes enter the history, but the healthy records'
+    probes remain in the window, so the next equally-slow run still
+    reads degraded."""
+    from bench import _calibration_verdict
+
+    degraded_committed = {
+        "ambient_calibration_sec": {"start": 0.170, "end": 0.170},
+        "ambient_verdict": {
+            "status": "degraded",
+            "probe_history": [0.130, 0.129, 0.131, 0.130, 0.170],
+        },
+    }
+    v = _calibration_verdict(0.170, 0.170, degraded_committed)
+    assert v["status"] == "degraded"
+    assert v["committed_best"] == 0.129
+    # and a genuinely recovered run reads healthy
+    assert (
+        _calibration_verdict(0.135, 0.133, degraded_committed)["status"]
+        == "healthy"
+    )

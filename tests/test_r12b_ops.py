@@ -10,6 +10,7 @@ import sys
 from collections import Counter
 
 import duckdb
+from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -240,3 +241,35 @@ def test_packed_argmax_key_matches_explicit_ordering():
         _trunc_div(k_old, m) - 1_000_000,
         m - 1 - _trunc_mod(k_old, m),
     ) != (s_mu, cand)
+
+
+def test_line_pack_guard_raises_out_of_envelope(spark):
+    """ADVICE r13 #1: the packed first-occurrence key silently elects the
+    wrong winner if idx >= 2^20 or doc_id is negative/>= 2^43 — the bound
+    must be ENFORCED, not a docstring audit. In-bounds rows pack exactly;
+    any out-of-envelope row raises instead of mis-deduping."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from spark_ibm_mq_spark.operators.dedup import (
+        _LINE_IDX_M,
+        _guarded_line_pack,
+    )
+
+    def pack(doc_id, idx):
+        df = spark.createDataFrame(
+            [(doc_id, idx)], "doc_id bigint, idx int"
+        ).select(_guarded_line_pack(F.col("doc_id"), F.col("idx")).alias("pk"))
+        return df.collect()[0]["pk"]
+
+    # in-bounds: exact pack/decode round-trip at the envelope edges
+    assert pack(0, 0) == 0
+    assert pack(7, 3) == 7 * _LINE_IDX_M + 3
+    top = (1 << 43) - 1
+    assert pack(top, _LINE_IDX_M - 1) == top * _LINE_IDX_M + _LINE_IDX_M - 1
+    # out-of-envelope rows fail loudly (raise_error surfaces as a JVM
+    # exception through the collect), never decode to a wrong winner
+    for bad in [(-1, 0), (1 << 43, 0), (5, _LINE_IDX_M), (5, -1)]:
+        with pytest.raises(Exception) as exc:
+            pack(*bad)
+        assert "packed-key envelope" in str(exc.value)

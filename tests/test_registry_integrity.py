@@ -119,3 +119,107 @@ def test_helper_change_bumps_effective_since():
     # a helper change OLDER than the query's own bump must not win
     meta = {"helper_changed_round": {helper_key: 3}}
     assert st._effective_since(name, ledger, meta) == 5
+
+
+def _identifier_refs(src: str) -> set[str]:
+    """All identifiers referenced in source — ast-walked, so docstrings
+    and comments can't false-positive (they are Constant nodes)."""
+    import ast
+    import textwrap
+
+    out: set[str] = set()
+    for node in ast.walk(ast.parse(textwrap.dedent(src))):
+        if isinstance(node, ast.Name):
+            out.add(node.id)
+        elif isinstance(node, ast.Attribute):
+            out.add(node.attr)
+    return out
+
+
+def test_helper_deps_transitively_closed():
+    """VERDICT r13 task 4: the `_resolve_duplicate_labels` →
+    `_jaccard_truth_pairs` gap (e7df63d) was found by a HAND census —
+    this automates it. For every query: walk its operator source and its
+    declared helpers' sources (transitively, through same-module plain
+    functions) for references to any session-memo helper in the
+    HELPER_DEPS universe, and assert the declared set covers everything
+    reachable. A miss means an edit to that helper would NOT move the
+    consumer's stable-tier fingerprint and its greens would go stale —
+    exactly the r13 clobber this test also guards (the IVM-twin loop's
+    re-declaration used to OVERWRITE stream_ks_drift_monitor /
+    stream_dsir_model_update's ks/dsir helper deps; declare_helper_deps
+    now merges)."""
+    import inspect
+
+    from spark_ibm_mq_spark import registry
+
+    registry.load_all_modules()
+    universe = {
+        fn.__name__: fn
+        for fns in registry.HELPER_DEPS.values()
+        for fn in fns
+    }
+
+    module_tables: dict[str, dict[str, set[str]]] = {}
+
+    def _table(modname: str) -> dict[str, set[str]]:
+        if modname not in module_tables:
+            tab: dict[str, set[str]] = {}
+            for nm, obj in vars(sys.modules[modname]).items():
+                if (
+                    inspect.isfunction(obj)
+                    and getattr(obj, "__module__", "") == modname
+                ):
+                    try:
+                        tab[nm] = _identifier_refs(inspect.getsource(obj))
+                    except (OSError, TypeError):
+                        pass
+            tab.update(
+                {
+                    nm: _identifier_refs(inspect.getsource(obj))
+                    for nm, obj in universe.items()
+                    if obj.__module__ == modname
+                }
+            )
+            module_tables[modname] = tab
+        return module_tables[modname]
+
+    def _reachable(fn) -> set[str]:
+        """Universe helpers reachable from fn through same-module plain
+        functions (the search stops AT a universe helper: whatever IT
+        reaches is checked via its own declaring consumers)."""
+        tab = _table(fn.__module__)
+        seen: set[str] = set()
+        hits: set[str] = set()
+        frontier = _identifier_refs(
+            inspect.getsource(getattr(fn, "__wrapped__", fn))
+        )
+        while frontier:
+            nxt: set[str] = set()
+            for name in frontier:
+                if name in seen:
+                    continue
+                seen.add(name)
+                if name in universe and universe[name] is not fn:
+                    hits.add(name)
+                    continue
+                if name in tab:
+                    nxt |= tab[name]
+            frontier = nxt - seen
+        return hits
+
+    violations = []
+    for q, wrapped in registry.QUERIES.items():
+        declared = registry.HELPER_DEPS.get(q, ())
+        declared_names = {f.__name__ for f in declared}
+        need: set[str] = _reachable(getattr(wrapped, "__wrapped__", wrapped))
+        for helper in declared:
+            need |= _reachable(helper)
+        missing = need - declared_names
+        if missing:
+            violations.append((q, sorted(missing)))
+    assert not violations, (
+        "helper-dep census: undeclared (transitive) session-memo helpers — "
+        "add them to declare_helper_deps so the freshness ledger sees "
+        f"their edits: {violations}"
+    )
