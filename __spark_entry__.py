@@ -31,74 +31,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries() in
-# dict order.  Round-13 window — emitted VERBATIM by
-# `python scripts/stable_tier.py --window 50` after this round's early
-# fixes (ADVICE r12: packed-argmax offset 1_000_001, text_oov_rate
-# TakeOrderedAndProject cut; VERDICT r12 task 5: dedup_line_level
-# packed-min rewrite — each re-verified hardened-driver_sim MATCH at
-# sf0.01 post-change):
-# (a) 10 never-driver-checked r12 registrations (the 6 budgeted + 4
-#     amended ops), every one sim-MATCHed in r12 AND re-MATCHed after
-#     this round's edits where touched (dedup_line_level, text_oov_rate);
-# (b) 1 destabilized: emb_hard_negative_mining — packed-argmax key
-#     offset moved to 1_000_001 this round (its THIRD fingerprint move
-#     since its last green; sim MATCH post-change, property test
-#     extended to the negative-key regression);
-#     (dedup_embedding_cosine, r12's other destabilized row, went
-#     driver-GREEN in the r12 window before the refactor landed — the
-#     r12 record attests the current fingerprint, so it rotates
-#     normally.)
-# (c) 39 rotation rows, oldest-latest-green first (11 r6-vintage carry
-#     rows lead: pipeline_pii_scrub .. string_funcs — r12's note said 13
-#     would carry, but the r12 window's greens promoted 2 of them to
-#     TIER-S, out of rotation).
-# Window math (HARD cap): 10 + 1 + 39 = 50 exactly -> ZERO free slots
-# for r13 registrations; anything registered this round queues AFTER
-# the window at never-checked priority for r14 and is verified via the
-# hardened driver_sim at sf0.01 in-session instead.  Registration
-# budget stated here BEFORE registering, per the house rule: <= 4 new
-# ops this round (r14 window shape: those + the 57-query pending tier
-# rotating through — no compounding).  SPENT: 3 —
-# pipeline_dsir_importance (DSIR hashed-n-gram importance weights),
-# dedup_semdedup_prune (SemDeDup keep/drop resolution on the shared
-# cell assignment), and stream_dsir_model_update (the DSIR count frame
-# as a foreachBatch monoid, batch oracle reused verbatim per the IVM
-# discipline); each oracled + invariant-tested (tests/test_r13_ops.py
-# manual recomputes + stream==batch equality) + plan-asserted (batch
-# ops) + hardened-sim MATCH at sf0.01 first try + sf0.1-timed.
-# All three queue AFTER this window at never-checked priority for r14.
-#
-# Mid-round destabilization note (r14 builder): the VERDICT r12 task-2
-# A/B reversed the md5-funnel sig strategy to CHECKPOINTED
-# (dedup.py `_md5_minhash_funnel`), which moved the fingerprints of
-# dedup_minhash_lsh_md5 and dedup_minhash_recall_eval AFTER their r12
-# greens — both re-verified hardened-sim MATCH at sf0.01 post-change
-# this session, and both queue at destabilized priority for the r14
-# window (dedup_lsh_band_profile, the third consumer, is already in
-# THIS window and gets its green at the new fingerprint).
-#
-# END-OF-ROUND state for the r14 builder (per `--window 50` at HEAD):
-# the committed window above is UNCHANGED and every row in it was
-# hardened-sim MATCH at its FINAL fingerprint this session (full-window
-# 50/50 sweep + re-sims after each later edit).  Queueing for r14:
-# 3 never-checked r13 registrations (pipeline_dsir_importance,
-# dedup_semdedup_prune, stream_dsir_model_update) + 6 destabilized
-# (dedup_minhash_lsh_md5 + dedup_minhash_recall_eval from the sig
-# checkpoint flip, and stream_foreachbatch_upsert,
-# stream_cdc_merge_with_deletes, stream_tpch_q1_incremental,
-# stream_cusum_monitor from the shared IVM-scaffold refactor — every
-# one re-verified sim MATCH post-change).  Budget slot 4 of 4 was left
-# UNSPENT: the fixture's data model is saturated at 318 queries and
-# consolidation (the review pass, the scaffold dedup) was the better
-# spend.
-# BENCH provenance (r13, three labeled builder runs): 275.4 s/317 q
-# (probe-healthy, COMMITTED — the round's record; md5 trio restored to
-# 8.31 s, dedup_minhash_lsh 6.7 s clears its 18.5 s driver sample),
-# then 294.0 s (self-labeled DEGRADED by the new gate, discarded) and
-# 304.4 s (healthy CPU probe but 1.35x broad query inflation with
-# best-ever MQ 382 k msg/s — memory-side ambient the BLAS probe cannot
-# see; discarded).  Same-session pytest wall time was bit-stable
-# (12:09 twice), so the inflation is host-state, not code.
+# dict order.  Round-14 window — emitted VERBATIM by
+# `python scripts/stable_tier.py --window 50` at r14 HEAD, AFTER this
+# round's early fixes (ADVICE r13: dedup_line_level packed-key envelope
+# now ENFORCED via raise_error, SemDeDup keep-rule docstring corrected
+# to pairwise dominance; plus the declare_helper_deps merge fix — the
+# r13 IVM-twin loop had CLOBBERED stream_ks_drift_monitor /
+# stream_dsir_model_update's ks/dsir helper deps out of the ledger):
+# (a) 3 never driver-checked r13 registrations
+#     (dedup_semdedup_prune, pipeline_dsir_importance,
+#     stream_dsir_model_update), each hardened-sim MATCH at sf0.01 in
+#     r13 AND re-MATCHed this session at final fingerprints;
+# (b) 7 destabilized-after-green: dedup_line_level (this round's
+#     envelope guard moved its fingerprint after its r13 green; re-sim
+#     MATCH post-change), dedup_minhash_lsh_md5 +
+#     dedup_minhash_recall_eval (r13's sig checkpoint flip), and the 4
+#     IVM-scaffold twins stream_foreachbatch_upsert,
+#     stream_cdc_merge_with_deletes, stream_tpch_q1_incremental,
+#     stream_cusum_monitor (r13's shared-scaffold refactor) — every one
+#     sim-MATCHed post-change;
+# (c) 40 rotation rows, oldest-latest-green first.
+# Window math (HARD cap): 3 + 7 + 40 = 50 exactly.
+# Registration budget stated BEFORE registering, per the house rule:
+# <= 2 new ops this round; the fixture's data model is saturated at 318
+# and r13's verdict ranks consolidation over registration.  SPENT: 0 so
+# far — this round's spend is driver greens for the 10 queued/
+# destabilized rows, the host-vs-code adjudication
+# (scripts/ab_code_r14.json: the r13 record's +23.6% is HOST ambient —
+# panel median min-ratio 1.034, final pair at exact parity), the
+# memory-bandwidth ambient probe, and the automated transitive
+# helper-dep census (tests/test_registry_integrity.py).
 #
 # STABLE TIER (ACTIVE): scripts/stable_tier.py maintains
 # STABLE_TIER.json (per-query sha256 of operator source + oracle SQL +
@@ -106,64 +68,61 @@ def entry(spark: SparkSession) -> DataFrame:
 # is TIER-S once it is hash-green in 2+ distinct rounds with at least
 # one green at its CURRENT fingerprint; TIER-S queries leave window
 # rotation and re-enter at never-checked priority if any commit moves
-# their fingerprint.  After the r12 window landed 50/50 green, TIER-S
-# holds 93 queries out of rotation (57 more pending one repeat green).
+# their fingerprint.  After the r13 window landed 50/50 green, TIER-S
+# holds 131 queries out of rotation (34 more pending one repeat green).
 # Run `python scripts/stable_tier.py --update` after ANY operator-source
 # change, and build each round's window from `--window 50`.
 _CHECK_FIRST = [
-    # --- (a) never driver-checked (10): the r12 registrations ---
-    "agg_ks_source_drift",
-    "dedup_boundary_overlap",
+    "dedup_semdedup_prune",
+    "pipeline_dsir_importance",
+    "stream_dsir_model_update",
     "dedup_line_level",
-    "dedup_lsh_band_profile",
-    "graph_label_propagation",
-    "mm_crossmodal_near_dup",
-    "stream_ks_drift_monitor",
-    "text_mattr_diversity",
-    "text_oov_rate",
-    "text_textrank_keywords",
-    # --- (b) destabilized after last green (1) ---
-    "emb_hard_negative_mining",
-    # --- (c) rotation: 39 oldest-latest-green (r6-vintage carry first) ---
-    "pipeline_pii_scrub",
-    "proj_compute",
-    "scale_bucketed_cell_manifest",
-    "scale_partitioned_scan_pruned",
-    "scale_salted_join",
-    "sim_ann_ivf",
-    "sim_ann_lsh_signed",
-    "sim_ann_recall_eval",
-    "sim_topk_bruteforce",
-    "stream_stream_left_join",
-    "string_funcs",
-    "affinity_copurchase_pmi",
-    "agg_bitmap_distinct_rollup",
-    "agg_collect_event_types",
-    "agg_latest_order_per_cust",
-    "agg_pivot_event_types",
-    "agg_rfm_segments",
-    "array_funcs",
-    "conditional_case",
-    "dedup_cluster_resolve",
-    "dedup_containment_3gram",
-    "events_attribution_last_touch",
-    "events_cohort_ltv",
-    "events_dau_rolling",
-    "events_hourly_gap_fill",
-    "filter_predicates",
-    "graph_pagerank_copurchase",
-    "hash_funcs",
-    "join_anti_inactive",
-    "join_asof_tolerance",
-    "join_full_outer_nation_presence",
-    "join_price_bands",
-    "join_right_outer_orders",
-    "join_semi_purchasers",
-    "map_funcs",
-    "math_funcs",
-    "mm_binary_meta",
-    "mq_dlq_split",
-    "mq_ordered_replay",
+    "dedup_minhash_lsh_md5",
+    "dedup_minhash_recall_eval",
+    "stream_cdc_merge_with_deletes",
+    "stream_cusum_monitor",
+    "stream_foreachbatch_upsert",
+    "stream_tpch_q1_incremental",
+    "pipeline_dataset_card",
+    "pipeline_dedup_incremental",
+    "pipeline_snapshot_diff",
+    "pipeline_systematic_sample",
+    "scale_compaction_plan",
+    "scale_skew_diagnostics",
+    "scan_csv_nation",
+    "scan_jsonl_orders",
+    "sim_ann_ivfpq",
+    "sim_tf_cosine_blocked",
+    "sql_api_shipping_priority",
+    "text_bigram_logprob",
+    "text_bm25_rank",
+    "text_char_entropy",
+    "text_unigram_logprob",
+    "win_ewma_hourly",
+    "win_range_moving_sum",
+    "win_rolling_median",
+    "agg_benford_first_digit",
+    "agg_chi_square_independence",
+    "agg_correlation_matrix",
+    "agg_gini_coefficient",
+    "agg_mad_robust",
+    "agg_ols_daily_trend",
+    "agg_pareto_revenue_deciles",
+    "agg_ship_latency_percentiles",
+    "agg_welch_ab_test",
+    "emb_norm_profile",
+    "events_acf_daily",
+    "events_behavior_entropy",
+    "events_cumulative_uniques",
+    "events_error_budget_burn",
+    "events_interarrival_hist",
+    "events_mean_shift_detect",
+    "events_peak_concurrency",
+    "events_queue_backlog",
+    "events_seasonal_decompose",
+    "events_stickiness_dau_wau",
+    "events_survival_km",
+    "graph_triangle_count",
 ]
 
 
