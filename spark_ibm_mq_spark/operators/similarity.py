@@ -1871,6 +1871,39 @@ def emb_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hard-wired to dedup._cell_assignment — a literal here could drift the
 # oracle's centroid count away from the engine (r12 review finding).
 _HNM_CELLS = _COS_CELLS
+_HN_PACK_M = 1 << 40  # packed-argmax radix: candidate-id domain
+
+
+def _guarded_hn_key(sim_mu, cand):  # -> Column
+    """Pack the (sim_mu DESC, cand ASC) pick order into one NONNEGATIVE
+    hash-aggregable bigint argmax key, raising loudly on any row outside
+    the envelope sim_mu ∈ [-1_000_001, 1_000_000] × cand ∈ [0, 2^40)
+    (same ENFORCED-not-audited discipline as dedup's
+    `_guarded_line_pack`, ADVICE r13 #1). The envelope is exactly the
+    reachable domain — sim_mu is floor(unit-dot·1e6) including the
+    antipodal below−1 rounding case — but cand is a USER id: 2^40 ≈
+    1.1e12 sits within one order of magnitude of a 100 TB embedding
+    corpus's row count, and an id past it would bleed into the sim_mu
+    field and silently elect the wrong positive/negative. raise_error
+    only evaluates on a violation; in-bounds rows stay branch-free in
+    codegen."""
+    return (
+        F.when(
+            (sim_mu >= F.lit(-1_000_001))
+            & (sim_mu <= F.lit(1_000_000))
+            & (cand >= 0)
+            & (cand < F.lit(_HN_PACK_M)),
+            (sim_mu + F.lit(1_000_001)) * F.lit(_HN_PACK_M)
+            + (F.lit(_HN_PACK_M - 1) - cand),
+        )
+        .otherwise(
+            F.raise_error(
+                "emb_hard_negative_mining: (sim_mu, cand) outside the "
+                "packed-argmax envelope [-1_000_001, 1_000_000] x [0, 2^40)"
+            )
+        )
+        .cast("bigint")
+    )
 
 
 @register(
@@ -1984,19 +2017,18 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured ~1.6x slower than even the old two-window form).
     # vs the two-window form this computes the cell join once instead of
     # twice and the partial max combines map-side before the single
-    # (anchor)-keyed exchange. Bounds audit (SCALE.md rule 7): the
-    # offset is 1e6 + 1, NOT 1e6, because a double dot of antipodal
-    # unit vectors can round just below -1 so sim_mu = floor(dot*1e6)
-    # reaches -1_000_001; the extra +1 keeps the key NONNEGATIVE there
-    # (Spark's DIV/% truncate toward zero, so a negative key would
-    # decode to the wrong (sim_mu, cand)). Upper side: dot rounding
-    # above +1 still floors to 1_000_000, so offset sim_mu ≤ 2e6 + 1
-    # and key ≤ (2e6+1)·2^40 + 2^40 ≈ 2.2e18 < 2^63; id headroom
-    # cand < 2^40 covers 100 TB vec-id spaces.
-    _m = 1 << 40
-    key = (F.col("sim_mu") + F.lit(1_000_001)) * F.lit(_m) + (
-        F.lit(_m - 1) - F.col("cand")
-    )
+    # (anchor)-keyed exchange. Bounds (SCALE.md rule 7): the offset is
+    # 1e6 + 1, NOT 1e6, because a double dot of antipodal unit vectors
+    # can round just below -1 so sim_mu = floor(dot*1e6) reaches
+    # -1_000_001; the extra +1 keeps the key NONNEGATIVE there (Spark's
+    # DIV/% truncate toward zero, so a negative key would decode to the
+    # wrong (sim_mu, cand)). Upper side: dot rounding above +1 still
+    # floors to 1_000_000, so offset sim_mu ≤ 2e6 + 1 and key ≤
+    # (2e6+1)·2^40 + 2^40 ≈ 2.2e18 < 2^63. The envelope — including the
+    # cand < 2^40 id headroom a 100 TB vec-id space approaches — is
+    # ENFORCED by `_guarded_hn_key`, not just audited.
+    _m = _HN_PACK_M
+    key = _guarded_hn_key(F.col("sim_mu"), F.col("cand"))
     same = F.col("a_label") == F.col("c_label")
     picked = (
         pairs.groupBy("anchor", "a_label")

@@ -273,3 +273,49 @@ def test_line_pack_guard_raises_out_of_envelope(spark):
         with pytest.raises(Exception) as exc:
             pack(*bad)
         assert "packed-key envelope" in str(exc.value)
+
+
+def test_hn_pack_guard_raises_out_of_envelope(spark):
+    """The hard-negative packed-argmax envelope (sim_mu in [-1_000_001,
+    1_000_000], cand in [0, 2^40)) is enforced the same way as the
+    line-level pack: in-bounds rows pack exactly (and still decode via
+    truncate-toward-zero DIV/%), out-of-envelope rows raise instead of
+    bleeding into the sim_mu field and electing the wrong winner."""
+    import pytest
+
+    from spark_ibm_mq_spark.operators.similarity import (
+        _HN_PACK_M,
+        _guarded_hn_key,
+    )
+
+    def pack(sim_mu, cand):
+        df = spark.createDataFrame(
+            [(sim_mu, cand)], "sim_mu bigint, cand bigint"
+        ).select(_guarded_hn_key(F.col("sim_mu"), F.col("cand")).alias("k"))
+        return df.collect()[0]["k"]
+
+    off = 1_000_001
+    # envelope corners round-trip exactly
+    for s_mu, cand in [
+        (-1_000_001, 0),
+        (-1_000_001, 5),
+        (1_000_000, _HN_PACK_M - 1),
+        (0, 12345),
+    ]:
+        k = pack(s_mu, cand)
+        assert k == (s_mu + off) * _HN_PACK_M + (_HN_PACK_M - 1 - cand)
+        assert k >= 0
+        assert (k // _HN_PACK_M - off, _HN_PACK_M - 1 - k % _HN_PACK_M) == (
+            s_mu,
+            cand,
+        )
+    # out-of-envelope raises loudly
+    for bad in [
+        (-1_000_002, 0),
+        (1_000_001, 0),
+        (0, -1),
+        (0, _HN_PACK_M),
+    ]:
+        with pytest.raises(Exception) as exc:
+            pack(*bad)
+        assert "packed-argmax envelope" in str(exc.value)
