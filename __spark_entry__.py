@@ -62,6 +62,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # memory-bandwidth ambient probe, and the automated transitive
 # helper-dep census (tests/test_registry_integrity.py).
 #
+# END-OF-ROUND state for the r15 builder: the window above is UNCHANGED
+# since install and every row in it is hardened-sim MATCH at its FINAL
+# fingerprint (a full-registry sweep late this session re-verified ALL
+# 318 queries MATCH at sf0.01 — no latent drift anywhere, not just the
+# window).  Queueing for r15: ONE destabilized-after-green row,
+# emb_hard_negative_mining (TIER-S since r13; this round's packed-argmax
+# envelope guard `_guarded_hn_key` moved its fingerprint — re-verified
+# sim MATCH + plan-shape test post-change), plus whatever the r14 driver
+# window leaves un-green.  Registration budget: 0 of 2 spent — nothing
+# in the fixture's data model justified a new op over consolidation.
+# BENCH provenance (r14, two labeled builder runs): a 310.5 s run
+# self-labeled DEGRADED by the new two-leg gate (CPU probe drifted
+# 0.130 -> 0.222 mid-run; discarded), then the COMMITTED 316.1 s/318 q
+# record with BOTH legs healthy (cpu worst 0.130, membw 0.105, MQ 338 k
+# sustained).  The 1.36x gap vs the r12-best record is HOST EPOCH, not
+# code: scripts/ab_code_r14.json (interleaved HEAD-vs-662cf79 panel,
+# the VERDICT r13 task-2 protocol) reads 1.03 median pairwise with the
+# final pair at exact parity, and the old tree cannot reproduce its own
+# r12 numbers either.  Treat 662cf79's absolute numbers as a different
+# epoch; ratchet comparisons need a fresh same-epoch pair.
+#
 # STABLE TIER (ACTIVE): scripts/stable_tier.py maintains
 # STABLE_TIER.json (per-query sha256 of operator source + oracle SQL +
 # declared shared-helper engines + a per-round green ledger).  A query
