@@ -32,8 +32,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries() in
 # dict order.  Round-14 window — emitted VERBATIM by
-# `python scripts/stable_tier.py --window 50` at r14 HEAD, AFTER this
-# round's early fixes (ADVICE r13: dedup_line_level packed-key envelope
+# `python scripts/stable_tier.py --window 50` at the window-install
+# commit (067c20d; a LATER hardening commit destabilized
+# emb_hard_negative_mining, so `--window 50` at end-of-round HEAD
+# proposes 8 destabilized rows and TIER-S 130/pending 35 — the
+# committed window deliberately stays as installed rather than
+# discarding its full 50/50 sim sweep; the extra row queues for r15,
+# see END-OF-ROUND below), AFTER this round's early fixes (ADVICE r13: dedup_line_level packed-key envelope
 # now ENFORCED via raise_error, SemDeDup keep-rule docstring corrected
 # to pairwise dominance; plus the declare_helper_deps merge fix — the
 # r13 IVM-twin loop had CLOBBERED stream_ks_drift_monitor /
@@ -90,7 +95,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # one green at its CURRENT fingerprint; TIER-S queries leave window
 # rotation and re-enter at never-checked priority if any commit moves
 # their fingerprint.  After the r13 window landed 50/50 green, TIER-S
-# holds 131 queries out of rotation (34 more pending one repeat green).
+# held 131 queries out of rotation (34 more pending one repeat green)
+# at window install — 130/35 after the envelope-guard commit moved
+# emb_hard_negative_mining out of TIER-S.
 # Run `python scripts/stable_tier.py --update` after ANY operator-source
 # change, and build each round's window from `--window 50`.
 _CHECK_FIRST = [

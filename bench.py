@@ -211,18 +211,22 @@ def _ambient_membw_calibration() -> float:
     while every query family carried a uniform 1.28-1.35x inflation —
     the signature of memory/IO-side contention the matmul cannot see.
     This probe times exactly the resource those queries (shuffle spill,
-    Arrow batches, parquet decode) actually contend on. min-of-3: the
-    array is allocated once so there is no page-fault warmup tail after
-    the throwaway first pass."""
+    Arrow batches, parquet decode) actually contend on. Both buffers are
+    allocated ONCE and the timed loop copies in place via np.copyto —
+    a per-iteration `a.copy()` would malloc a fresh 256 MB each sample
+    and time ~65k soft page faults plus allocator traffic (kernel-state
+    noise) instead of memory bandwidth (r14 review finding). min-of-3
+    after a throwaway first-touch pass."""
     import numpy as np
 
     a = np.ones(32_000_000, dtype=np.float64)  # 256 MB working set
-    b = a.copy()  # throwaway: pays allocation + first-touch faults
+    b = np.empty_like(a)
+    np.copyto(b, a)  # throwaway: pays first-touch faults on both buffers
     float(b.sum())
     samples = []
     for _ in range(3):
         t0 = time.perf_counter()
-        b = a.copy()
+        np.copyto(b, a)
         float(b.sum())
         samples.append(time.perf_counter() - t0)
     del a, b
@@ -350,15 +354,40 @@ def _calibration_verdict(
         probes,
         # membw had no legacy committed_best — only the history carries
         prior.get("membw") or {},
-        "membw_start",
-        "membw_end",
-        "membw_probe_history",
+        # v2 keys: the r14 review's copyto fix HALVED the probe's scale
+        # (the old per-iteration a.copy() timed ~65k page faults on top
+        # of bandwidth), so old-method values must never serve as
+        # references for new-method probes — versioned key names keep
+        # the r14 record's old-scale membw fields inert and the gate
+        # re-seeds honestly (one no-reference round, then active).
+        "membw2_start",
+        "membw2_end",
+        "membw2_probe_history",
         None,
     )
     if membw is not None:
         out["membw"] = membw
         if membw["status"] == "degraded":
             out["status"] = "degraded"
+    else:
+        # a run WITHOUT membw probes (pre-upgrade replay) must not break
+        # the history chain: committing its record would otherwise drop
+        # the accumulated membw2_probe_history and silently reset the
+        # membw gate to no-reference for the next probed run — reopening
+        # the r13 blind spot for a round (r14 review finding). Carry the
+        # prior history forward, clearly labeled as not this run's
+        # verdict.
+        prior_membw = prior.get("membw") or {}
+        hist = [
+            v
+            for v in (prior_membw.get("membw2_probe_history") or [])
+            if isinstance(v, (int, float))
+        ][-_CALIB_HISTORY_N:]
+        if hist:
+            out["membw"] = {
+                "status": "carried-no-probe",
+                "membw2_probe_history": hist,
+            }
     return out
 
 
@@ -481,8 +510,8 @@ def main() -> None:
                 # second leg since r14 (VERDICT r13 task 3): streaming
                 # copy+reduce — sees the memory-side contention the
                 # compute-bound BLAS probe is blind to
-                "membw_start": membw_start,
-                "membw_end": membw_end,
+                "membw2_start": membw_start,
+                "membw2_end": membw_end,
             },
             # the probe now GATES the record's health label (VERDICT r12
             # task 4): worst current probe vs best committed probe; >1.25x

@@ -5,8 +5,9 @@ the package from ``--repo`` (HEAD or a worktree of an older commit),
 starts one Spark session, warms it the way bench.py does (flagship
 collect + one Python-worker action), then times each panel query once
 with bench-style isolation (noop sink, clearCache + JVM GC between
-queries). Prints ONE JSON line ``{"queries": {name: sec}, "ambient":
-{"cpu": s, "membw": s}}`` on stdout (everything else goes to stderr).
+queries). Prints ONE JSON line
+``{"queries": {name: sec}, "ambient_start": {"cpu": s, "membw": s},
+"ambient_end": {...}}`` on stdout (everything else goes to stderr).
 
 Run from the target repo's root so relative paths (spark-warehouse)
 resolve inside that tree.
@@ -30,13 +31,17 @@ def _ambient() -> dict:
         t0 = time.perf_counter()
         a @ a
         cpu.append(time.perf_counter() - t0)
+    # buffers allocated once; the timed loop copies in place so the
+    # sample measures bandwidth, not 256 MB/iter of page faults (same
+    # fix as bench._ambient_membw_calibration)
     b = np.ones(32_000_000, dtype=np.float64)
-    c = b.copy()
+    c = np.empty_like(b)
+    np.copyto(c, b)
     float(c.sum())
     mem = []
     for _ in range(3):
         t0 = time.perf_counter()
-        c = b.copy()
+        np.copyto(c, b)
         float(c.sum())
         mem.append(time.perf_counter() - t0)
     return {"cpu": round(min(cpu), 4), "membw": round(min(mem), 4)}

@@ -2094,6 +2094,9 @@ from spark_ibm_mq_spark.registry import declare_helper_deps  # noqa: E402
 
 declare_helper_deps("dedup_embedding_cosine", _cell_assignment)
 declare_helper_deps("dedup_semdedup_prune", _cell_assignment)
+# the line-pack envelope guard builds the first-occurrence key itself —
+# computation-bearing, so declared (r14 review finding)
+declare_helper_deps("dedup_line_level", _guarded_line_pack)
 declare_helper_deps("dedup_minhash_lsh_md5", _md5_minhash_funnel)
 declare_helper_deps(
     "dedup_minhash_recall_eval", _md5_minhash_funnel, _jaccard_truth_pairs

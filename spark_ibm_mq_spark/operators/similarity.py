@@ -2072,4 +2072,9 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 from spark_ibm_mq_spark.operators.dedup import _cell_assignment as _dedup_cells  # noqa: E402,E501
 from spark_ibm_mq_spark.registry import declare_helper_deps  # noqa: E402
 
-declare_helper_deps("emb_hard_negative_mining", _dedup_cells)
+# the envelope guard is computation-bearing (it builds the argmax key),
+# so it is declared like any shared engine: an edit to its packing
+# arithmetic must re-open the consumer's green (r14 review finding —
+# the guard was briefly undeclared, the exact stale-green class the
+# transitive census exists to close).
+declare_helper_deps("emb_hard_negative_mining", _dedup_cells, _guarded_hn_key)

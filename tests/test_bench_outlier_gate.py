@@ -177,8 +177,8 @@ def test_membw_probe_gates_the_record():
         "ambient_calibration_sec": {
             "start": 0.130,
             "end": 0.132,
-            "membw_start": 0.080,
-            "membw_end": 0.082,
+            "membw2_start": 0.080,
+            "membw2_end": 0.082,
         }
     }
     # CPU healthy (1.0x) but membw 1.5x slower -> the r13 blind spot
@@ -274,3 +274,42 @@ def test_degraded_commit_still_cannot_launder_with_history():
         _calibration_verdict(0.135, 0.133, degraded_committed)["status"]
         == "healthy"
     )
+
+
+def test_membw_history_survives_a_probe_less_record():
+    """r14 review finding: a committed record from a run WITHOUT membw
+    probes (pre-upgrade replay) must carry the prior membw history
+    forward — labeled, non-gating — so the next probed run still has its
+    reference instead of silently resetting to no-reference."""
+    from bench import _calibration_verdict
+
+    probed = {
+        "ambient_calibration_sec": {
+            "start": 0.130,
+            "end": 0.131,
+            "membw2_start": 0.105,
+            "membw2_end": 0.106,
+        },
+        "ambient_verdict": {
+            "probe_history": [0.130],
+            "membw": {"membw2_probe_history": [0.105]},
+        },
+    }
+    # a replay without membw probes, judged against the probed record
+    carried = _calibration_verdict(0.131, 0.130, probed)
+    assert carried["membw"]["status"] == "carried-no-probe"
+    assert carried["membw"]["membw2_probe_history"] == [0.105]
+    # commit that record; the NEXT probed run still sees the reference
+    committed_replay = {
+        "ambient_calibration_sec": {"start": 0.131, "end": 0.130},
+        "ambient_verdict": carried,
+    }
+    nxt = _calibration_verdict(
+        0.130, 0.130, committed_replay, membw_start=0.160, membw_end=0.158
+    )
+    assert nxt["membw"]["status"] == "degraded"  # 0.160/0.105 > 1.25
+    assert nxt["membw"]["committed_best"] == 0.105
+    assert nxt["status"] == "degraded"
+    # and with NO prior membw anywhere, a probe-less run stays one-leg
+    bare = {"ambient_calibration_sec": {"start": 0.130, "end": 0.131}}
+    assert "membw" not in _calibration_verdict(0.131, 0.130, bare)

@@ -160,6 +160,33 @@ def test_helper_deps_transitively_closed():
         for fn in fns
     }
 
+    # Bootstrap blind spot (r14 review): the HELPER_DEPS-derived universe
+    # cannot contain a computation-bearing helper that NO query has ever
+    # declared — the census would pass vacuously on exactly the helper
+    # that most needs declaring. Envelope guards are detectable by
+    # construction: any module-level function whose body calls
+    # raise_error makes a keep/raise DECISION over data, so fold every
+    # such function (from every module that registers queries) into the
+    # universe; a query reaching one must declare it. Broad utilities
+    # (load_table/spread/tokens) are deliberately NOT in the universe:
+    # they are versioned-with-the-repo infrastructure every query uses,
+    # and declaring them everywhere would make every commit destabilize
+    # everything.
+    for wrapped in registry.QUERIES.values():
+        fn = getattr(wrapped, "__wrapped__", wrapped)
+        for nm, obj in vars(sys.modules[fn.__module__]).items():
+            if (
+                inspect.isfunction(obj)
+                and getattr(obj, "__module__", "") == fn.__module__
+                and nm not in universe
+            ):
+                try:
+                    src = inspect.getsource(obj)
+                except (OSError, TypeError):
+                    continue
+                if "raise_error(" in src:
+                    universe[nm] = obj
+
     module_tables: dict[str, dict[str, set[str]]] = {}
 
     def _table(modname: str) -> dict[str, set[str]]:
