@@ -376,17 +376,26 @@ def _calibration_verdict(
         # membw gate to no-reference for the next probed run — reopening
         # the r13 blind spot for a round (r14 review finding). Carry the
         # prior history forward, clearly labeled as not this run's
-        # verdict.
+        # verdict — but only for _CALIB_HISTORY_N consecutive probe-less
+        # records (ADVICE r14 #2: an unbounded carry freezes a stale
+        # fast probe from an old host epoch indefinitely, partially
+        # resurrecting the unbounded-ratchet problem the bounded window
+        # fixed; after N carries the reference honestly expires to
+        # no-reference, mirroring the window's own N-record horizon).
         prior_membw = prior.get("membw") or {}
+        carried_n = prior_membw.get("carried_records", 0)
+        if not isinstance(carried_n, int) or carried_n < 0:
+            carried_n = 0
         hist = [
             v
             for v in (prior_membw.get("membw2_probe_history") or [])
             if isinstance(v, (int, float))
         ][-_CALIB_HISTORY_N:]
-        if hist:
+        if hist and carried_n < _CALIB_HISTORY_N:
             out["membw"] = {
                 "status": "carried-no-probe",
                 "membw2_probe_history": hist,
+                "carried_records": carried_n + 1,
             }
     return out
 

@@ -323,6 +323,48 @@ def _propose_window(
             f"deferred same-round registrations ({len(deferred)}, placed "
             f"AFTER the window; they lead r{rnd + 1}): {', '.join(deferred)}"
         )
+    _warn_if_diverged_from_committed(window)
+
+
+def _warn_if_diverged_from_committed(window: list[str]) -> None:
+    """ADVICE r14 #5: the committed _CHECK_FIRST can legitimately
+    diverge from --window at a later HEAD (a post-install commit that
+    moves a window row's fingerprint re-queues it as destabilized while
+    the installed window deliberately keeps its verified order). That
+    used to be documented only in a header comment; emit an explicit
+    comparison so anyone re-running the tool sees the divergence —
+    and sees agreement as agreement — machine-checked."""
+    try:
+        import __spark_entry__ as entry_mod
+
+        committed = list(getattr(entry_mod, "_CHECK_FIRST", []))
+    except Exception as exc:  # pragma: no cover - import-env dependent
+        print(f"(committed-window comparison unavailable: {exc})")
+        return
+    if window == committed:
+        print(
+            "committed _CHECK_FIRST: EXACT MATCH with this proposal "
+            f"({len(window)} rows, same order)"
+        )
+        return
+    only_prop = [n for n in window if n not in committed]
+    only_comm = [n for n in committed if n not in window]
+    print(
+        "WARNING: proposal DIVERGES from the committed _CHECK_FIRST "
+        f"({len(window)} proposed vs {len(committed)} committed)."
+    )
+    if only_prop:
+        print(f"  proposed-only rows: {', '.join(only_prop)}")
+    if only_comm:
+        print(f"  committed-only rows: {', '.join(only_comm)}")
+    if not only_prop and not only_comm:
+        print("  same row set, different ORDER.")
+    print(
+        "  Expected mid-round if a post-install commit destabilized a "
+        "window row (the installed window keeps its verified order; the "
+        "row re-queues next round). If you are INSTALLING a window now, "
+        "copy this proposal verbatim."
+    )
 
 
 if __name__ == "__main__":

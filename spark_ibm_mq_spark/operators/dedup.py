@@ -1698,9 +1698,13 @@ def _guarded_line_pack(doc_id, idx):  # -> Column
     raising loudly on any row outside the envelope [0, 2^43) x [0, 2^20)
     (ADVICE r13 #1: an out-of-range row would DECODE to the wrong
     winner and silently corrupt kept_chunks/kept_tokens — the bound
-    used to be a docstring audit only). The when-branch keeps the
-    guard JVM-side for every in-bounds row; raise_error only
-    evaluates on a violation."""
+    used to be a docstring audit only). A NULL doc_id/idx also lands in
+    the otherwise-arm (NULL fails every comparison), which is the
+    intended strictness — pre-guard, a NULL key was silently IGNORED by
+    the min() aggregate, electing a possibly-wrong winner — and the
+    message names that case so the diagnosis is accurate (ADVICE r14
+    #1). In-bounds rows pay one codegen'd predicate check; raise_error
+    only evaluates on a violation."""
     return (
         F.when(
             (idx >= 0)
@@ -1711,8 +1715,8 @@ def _guarded_line_pack(doc_id, idx):  # -> Column
         )
         .otherwise(
             F.raise_error(
-                "dedup_line_level: (doc_id, chunk idx) outside the "
-                "packed-key envelope [0, 2^43) x [0, 2^20)"
+                "dedup_line_level: (doc_id, chunk idx) is NULL or outside "
+                "the packed-key envelope [0, 2^43) x [0, 2^20)"
             )
         )
         .cast("bigint")

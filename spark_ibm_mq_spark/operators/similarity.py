@@ -1884,9 +1884,12 @@ def _guarded_hn_key(sim_mu, cand):  # -> Column
     antipodal below−1 rounding case — but cand is a USER id: 2^40 ≈
     1.1e12 sits within one order of magnitude of a 100 TB embedding
     corpus's row count, and an id past it would bleed into the sim_mu
-    field and silently elect the wrong positive/negative. raise_error
-    only evaluates on a violation; in-bounds rows stay branch-free in
-    codegen."""
+    field and silently elect the wrong positive/negative. A NULL
+    sim_mu/cand also lands in the otherwise-arm (pre-guard it was
+    silently ignored by the max() argmax) and the message names that
+    case (ADVICE r14 #1). In-bounds rows pay one codegen'd predicate
+    check; raise_error only evaluates on a violation (ADVICE r14 #4:
+    a CaseWhen is a per-row conditional, not branch-free)."""
     return (
         F.when(
             (sim_mu >= F.lit(-1_000_001))
@@ -1898,8 +1901,9 @@ def _guarded_hn_key(sim_mu, cand):  # -> Column
         )
         .otherwise(
             F.raise_error(
-                "emb_hard_negative_mining: (sim_mu, cand) outside the "
-                "packed-argmax envelope [-1_000_001, 1_000_000] x [0, 2^40)"
+                "emb_hard_negative_mining: (sim_mu, cand) is NULL or "
+                "outside the packed-argmax envelope "
+                "[-1_000_001, 1_000_000] x [0, 2^40)"
             )
         )
         .cast("bigint")

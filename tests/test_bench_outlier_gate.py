@@ -313,3 +313,57 @@ def test_membw_history_survives_a_probe_less_record():
     # and with NO prior membw anywhere, a probe-less run stays one-leg
     bare = {"ambient_calibration_sec": {"start": 0.130, "end": 0.131}}
     assert "membw" not in _calibration_verdict(0.131, 0.130, bare)
+
+
+def test_membw_carry_expires_after_history_window():
+    """ADVICE r14 #2: the carried-no-probe path used to copy the prior
+    membw history verbatim forever, so consecutive probe-less commits
+    froze a stale fast probe from an old host epoch indefinitely —
+    the unbounded-ratchet problem in a new coat. The carry now counts
+    how many records it has survived and expires to no-reference after
+    _CALIB_HISTORY_N probe-less records."""
+    from bench import _CALIB_HISTORY_N, _calibration_verdict
+
+    record = {
+        "ambient_calibration_sec": {
+            "start": 0.130,
+            "end": 0.131,
+            "membw2_start": 0.105,
+            "membw2_end": 0.106,
+        },
+        "ambient_verdict": {
+            "probe_history": [0.130],
+            "membw": {"membw2_probe_history": [0.105]},
+        },
+    }
+    for i in range(_CALIB_HISTORY_N):
+        v = _calibration_verdict(0.131, 0.130, record)
+        assert v["membw"]["status"] == "carried-no-probe"
+        assert v["membw"]["carried_records"] == i + 1
+        record = {
+            "ambient_calibration_sec": {"start": 0.131, "end": 0.130},
+            "ambient_verdict": v,
+        }
+    # the (N+1)-th consecutive probe-less record drops the stale carry
+    expired = _calibration_verdict(0.131, 0.130, record)
+    assert "membw" not in expired
+    # a PROBED run resets the counter: its verdict carries no
+    # carried_records key, so the next probe-less chain starts at 1
+    probed = _calibration_verdict(
+        0.130, 0.130, record, membw_start=0.104, membw_end=0.106
+    )
+    assert "carried_records" not in probed["membw"]
+    fresh = _calibration_verdict(
+        0.131,
+        0.130,
+        {
+            "ambient_calibration_sec": {
+                "start": 0.130,
+                "end": 0.130,
+                "membw2_start": 0.104,
+                "membw2_end": 0.106,
+            },
+            "ambient_verdict": probed,
+        },
+    )
+    assert fresh["membw"]["carried_records"] == 1

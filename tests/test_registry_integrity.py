@@ -136,6 +136,26 @@ def _identifier_refs(src: str) -> set[str]:
     return out
 
 
+def _calls_raise_error(src: str) -> bool:
+    """True iff the function body contains an actual Call to
+    raise_error (bare name or attribute like F.raise_error) — ast-walked
+    so a docstring or comment merely MENTIONING raise_error( cannot
+    draft a plain helper into the census universe and force spurious
+    declarations (ADVICE r14 #3; the old check was a source-substring
+    match over inspect.getsource output)."""
+    import ast
+    import textwrap
+
+    for node in ast.walk(ast.parse(textwrap.dedent(src))):
+        if isinstance(node, ast.Call):
+            fn = node.func
+            if (isinstance(fn, ast.Name) and fn.id == "raise_error") or (
+                isinstance(fn, ast.Attribute) and fn.attr == "raise_error"
+            ):
+                return True
+    return False
+
+
 def test_helper_deps_transitively_closed():
     """VERDICT r13 task 4: the `_resolve_duplicate_labels` →
     `_jaccard_truth_pairs` gap (e7df63d) was found by a HAND census —
@@ -184,7 +204,7 @@ def test_helper_deps_transitively_closed():
                     src = inspect.getsource(obj)
                 except (OSError, TypeError):
                     continue
-                if "raise_error(" in src:
+                if _calls_raise_error(src):
                     universe[nm] = obj
 
     module_tables: dict[str, dict[str, set[str]]] = {}
