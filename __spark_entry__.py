@@ -31,126 +31,93 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries() in
-# dict order.  Round-14 window — emitted VERBATIM by
-# `python scripts/stable_tier.py --window 50` at the window-install
-# commit (067c20d; a LATER hardening commit destabilized
-# emb_hard_negative_mining, so `--window 50` at end-of-round HEAD
-# proposes 8 destabilized rows and TIER-S 130/pending 35 — the
-# committed window deliberately stays as installed rather than
-# discarding its full 50/50 sim sweep; the extra row queues for r15,
-# see END-OF-ROUND below), AFTER this round's early fixes (ADVICE r13: dedup_line_level packed-key envelope
-# now ENFORCED via raise_error, SemDeDup keep-rule docstring corrected
-# to pairwise dominance; plus the declare_helper_deps merge fix — the
-# r13 IVM-twin loop had CLOBBERED stream_ks_drift_monitor /
-# stream_dsir_model_update's ks/dsir helper deps out of the ledger):
-# (a) 3 never driver-checked r13 registrations
-#     (dedup_semdedup_prune, pipeline_dsir_importance,
-#     stream_dsir_model_update), each hardened-sim MATCH at sf0.01 in
-#     r13 AND re-MATCHed this session at final fingerprints;
-# (b) 7 destabilized-after-green: dedup_line_level (this round's
-#     envelope guard moved its fingerprint after its r13 green; re-sim
-#     MATCH post-change), dedup_minhash_lsh_md5 +
-#     dedup_minhash_recall_eval (r13's sig checkpoint flip), and the 4
-#     IVM-scaffold twins stream_foreachbatch_upsert,
-#     stream_cdc_merge_with_deletes, stream_tpch_q1_incremental,
-#     stream_cusum_monitor (r13's shared-scaffold refactor) — every one
-#     sim-MATCHed post-change;
-# (c) 40 rotation rows, oldest-latest-green first.
-# Window math (HARD cap): 3 + 7 + 40 = 50 exactly.
+# dict order.  Round-15 window — emitted VERBATIM by
+# `python scripts/stable_tier.py --window 50` at r15 HEAD AFTER this
+# round's early ADVICE-r14 fixes (the guard raise messages now name the
+# NULL case, the "branch-free" claim corrected to one-predicate-check in
+# both guard docstrings and SCALE.md rule 7, the census raise_error
+# detection is now an AST Call walk, the bench membw carry expires after
+# _CALIB_HISTORY_N probe-less records, and --window now machine-checks
+# divergence from this committed list).  Composition per the tool:
+# (a) 2 destabilized-after-green rows lead: dedup_line_level and
+#     emb_hard_negative_mining — BOTH destabilized by this round's
+#     guard-message edits (ADVICE r14 #1/#4 touched
+#     dedup._guarded_line_pack / similarity._guarded_hn_key, declared
+#     helper deps of exactly these two queries);
+#     emb_hard_negative_mining is ALSO the row the r14 verdict queued
+#     first (TIER-S re-opened by the r14 envelope-guard commit; sim
+#     MATCH at r14-final fingerprint twice, and re-MATCHed again this
+#     session at the r15 post-message-fix fingerprint).  dedup_line_level
+#     re-MATCHed likewise.
+# (b) 48 rotation rows, oldest-latest-green first (0 never-checked
+#     oracled rows remain; 0 TIER-S sentinels needed).
+# Window math (HARD cap): 2 + 48 = 50 exactly.
 # Registration budget stated BEFORE registering, per the house rule:
-# <= 2 new ops this round; the fixture's data model is saturated at 318
-# and r13's verdict ranks consolidation over registration.  SPENT: 0 so
-# far — this round's spend is driver greens for the 10 queued/
-# destabilized rows, the host-vs-code adjudication
-# (scripts/ab_code_r14.json: the r13 record's +23.6% is HOST ambient —
-# panel median min-ratio 1.034, final pair at exact parity), the
-# memory-bandwidth ambient probe, and the automated transitive
-# helper-dep census (tests/test_registry_integrity.py).
-#
-# END-OF-ROUND state for the r15 builder: the window above is UNCHANGED
-# since install and every row in it is hardened-sim MATCH at its FINAL
-# fingerprint (a full-registry sweep late this session re-verified ALL
-# 318 queries MATCH at sf0.01 — no latent drift anywhere, not just the
-# window).  Queueing for r15: ONE destabilized-after-green row,
-# emb_hard_negative_mining (TIER-S since r13; this round's packed-argmax
-# envelope guard `_guarded_hn_key` moved its fingerprint — re-verified
-# sim MATCH + plan-shape test post-change), plus whatever the r14 driver
-# window leaves un-green.  Registration budget: 0 of 2 spent — nothing
-# in the fixture's data model justified a new op over consolidation.
-# BENCH provenance (r14, two labeled builder runs): a 310.5 s run
-# self-labeled DEGRADED by the new two-leg gate (CPU probe drifted
-# 0.130 -> 0.222 mid-run; discarded), then the COMMITTED 316.1 s/318 q
-# record with BOTH legs healthy (cpu worst 0.130, membw 0.105, MQ 338 k
-# sustained).  The 1.36x gap vs the r12-best record is HOST EPOCH, not
-# code: scripts/ab_code_r14.json (interleaved HEAD-vs-662cf79 panel,
-# the VERDICT r13 task-2 protocol) reads 1.03 median pairwise with the
-# final pair at exact parity, and the old tree cannot reproduce its own
-# r12 numbers either.  Treat 662cf79's absolute numbers as a different
-# epoch; ratchet comparisons need a fresh same-epoch pair.
-#
-# STABLE TIER (ACTIVE): scripts/stable_tier.py maintains
-# STABLE_TIER.json (per-query sha256 of operator source + oracle SQL +
-# declared shared-helper engines + a per-round green ledger).  A query
-# is TIER-S once it is hash-green in 2+ distinct rounds with at least
-# one green at its CURRENT fingerprint; TIER-S queries leave window
-# rotation and re-enter at never-checked priority if any commit moves
-# their fingerprint.  After the r13 window landed 50/50 green, TIER-S
-# held 131 queries out of rotation (34 more pending one repeat green)
-# at window install — 130/35 after the envelope-guard commit moved
-# emb_hard_negative_mining out of TIER-S.
-# Run `python scripts/stable_tier.py --update` after ANY operator-source
-# change, and build each round's window from `--window 50`.
+# <= 2 new ops this round.  SPENT: 1 of 2 — pipeline_bpe_3merge, the
+# one shape the census lacked per the r14 verdict (task 5): an ITERATIVE
+# BPE trainer (3 unrolled merge rounds over a distinct-word frequency
+# frame, mirroring emb_kmeans_3iter's lazy-loop discipline, with an
+# unrolled-CTE oracle).  Registered AFTER this window installed; the
+# stable_tier tool defers same-round registrations to lead the r16
+# window, so it consumes no r15 slot.  Landed in one commit with oracle
+# + plan test + a greedy-overlap boundary fixture
+# (tests/test_bpe_boundary.py) that caught a real shared-twin mistake
+# BEFORE shipping: the single-separator symbol encoding makes leftmost-
+# non-overlapping replace in BOTH engines agree on a NON-greedy merge of
+# "aaaa" ([aa,a,a]); the double-boundary encoding (each symbol wrapped
+# in its own SEP pair) restores exact Sennrich-greedy semantics, pinned
+# against hand-computed merges.
 _CHECK_FIRST = [
-    "dedup_semdedup_prune",
-    "pipeline_dsir_importance",
-    "stream_dsir_model_update",
     "dedup_line_level",
-    "dedup_minhash_lsh_md5",
-    "dedup_minhash_recall_eval",
-    "stream_cdc_merge_with_deletes",
-    "stream_cusum_monitor",
-    "stream_foreachbatch_upsert",
-    "stream_tpch_q1_incremental",
-    "pipeline_dataset_card",
-    "pipeline_dedup_incremental",
-    "pipeline_snapshot_diff",
-    "pipeline_systematic_sample",
-    "scale_compaction_plan",
-    "scale_skew_diagnostics",
-    "scan_csv_nation",
-    "scan_jsonl_orders",
-    "sim_ann_ivfpq",
-    "sim_tf_cosine_blocked",
-    "sql_api_shipping_priority",
-    "text_bigram_logprob",
-    "text_bm25_rank",
-    "text_char_entropy",
-    "text_unigram_logprob",
-    "win_ewma_hourly",
-    "win_range_moving_sum",
-    "win_rolling_median",
-    "agg_benford_first_digit",
-    "agg_chi_square_independence",
-    "agg_correlation_matrix",
-    "agg_gini_coefficient",
-    "agg_mad_robust",
-    "agg_ols_daily_trend",
-    "agg_pareto_revenue_deciles",
-    "agg_ship_latency_percentiles",
-    "agg_welch_ab_test",
-    "emb_norm_profile",
-    "events_acf_daily",
-    "events_behavior_entropy",
-    "events_cumulative_uniques",
-    "events_error_budget_burn",
-    "events_interarrival_hist",
-    "events_mean_shift_detect",
-    "events_peak_concurrency",
-    "events_queue_backlog",
-    "events_seasonal_decompose",
-    "events_stickiness_dau_wau",
-    "events_survival_km",
-    "graph_triangle_count",
+    "emb_hard_negative_mining",
+    "join_cross_flags",
+    "join_nearest_event",
+    "mm_patch_grid_plan",
+    "mm_webdataset_shard_plan",
+    "mq_cdc_apply",
+    "mq_cdc_collapse",
+    "mq_scd2_history_with_deletes",
+    "mq_scd2_point_in_time",
+    "pipeline_canonicalize_dedup",
+    "pipeline_quality_dup_correlation",
+    "pipeline_quality_gate_funnel",
+    "pipeline_schema_drift_report",
+    "pipeline_temperature_mixture",
+    "pipeline_token_budget_allocator",
+    "retrieval_ndcg_eval",
+    "retrieval_rrf_fusion",
+    "sim_prefix_dim_eval",
+    "stream_windowed_dau",
+    "text_hapax_ratio",
+    "text_lang_confusion",
+    "text_lang_trigram_similarity",
+    "text_term_burstiness",
+    "win_activity_streaks",
+    "win_max_drawdown",
+    "win_weekly_pct_change",
+    "agg_abc_classification",
+    "agg_hhi_concentration",
+    "agg_winsorized_mean",
+    "distinct_flag_combos",
+    "emb_metric_rank_correlation",
+    "events_anomaly_stl_residual",
+    "events_audience_overlap",
+    "events_conversion_wilson_ci",
+    "events_dow_seasonality",
+    "events_markov_3step",
+    "events_next_event_baseline",
+    "graph_knn_degree_profile",
+    "pipeline_bpe_first_merge",
+    "pipeline_interleave_sources",
+    "pipeline_length_filter_ablation",
+    "scale_dynamic_partition_pruning",
+    "scan_orc_roundtrip_region",
+    "set_except_all_flags",
+    "set_except_nations",
+    "set_intersect_all_flags",
+    "set_intersect_nations",
+    "set_union_by_name",
+    "sort_topn_offset",
 ]
 
 

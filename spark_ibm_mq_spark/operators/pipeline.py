@@ -1481,6 +1481,164 @@ def pipeline_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES = 3
+_BPE_SEP = "\x1f"  # U+001F unit separator — absent from the corpus alphabet
+_BPE_SEP_SQL = "chr(31)"
+
+
+def _bpe_round_sql(i: int) -> str:
+    """CTEs for one unrolled BPE merge round: overlapping adjacent-pair
+    counts over the current symbol sequences (weighted by word frequency),
+    the argmax pair (ties (x, y)-lexicographic), and — for non-final
+    rounds — the corpus rewrite. Every symbol is wrapped in its OWN
+    separator pair (``SEP sym SEP``), so the merge — a literal replace of
+    ``SEP x SEP SEP y SEP`` with ``SEP xy SEP`` — consumes no character a
+    neighboring match needs: leftmost-non-overlapping replace is then
+    EXACTLY greedy BPE ("aaaa" + (a,a) → [aa, aa]; with a single shared
+    separator it would mis-produce [aa, a, a] because the trailing
+    boundary of one match is the leading boundary of the next — caught by
+    tests/test_bpe_boundary.py before either engine shipped the shared
+    mistake)."""
+    sep = _BPE_SEP_SQL
+    count_best = f"""
+    p{i} AS (
+        SELECT l[i] AS x, l[CAST(i AS INTEGER) + 1] AS y,
+               CAST(sum(n) AS BIGINT) AS cnt
+        FROM (SELECT n, list_filter(string_split(seq, {sep}), s -> s <> '')
+                     AS l
+              FROM w{i - 1}),
+             LATERAL unnest(range(1, len(l))) AS u(i)
+        GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x, y LIMIT 1)"""
+    rewrite = f""",
+    w{i} AS (
+        SELECT n, replace(seq,
+                          {sep} || b.x || {sep} || {sep} || b.y || {sep},
+                          {sep} || b.x || b.y || {sep}) AS seq
+        FROM w{i - 1}, b{i} b
+    )"""
+    return count_best + (rewrite if i < _BPE_MERGES else "")
+
+
+@register(
+    "pipeline_bpe_3merge",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS}) AS t FROM documents
+    ),
+    w0 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               array_to_string(list_transform(string_split(t, ''),
+                   c -> {_BPE_SEP_SQL} || c || {_BPE_SEP_SQL}), '') AS seq
+        FROM tok GROUP BY t
+    ),
+    {",".join(_bpe_round_sql(i) for i in range(1, _BPE_MERGES + 1))}
+    SELECT CAST(1 AS BIGINT) AS merge_rank, x AS left_sym, y AS right_sym,
+           x || y AS merged, cnt AS n_occurrences FROM b1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), x, y, x || y, cnt FROM b2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), x, y, x || y, cnt FROM b3
+    ORDER BY merge_rank
+    """,
+)
+def pipeline_bpe_3merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An ITERATIVE BPE tokenizer trainer — three full merge rounds, not
+    just `pipeline_bpe_first_merge`'s round-one statistic: each round
+    counts overlapping adjacent symbol pairs across the corpus, elects
+    the most frequent pair (ties (left, right)-lexicographic), and
+    REWRITES every word with that merge before the next round — the
+    r14-verdict-sanctioned extension mirroring `emb_kmeans_3iter`'s
+    fully-lazy loop discipline (no driver collect between rounds; the
+    oracle unrolls the identical three rounds as CTE triples).
+
+    The trainer works on the DISTINCT-WORD FREQUENCY frame, the classic
+    BPE formulation (Sennrich et al. 2016) and the scale-correct one: at
+    100 TB the corpus has trillions of token occurrences but only
+    millions of distinct words (Heaps' law), so pair counting and
+    rewriting run over the collapsed (word, n) frame — ONE map-side-
+    combinable shuffle ever touches corpus-sized data (the word count);
+    every later round moves only |vocab|-row frames. Symbol sequences are
+    strings with EVERY symbol wrapped in its own separator pair
+    (``SEP sym SEP``, U+001F, absent from any corpus byte); a merge is a
+    literal `replace` of ``SEP x SEP SEP y SEP`` with ``SEP xy SEP``.
+    Because adjacent matches share no characters under the double-
+    boundary encoding, leftmost-non-overlapping replace IS greedy BPE
+    merge order ("aaaa" + (a,a) → [aa, aa], "aaa" → [aa, a] — the
+    single-shared-separator encoding both engines would happily agree on
+    gets "aaaa" WRONG; tests/test_bpe_boundary.py pins the greedy case
+    against hand-computed merges), and the boundaries make a
+    cross-symbol false match (pair (a,a) matching symbol [a][ab]'s
+    prefix) impossible. The elected pair's count is the standard
+    overlapping adjacent statistic (both engines agree exactly — pure
+    integers).
+
+    Plan shape: token explode → (word) hash-agg [the one corpus-scale
+    shuffle] → per round: in-row pair explode (stays in the small frame's
+    stage) → (x, y) hash-agg → 1-row TakeOrdered argmax, broadcast back
+    into the word frame for the rewrite (BroadcastNestedLoopJoin over ONE
+    row, never a corpus cartesian). For many merges, checkpoint the word
+    frame every ~10 rounds to cut lineage (the emb_kmeans_3iter note);
+    at 3 rounds lineage is cheap and ReuseExchange dedupes the word
+    aggregate across the three output branches."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select(F.explode(tokens("text")).alias("t"))
+    sep = F.lit(_BPE_SEP)
+    words = tok.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(
+        "n",
+        F.regexp_replace(
+            "t", "(.)", _BPE_SEP + "$1" + _BPE_SEP
+        ).alias("seq"),
+    )
+    out = None
+    for r in range(1, _BPE_MERGES + 1):
+        syms = F.filter(
+            F.split(F.col("seq"), _BPE_SEP), lambda s: s != F.lit("")
+        )
+        with_syms = words.select("n", syms.alias("l")).filter(
+            F.size("l") >= 2
+        )
+        pairs = with_syms.select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 1),
+                    lambda i: F.struct(
+                        F.element_at("l", i).alias("x"),
+                        F.element_at("l", i + 1).alias("y"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "x", "y")
+            .limit(1)
+        )
+        row = best.select(
+            F.lit(r).cast("bigint").alias("merge_rank"),
+            F.col("x").alias("left_sym"),
+            F.col("y").alias("right_sym"),
+            F.concat("x", "y").alias("merged"),
+            F.col("cnt").alias("n_occurrences"),
+        )
+        out = row if out is None else out.unionAll(row)
+        if r < _BPE_MERGES:
+            words = words.crossJoin(F.broadcast(best)).select(
+                "n",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(sep, F.col("x"), sep, sep, F.col("y"), sep),
+                    F.concat(sep, F.col("x"), F.col("y"), sep),
+                ).alias("seq"),
+            )
+    return out.orderBy("merge_rank")
+
+
 @register(
     "pipeline_interleave_sources",
     oracle="""

@@ -1060,6 +1060,30 @@ def test_mattr_single_spread_exchange(spark):
     assert "Join" not in plan and "Window" not in plan, plan[:600]
 
 
+def test_bpe_3merge_broadcasts_argmax_no_corpus_cartesian(spark):
+    """Each BPE rewrite round must broadcast the 1-row elected-pair frame
+    into the distinct-word frame (BroadcastNestedLoopJoin over ONE row,
+    the emb_kmeans_3iter shape) — never a CartesianProduct — and the scan
+    must read only what tokenization needs; the word collapse is a
+    partial+final hash aggregate so corpus-scale token rows combine
+    map-side before the one corpus-sized shuffle."""
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["pipeline_bpe_3merge"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan[:800]
+    # 4 = round-2 output branch re-derives rewrite 1 (one BNLJ) and the
+    # round-3 branch carries rewrite 2 over rewrite 1 plus rewrite 1
+    # again inside its broadcast argmax side (three BNLJs) — every one a
+    # 1-row IdentityBroadcastMode build side, never a corpus cartesian.
+    assert plan.count("BroadcastNestedLoopJoin") == 4, plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+    assert "partial_count" in plan, plan[:600]
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text"}, cols
+
+
 def test_dsir_collapses_buckets_before_model_join(spark):
     """DSIR must hash tokens to buckets inside the scan stage and collapse
     to (doc_id, bucket, n) via a partial+final HashAggregate BEFORE the
