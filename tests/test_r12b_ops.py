@@ -273,6 +273,13 @@ def test_line_pack_guard_raises_out_of_envelope(spark):
         with pytest.raises(Exception) as exc:
             pack(*bad)
         assert "packed-key envelope" in str(exc.value)
+    # ADVICE r14 #1: NULL inputs hit the same otherwise-arm (pre-guard
+    # they were silently IGNORED by the min() aggregate — a possibly
+    # wrong winner) and the diagnostic now names the NULL case
+    for bad in [(None, 0), (5, None), (None, None)]:
+        with pytest.raises(Exception) as exc:
+            pack(*bad)
+        assert "is NULL or outside" in str(exc.value)
 
 
 def test_hn_pack_guard_raises_out_of_envelope(spark):
@@ -319,3 +326,8 @@ def test_hn_pack_guard_raises_out_of_envelope(spark):
         with pytest.raises(Exception) as exc:
             pack(*bad)
         assert "packed-argmax envelope" in str(exc.value)
+    # ADVICE r14 #1: NULLs raise with a diagnostic that names the case
+    for bad in [(None, 0), (0, None)]:
+        with pytest.raises(Exception) as exc:
+            pack(*bad)
+        assert "is NULL or outside" in str(exc.value)
