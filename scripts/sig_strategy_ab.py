@@ -52,7 +52,7 @@ FAMILY = [
 
 def _run_family(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
-    for name in FAMILY:
+    for name in FAMILY:  # module global so --family overrides apply
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -91,7 +91,16 @@ def main() -> None:
         "--sf-dir", dest="sf",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
+    ap.add_argument(
+        "--family", default=None,
+        help="comma-separated query-name override (r15: the xxhash "
+             "dedup_minhash_lsh now reads the same _SIG_CHECKPOINT flag, "
+             "so its sig strategy is measurable with the same protocol)",
+    )
     args = ap.parse_args()
+    if args.family:
+        global FAMILY
+        FAMILY = args.family.split(",")
     registry.load_all_modules()
 
     # sums[variant][pass_idx] = list of per-session family sums

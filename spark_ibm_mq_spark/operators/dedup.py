@@ -169,10 +169,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bench note: the fixture corpus is drawn from a 31-word vocabulary, so
     documents are adversarially self-similar — at sf0.1 the 5 000 docs
     yield ~4.2 M pairs that genuinely pass banding AND the est-Jaccard
-    prune AND exact verification. The ~10 s bench time is output-volume
-    bound (~400 k verified pairs/s), not candidate explosion: on a
-    real-corpus similarity distribution the same plan emits orders of
-    magnitude fewer pairs per doc."""
+    prune AND exact verification — output-volume bound, not candidate
+    explosion: on a real-corpus similarity distribution the same plan
+    emits orders of magnitude fewer pairs per doc.
+
+    The signature frame is CHECKPOINTED since r15 (the md5 twin's
+    strategy, `_md5_minhash_funnel`): the r15 healthy-ambient record
+    read this query at 17.0 s first / 22.3 s rerun vs its 4.9 s
+    committed median — past the r14 watch bar (2x the epoch-normalized
+    ~6.2 s deep-warm) — while the checkpointed md5 twin sat at 3.8 s in
+    the same record. Within one action ReuseExchange shares the sig
+    EXCHANGE, but all four consumers (both band-join sides, both
+    feature attaches) still re-read it through the downstream join
+    pipeline; the checkpoint materializes the 16-xxhash-per-token map
+    once as column blocks, the structural fix sig_strategy_ab.py proved
+    at -41% cold on the twin (VERDICT r14 task 4 prescribes applying it
+    here rather than re-adjudicating)."""
     d = load_table(spark, sf_dir, "documents")
     # spread rows before the (CPU-heavy) per-row hashing so every core
     # participates even on a single-row-group fixture scan
@@ -189,8 +201,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_per_band = _N_MINHASH // _BANDS
     # the trailing repartition is a reuse point, not a distribution need:
     # four consumers below (both band-join sides, both feature attaches)
-    # share this exchange via ReuseExchange, so the 16×|corpus| token
-    # hashing runs ONCE instead of once per consumer
+    # share this exchange via ReuseExchange — and since r15 the frame is
+    # ALSO checkpointed (see the docstring bench note: the r15 record
+    # tripped the r14 watch bar, and the md5 twin's checkpoint strategy
+    # is the pre-adjudicated fix)
     sig = spread(
         arrs.select(
             "doc_id",
@@ -200,6 +214,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         force=True,
     )
+    if _SIG_CHECKPOINT:
+        sig = durable_checkpoint(sig, eager=False)
     bands = sig.select(
         "doc_id",
         F.posexplode(
