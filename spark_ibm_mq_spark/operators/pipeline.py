@@ -1578,20 +1578,28 @@ def pipeline_bpe_3merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle] → per round: in-row pair explode (stays in the small frame's
     stage) → (x, y) hash-agg → 1-row TakeOrdered argmax, broadcast back
     into the word frame for the rewrite (BroadcastNestedLoopJoin over ONE
-    row, never a corpus cartesian). For many merges, checkpoint the word
-    frame every ~10 rounds to cut lineage (the emb_kmeans_3iter note);
-    at 3 rounds lineage is cheap and ReuseExchange dedupes the word
-    aggregate across the three output branches."""
+    row, never a corpus cartesian). The base word frame is CHECKPOINTED
+    (`durable_checkpoint`, the md5-funnel discipline): the three output
+    branches plus the two rewrite chains would otherwise each re-derive
+    the corpus-scale tokenize+aggregate — the executed plan shows
+    SEPARATE exchanges per branch, NOT a ReuseExchange (plan-asserted in
+    tests/test_plans.py) — i.e. ~6 corpus scans at 100 TB; the
+    checkpoint pins it to one. For many merges also checkpoint the
+    REWRITTEN frame every ~10 rounds to cut lineage (the
+    emb_kmeans_3iter note); at 3 rounds that part is cheap."""
     d = load_table(spark, sf_dir, "documents")
     tok = spread(d, "doc_id").select(F.explode(tokens("text")).alias("t"))
     sep = F.lit(_BPE_SEP)
-    words = tok.groupBy("t").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    ).select(
-        "n",
-        F.regexp_replace(
-            "t", "(.)", _BPE_SEP + "$1" + _BPE_SEP
-        ).alias("seq"),
+    words = durable_checkpoint(
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "n",
+            F.regexp_replace(
+                "t", "(.)", _BPE_SEP + "$1" + _BPE_SEP
+            ).alias("seq"),
+        ),
+        eager=False,
     )
     out = None
     for r in range(1, _BPE_MERGES + 1):
