@@ -68,6 +68,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # in its own SEP pair) restores exact Sennrich-greedy semantics, pinned
 # against hand-computed merges.
 #
+# END-OF-ROUND state for the r16 builder: the window above is UNCHANGED
+# since install; ALL 319 registered queries were sim-swept late this
+# session (319/319 MATCH at sf0.01, zero problems) INCLUDING the two
+# leading destabilized rows at their final fingerprints.  Queueing for
+# r16: pipeline_bpe_3merge leads (this round's one registration,
+# deferred per the house rule; sim MATCH at final fingerprint, plan +
+# greedy-boundary tested), plus whatever the r15 driver window leaves
+# un-green.  Registration budget r15: 1 of 2 spent.
+# BENCH provenance (r15, four labeled attempts): attempt 1 DEGRADED
+# (end probes caught noise, discarded), attempt 2 = the COMMITTED
+# 327.2 s/319 q record with BOTH legs healthy (cpu worst 0.142 ratio
+# 1.14, membw2 worst 0.054 ratio 1.02 — the FIRST record where the
+# memory-bandwidth leg gates against a committed reference instead of
+# no-reference, closing VERDICT r14 task 2), attempts 3-4 DEGRADED
+# (cpu 0.17/0.36; discarded, bench_full.json restored).  The committed
+# record predates the minhash funnel memo: its dedup_minhash_lsh row
+# (17.0 s, the r14 watch-bar trip that triggered the fix) is the OLD
+# profile; post-fix bench-style 3-run medians read 3.4 s (commits
+# 40055b2, 09114d8, 7bf1151 carry the step-by-step evidence — sig
+# checkpoint alone fixes solos but not in-bench; the full
+# sig+cand+memo funnel parity with the md5 twin fixes both).  Expect
+# the r15 driver record to show dedup_minhash_lsh at ~3-5 s.
+#
 # PERF EPOCH (re-anchored this round, VERDICT r14 task 3): the r12
 # absolute numbers are a formally dead epoch.  The current epoch's
 # reference is scripts/ab_epoch_r15.json — four interleaved
