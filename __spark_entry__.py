@@ -76,7 +76,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # deferred per the house rule; sim MATCH at final fingerprint, plan +
 # greedy-boundary tested), plus whatever the r15 driver window leaves
 # un-green.  Registration budget r15: 1 of 2 spent.
-# BENCH provenance (r15, four labeled attempts): attempt 1 DEGRADED
+# BENCH provenance (r15, five labeled attempts): attempt 1 DEGRADED
 # (end probes caught noise, discarded), attempt 2 = the COMMITTED
 # 327.2 s/319 q record with BOTH legs healthy (cpu worst 0.142 ratio
 # 1.14, membw2 worst 0.054 ratio 1.02 — the FIRST record where the
