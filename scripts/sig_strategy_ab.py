@@ -98,10 +98,17 @@ def main() -> None:
              "so its sig strategy is measurable with the same protocol)",
     )
     args = ap.parse_args()
+    registry.load_all_modules()
     if args.family:
         global FAMILY
-        FAMILY = args.family.split(",")
-    registry.load_all_modules()
+        names = [n.strip() for n in args.family.split(",") if n.strip()]
+        unknown = [n for n in names if n not in registry.QUERIES]
+        if not names or unknown:
+            ap.error(
+                "--family: "
+                + (f"unknown queries {unknown}" if unknown else "no names given")
+            )
+        FAMILY = names
 
     # sums[variant][pass_idx] = list of per-session family sums
     sums: dict[str, list[list[float]]] = {

@@ -29,6 +29,7 @@ from spark_ibm_mq_spark.registry import register
 from spark_ibm_mq_spark.tables import (
     durable_checkpoint,
     load_table,
+    session_memo,
     size_gated_broadcast,
     spread,
 )
@@ -171,77 +172,80 @@ def _xxhash_minhash_funnel(
     mirror of `_md5_minhash_funnel` (same rationale, same A/B protocol;
     evidence scripts/sig_ab_xxhash_r15.json and the in-bench twin
     comparison in the consumer's docstring)."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    memoized = _XXHASH_FUNNEL_MEMO.get(memo_key)
-    if memoized is not None:
-        return memoized
-    d = load_table(spark, sf_dir, "documents")
-    # spread rows before the (CPU-heavy) per-row hashing so every core
-    # participates even on a single-row-group fixture scan
-    arrs = spread(
-        d.select(
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        # spread rows before the (CPU-heavy) per-row hashing so every core
+        # participates even on a single-row-group fixture scan
+        arrs = spread(
+            d.select(
+                "doc_id",
+                F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks"),
+            ),
             "doc_id",
-            F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks"),
-        ),
-        "doc_id",
-    )
-
-    def _minhash(i: int):
-        return F.array_min(
-            F.transform(
-                "toks", lambda t: F.xxhash64(F.concat(F.lit(f"s{i}:"), t))
-            )
         )
 
-    rows_per_band = _N_MINHASH // _BANDS
-    # the trailing repartition is a reuse point, not a distribution need:
-    # the consumers (band-join sides, feature attaches) share this
-    # exchange via ReuseExchange within one action — and the checkpoint
-    # + memo make the 16×|corpus| token hashing run ONCE per session
-    # rather than once per action
-    sig = spread(
-        arrs.select(
-            "doc_id",
-            "toks",
-            F.array(*[_minhash(i) for i in range(_N_MINHASH)]).alias("sig"),
-        ),
-        "doc_id",
-        force=True,
-    )
-    if _SIG_CHECKPOINT:
-        sig = durable_checkpoint(sig, eager=False)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ]
-                    )
-                    for b in range(_BANDS)
-                ]
+        def _minhash(i: int):
+            return F.array_min(
+                F.transform(
+                    "toks", lambda t: F.xxhash64(F.concat(F.lit(f"s{i}:"), t))
+                )
             )
-        ).alias("band", "band_hash"),
-    )
-    cand = durable_checkpoint(
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+
+        rows_per_band = _N_MINHASH // _BANDS
+        # the trailing repartition is a reuse point, not a distribution
+        # need: the consumers (band-join sides, feature attaches) share
+        # this exchange via ReuseExchange within one action — and the
+        # checkpoint + memo make the 16×|corpus| token hashing run ONCE
+        # per session rather than once per action
+        sig = spread(
+            arrs.select(
+                "doc_id",
+                "toks",
+                F.array(*[_minhash(i) for i in range(_N_MINHASH)]).alias("sig"),
+            ),
+            "doc_id",
+            force=True,
         )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        if _SIG_CHECKPOINT:
+            sig = durable_checkpoint(sig, eager=False)
+        bands = sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        )
+                        for b in range(_BANDS)
+                    ]
+                )
+            ).alias("band", "band_hash"),
         )
-        .distinct(),
-        eager=False,
+        cand = durable_checkpoint(
+            bands.alias("x")
+            .join(
+                bands.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_hash") == F.col("y.band_hash"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct(),
+            eager=False,
+        )
+        return sig, cand
+
+    return session_memo(
+        _XXHASH_FUNNEL_MEMO,
+        (spark.sparkContext.applicationId, sf_dir),
+        build,
     )
-    _XXHASH_FUNNEL_MEMO[memo_key] = (sig, cand)
-    return sig, cand
 
 
 @register("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB twin
@@ -340,79 +344,92 @@ def _md5_minhash_funnel(
     checkpointed (lazily, at the first consumer action); cand = DISTINCT
     band-collision (doc_a, doc_b), checkpointed. Candidate volume ∝ band
     collisions, never n²."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    memoized = _MD5_FUNNEL_MEMO.get(memo_key)
-    if memoized is not None:
-        return memoized
-    d = load_table(spark, sf_dir, "documents")
-    arrs = spread(
-        d.select("doc_id", F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks")),
-        "doc_id",
-    )
-
-    def _mh(i: int):
-        return F.array_min(
-            F.transform("toks", lambda t: F.md5(F.concat(F.lit(f"s{i}:"), t)))
-        )
-
-    rows_per_band = _N_MINHASH // _BANDS
-    # sig IS checkpointed (reversal of the r11 lazy decision, re-measured
-    # per VERDICT r12 task 2 after dedup_lsh_band_profile became a THIRD
-    # sig consumer): a ReuseExchange shares sig only WITHIN one action, so
-    # the lazy form recomputes 16 md5/token once per consumer ACTION —
-    # 3x at current count (cand materialization, lsh_md5, band_profile) —
-    # where the checkpoint materializes once and reads blocks after.
-    # scripts/sig_strategy_ab.py, alternating fresh sessions at sf0.1,
-    # 10 cold + 6 warm pairs: ckpt wins 8/10 cold and 4/6 warm pairs;
-    # min-of-samples (the robust estimator under this host's one-sided
-    # ambient noise, same rationale as bench.py's calibration probe)
-    # reads cold 21.4s vs 36.5s family-sum (-41%) and warm 10.4s vs
-    # 11.6s (-10%). At 100 TB the gap widens with every added consumer:
-    # one columnar write vs k full md5 passes. The r11 counter-evidence
-    # (ckpt ratio 3.21 vs lazy 1.38) predates the third consumer.
-    sig = spread(
-        arrs.select(
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        arrs = spread(
+            d.select(
+                "doc_id",
+                F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks"),
+            ),
             "doc_id",
-            "toks",
-            F.array(*[_mh(i) for i in range(_N_MINHASH)]).alias("sig"),
-        ),
-        "doc_id",
-        force=True,
-    )
-    if _SIG_CHECKPOINT:
-        sig = durable_checkpoint(sig, eager=False)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        )
-                    )
-                    for b in range(_BANDS)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    )
-    cand = durable_checkpoint(
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct(),
-        eager=False,
+
+        def _mh(i: int):
+            return F.array_min(
+                F.transform(
+                    "toks", lambda t: F.md5(F.concat(F.lit(f"s{i}:"), t))
+                )
+            )
+
+        rows_per_band = _N_MINHASH // _BANDS
+        # sig IS checkpointed (reversal of the r11 lazy decision,
+        # re-measured per VERDICT r12 task 2 after dedup_lsh_band_profile
+        # became a THIRD sig consumer): a ReuseExchange shares sig only
+        # WITHIN one action, so the lazy form recomputes 16 md5/token once
+        # per consumer ACTION — 3x at current count (cand materialization,
+        # lsh_md5, band_profile) — where the checkpoint materializes once
+        # and reads blocks after. scripts/sig_strategy_ab.py, alternating
+        # fresh sessions at sf0.1, 10 cold + 6 warm pairs: ckpt wins 8/10
+        # cold and 4/6 warm pairs; min-of-samples (the robust estimator
+        # under this host's one-sided ambient noise, same rationale as
+        # bench.py's calibration probe) reads cold 21.4s vs 36.5s
+        # family-sum (-41%) and warm 10.4s vs 11.6s (-10%). At 100 TB the
+        # gap widens with every added consumer: one columnar write vs k
+        # full md5 passes. The r11 counter-evidence (ckpt ratio 3.21 vs
+        # lazy 1.38) predates the third consumer.
+        sig = spread(
+            arrs.select(
+                "doc_id",
+                "toks",
+                F.array(*[_mh(i) for i in range(_N_MINHASH)]).alias("sig"),
+            ),
+            "doc_id",
+            force=True,
+        )
+        if _SIG_CHECKPOINT:
+            sig = durable_checkpoint(sig, eager=False)
+        bands = sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.md5(
+                            F.concat(
+                                *[
+                                    F.element_at(
+                                        "sig", b * rows_per_band + r + 1
+                                    )
+                                    for r in range(rows_per_band)
+                                ]
+                            )
+                        )
+                        for b in range(_BANDS)
+                    ]
+                )
+            ).alias("band", "band_hash"),
+        )
+        cand = durable_checkpoint(
+            bands.alias("x")
+            .join(
+                bands.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_hash") == F.col("y.band_hash"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct(),
+            eager=False,
+        )
+        return sig, cand
+
+    return session_memo(
+        _MD5_FUNNEL_MEMO,
+        (spark.sparkContext.applicationId, sf_dir),
+        build,
     )
-    _MD5_FUNNEL_MEMO[memo_key] = (sig, cand)
-    return sig, cand
 
 
 @register(
@@ -602,46 +619,47 @@ def _cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (centroid c = unit embedding of the c-th lowest vec_id).  Assignment
     orders by the dot product FLOORED at 6 decimals with a cell-id
     tie-break, so a 1-ulp Spark/DuckDB divergence can never flip a cell."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    assign = _CELL_ASSIGN_MEMO.get(memo_key)
-    if assign is not None:
-        return assign
-    e = load_table(spark, sf_dir, "embeddings")
-    unit = (
-        e.select(
-            "vec_id",
-            "label",
-            F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+    def build():
+        e = load_table(spark, sf_dir, "embeddings")
+        unit = (
+            e.select(
+                "vec_id",
+                "label",
+                F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+            )
+            .withColumn("nrm", l2_norm(F.col("ed")))
+            .select(
+                "vec_id",
+                "label",
+                F.transform("ed", lambda x: x / F.col("nrm")).alias("u"),
+            )
         )
-        .withColumn("nrm", l2_norm(F.col("ed")))
-        .select(
-            "vec_id",
-            "label",
-            F.transform("ed", lambda x: x / F.col("nrm")).alias("u"),
+        cent = F.broadcast(
+            unit.orderBy("vec_id")
+            .limit(_COS_CELLS)
+            .select(F.col("vec_id").alias("cell"), F.col("u").alias("cu"))
         )
+        w_assign = Window.partitionBy("vec_id").orderBy(
+            F.floor(F.col("c_sim") * 1e6).desc(), F.col("cell")
+        )
+        return durable_checkpoint(
+            spread(
+                unit.crossJoin(cent)
+                .withColumn("c_sim", dot(F.col("u"), F.col("cu")))
+                .withColumn("rn", F.row_number().over(w_assign))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "label", "u", "cell"),
+                "cell",
+                force=True,
+            ),
+            eager=False,
+        )
+
+    return session_memo(
+        _CELL_ASSIGN_MEMO,
+        (spark.sparkContext.applicationId, sf_dir),
+        build,
     )
-    cent = F.broadcast(
-        unit.orderBy("vec_id")
-        .limit(_COS_CELLS)
-        .select(F.col("vec_id").alias("cell"), F.col("u").alias("cu"))
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.floor(F.col("c_sim") * 1e6).desc(), F.col("cell")
-    )
-    assign = durable_checkpoint(
-        spread(
-            unit.crossJoin(cent)
-            .withColumn("c_sim", dot(F.col("u"), F.col("cu")))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "label", "u", "cell"),
-            "cell",
-            force=True,
-        ),
-        eager=False,
-    )
-    _CELL_ASSIGN_MEMO[memo_key] = assign
-    return assign
 
 
 @register(
@@ -742,15 +760,14 @@ _PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _jaccard_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    pairs = _PAIRS_MEMO.get(key)
-    if pairs is None:
-        pairs = durable_checkpoint(
+    return session_memo(
+        _PAIRS_MEMO,
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: durable_checkpoint(
             dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"),
             eager=False,  # first consumer's action materializes it
-        )
-        _PAIRS_MEMO[key] = pairs
-    return pairs
+        ),
+    )
 
 
 def _resolve_duplicate_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,91 +804,98 @@ def _resolve_duplicate_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     this loop is the two-phase special case of. The oracle states the same
     fixpoint as a recursive CTE (min reachable id), which DuckDB can run at
     fixture scale."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    memoized = _LABELS_MEMO.get(memo_key)
-    if memoized is not None:
-        return memoized
-    # Checkpoint the pair list BEFORE the symmetrizing union: Spark does
-    # not share common subtrees across union branches, so without this the
-    # corpus-scale Jaccard join executes twice (once per direction). With
-    # it, the expensive join runs exactly once at full session width; the
-    # union + repartition then operate on the materialized 2|E|-row edge
-    # list — the label graph is orders of magnitude smaller than the
-    # corpus, so per-round cost is task scheduling, not data.
-    pairs = _jaccard_truth_pairs(spark, sf_dir)
-    # Loop width is DERIVED from the edge count — the count() is ALSO the
-    # action that materializes the lazy checkpoint above, so deriving width
-    # costs zero extra jobs (the r6 version paid an eager-checkpoint job
-    # PLUS a count job here). Not a hardcoded dial: ~1M edges per
-    # partition, clamped to the session
-    # parallelism. The fixture graph lands on a handful of partitions (low
-    # scheduling overhead, the r5 motivation for the old hardcoded 8); a
-    # 100 TB edge list widens automatically. Per-round shuffles inside the
-    # loop run at the session's shuffle.partitions and are coalesced by AQE
-    # — no session-global conf mutation (the old `shuffle.partitions=8`
-    # toggle was not thread-safe for concurrent queries on one session).
-    n_edges = 2 * pairs.count()
-    width = max(1, min(
-        spark.sparkContext.defaultParallelism, -(-n_edges // 1_000_000)
-    ))
-    edges = durable_checkpoint(
-        pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("src", "dst")
-        .repartition(width, "src"),
-        eager=False,  # round 0's changed-count job materializes it
-    )
-    labels = durable_checkpoint(
-        edges.select(F.col("src").alias("v")).distinct()
-        .withColumn("label", F.col("v")),
-        eager=False,
-    )
-    changed = 0
-    for rnd in range(32):
-        nbr = (
-            edges.join(labels, edges.src == labels.v)
-            .groupBy(F.col("dst").alias("nv"))
-            .agg(F.min("label").alias("nbr_min"))
+    def build():
+        # Checkpoint the pair list BEFORE the symmetrizing union: Spark
+        # does not share common subtrees across union branches, so without
+        # this the corpus-scale Jaccard join executes twice (once per
+        # direction). With it, the expensive join runs exactly once at
+        # full session width; the union + repartition then operate on the
+        # materialized 2|E|-row edge list — the label graph is orders of
+        # magnitude smaller than the corpus, so per-round cost is task
+        # scheduling, not data.
+        pairs = _jaccard_truth_pairs(spark, sf_dir)
+        # Loop width is DERIVED from the edge count — the count() is ALSO
+        # the action that materializes the lazy checkpoint above, so
+        # deriving width costs zero extra jobs (the r6 version paid an
+        # eager-checkpoint job PLUS a count job here). Not a hardcoded
+        # dial: ~1M edges per partition, clamped to the session
+        # parallelism. The fixture graph lands on a handful of partitions
+        # (low scheduling overhead, the r5 motivation for the old
+        # hardcoded 8); a 100 TB edge list widens automatically. Per-round
+        # shuffles inside the loop run at the session's shuffle.partitions
+        # and are coalesced by AQE — no session-global conf mutation (the
+        # old `shuffle.partitions=8` toggle was not thread-safe for
+        # concurrent queries on one session).
+        n_edges = 2 * pairs.count()
+        width = max(1, min(
+            spark.sparkContext.defaultParallelism, -(-n_edges // 1_000_000)
+        ))
+        edges = durable_checkpoint(
+            pairs.union(pairs.select("doc_b", "doc_a"))
+            .toDF("src", "dst")
+            .repartition(width, "src"),
+            eager=False,  # round 0's changed-count job materializes it
         )
-        l1 = (
-            labels.withColumnRenamed("label", "old")
-            .join(nbr, F.col("v") == F.col("nv"), "left")
-            .select("v", "old", F.least("old", "nbr_min").alias("mid"))
+        labels = durable_checkpoint(
+            edges.select(F.col("src").alias("v")).distinct()
+            .withColumn("label", F.col("v")),
+            eager=False,
         )
-        if rnd == 0:
-            # pointer jump is a no-op while labels are still identity
-            new_labels = durable_checkpoint(
-                l1.select("v", "old", F.col("mid").alias("label")),
-                eager=False,  # the changed-count below materializes it
+        changed = 0
+        for rnd in range(32):
+            nbr = (
+                edges.join(labels, edges.src == labels.v)
+                .groupBy(F.col("dst").alias("nv"))
+                .agg(F.min("label").alias("nbr_min"))
             )
+            l1 = (
+                labels.withColumnRenamed("label", "old")
+                .join(nbr, F.col("v") == F.col("nv"), "left")
+                .select("v", "old", F.least("old", "nbr_min").alias("mid"))
+            )
+            if rnd == 0:
+                # pointer jump is a no-op while labels are still identity
+                new_labels = durable_checkpoint(
+                    l1.select("v", "old", F.col("mid").alias("label")),
+                    eager=False,  # the changed-count below materializes it
+                )
+            else:
+                lref = labels.select(
+                    F.col("v").alias("rv"), F.col("label").alias("rlabel")
+                )
+                new_labels = durable_checkpoint(
+                    l1.join(lref, l1.mid == lref.rv, "left")
+                    .select(
+                        "v",
+                        "old",
+                        F.least(
+                            "mid", F.coalesce("rlabel", "mid")
+                        ).alias("label"),
+                    ),
+                    eager=False,
+                )
+            changed = new_labels.filter(F.col("label") != F.col("old")).count()
+            labels = new_labels.drop("old")
+            if changed == 0:
+                break
         else:
-            lref = labels.select(
-                F.col("v").alias("rv"), F.col("label").alias("rlabel")
+            # Fail LOUDLY on a cap hit: the oracle states the true
+            # min-reachable fixpoint, so silently returning unconverged
+            # labels would surface as an inscrutable value mismatch. With
+            # pointer jumping the round count is O(log diameter) — 32
+            # rounds covers diameters ≳ 2^32, so reaching here means a
+            # logic regression, not a big graph.
+            raise RuntimeError(
+                f"dedup_cluster_resolve failed to converge in 32 rounds "
+                f"({changed} labels still changing)"
             )
-            new_labels = durable_checkpoint(
-                l1.join(lref, l1.mid == lref.rv, "left")
-                .select(
-                    "v",
-                    "old",
-                    F.least("mid", F.coalesce("rlabel", "mid")).alias("label"),
-                ),
-                eager=False,
-            )
-        changed = new_labels.filter(F.col("label") != F.col("old")).count()
-        labels = new_labels.drop("old")
-        if changed == 0:
-            break
-    else:
-        # Fail LOUDLY on a cap hit: the oracle states the true min-reachable
-        # fixpoint, so silently returning unconverged labels would surface
-        # as an inscrutable value mismatch. With pointer jumping the round
-        # count is O(log diameter) — 32 rounds covers diameters ≳ 2^32, so
-        # reaching here means a logic regression, not a big graph.
-        raise RuntimeError(
-            f"dedup_cluster_resolve failed to converge in 32 rounds "
-            f"({changed} labels still changing)"
-        )
-    _LABELS_MEMO[memo_key] = labels
-    return labels
+        return labels
+
+    return session_memo(
+        _LABELS_MEMO,
+        (spark.sparkContext.applicationId, sf_dir),
+        build,
+    )
 
 
 @register(
@@ -2148,8 +2172,14 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # alter the queries' own source fingerprints.
 from spark_ibm_mq_spark.registry import declare_helper_deps  # noqa: E402
 
-declare_helper_deps("dedup_embedding_cosine", _cell_assignment)
-declare_helper_deps("dedup_semdedup_prune", _cell_assignment)
+# session_memo (tables.py) is the shared memo-with-eviction engine every
+# memoized helper below delegates its hit/rebuild decision to (r16
+# consolidation of the nine module-global memo dicts): computation-
+# adjacent — a bug in it serves a STALE or cross-application frame — so
+# every consumer of a memoized helper declares it (the census test
+# enforces the transitive closure).
+declare_helper_deps("dedup_embedding_cosine", _cell_assignment, session_memo)
+declare_helper_deps("dedup_semdedup_prune", _cell_assignment, session_memo)
 # the line-pack envelope guard builds the first-occurrence key itself —
 # computation-bearing, so declared (r14 review finding)
 declare_helper_deps("dedup_line_level", _guarded_line_pack)
@@ -2174,3 +2204,15 @@ declare_helper_deps(
 declare_helper_deps(
     "dedup_soft_weighting", _resolve_duplicate_labels, _jaccard_truth_pairs
 )
+# every consumer of a session_memo-backed helper declares the memo engine
+# itself (see the session_memo comment above; census-enforced)
+for _memo_consumer in (
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_md5",
+    "dedup_minhash_recall_eval",
+    "dedup_lsh_band_profile",
+    "dedup_cluster_resolve",
+    "pipeline_canonicalize_dedup",
+    "dedup_soft_weighting",
+):
+    declare_helper_deps(_memo_consumer, session_memo)

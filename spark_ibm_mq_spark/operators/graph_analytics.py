@@ -33,6 +33,7 @@ from spark_ibm_mq_spark.registry import register
 from spark_ibm_mq_spark.tables import (
     durable_checkpoint,
     load_table,
+    session_memo,
     size_gated_broadcast,
 )
 
@@ -196,25 +197,24 @@ _EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
 def _full_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed distinct (src, dst) over parts sharing an order —
     both directions, self-loops dropped."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    edges = _EDGES_MEMO.get(memo_key)
-    if edges is not None:
-        return edges
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = op.select("ok", F.col("pk").alias("src"))
-    b = op.select("ok", F.col("pk").alias("dst"))
-    edges = durable_checkpoint(
-        a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct(),
-        eager=False,
+    def build():
+        li = load_table(spark, sf_dir, "lineitem")
+        op = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+        a = op.select("ok", F.col("pk").alias("src"))
+        b = op.select("ok", F.col("pk").alias("dst"))
+        return durable_checkpoint(
+            a.join(b, "ok")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct(),
+            eager=False,
+        )
+
+    return session_memo(
+        _EDGES_MEMO, (spark.sparkContext.applicationId, sf_dir), build
     )
-    _EDGES_MEMO[memo_key] = edges
-    return edges
 
 
 def _knn_graph(spark: SparkSession, sf_dir: str):
@@ -222,40 +222,38 @@ def _knn_graph(spark: SparkSession, sf_dir: str):
     checkpointed symmetric edge list every consumer starts from, so the
     order-pair self-join + rank window run once per query (and once per
     SESSION across the three graph queries, via `_SYM_MEMO`)."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    sym = _SYM_MEMO.get(memo_key)
-    if sym is not None:
-        canon = sym.filter(F.col("s") < F.col("t")).select(
-            F.col("s").alias("u"), F.col("t").alias("v")
+    def build():
+        li = load_table(spark, sf_dir, "lineitem")
+        op = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+        pairs = (
+            op.alias("a")
+            .join(op.alias("b"), "ok")
+            .filter(F.col("a.pk") != F.col("b.pk"))
+            .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+            .agg(F.count(F.lit(1)).alias("w"))
         )
-        deg = sym.groupBy(F.col("s").alias("node")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("d")
-        )
-        return sym, canon, deg
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    pairs = (
-        op.alias("a")
-        .join(op.alias("b"), "ok")
-        .filter(F.col("a.pk") != F.col("b.pk"))
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    from pyspark.sql import Window
+        from pyspark.sql import Window
 
-    rn = F.row_number().over(
-        Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v"))
+        rn = F.row_number().over(
+            Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v"))
+        )
+        knn = (
+            pairs.withColumn("rn", rn)
+            .filter(F.col("rn") <= _KNN_K)
+            .select("u", "v")
+        )
+        return durable_checkpoint(
+            knn.select(F.col("u").alias("s"), F.col("v").alias("t"))
+            .union(knn.select(F.col("v").alias("s"), F.col("u").alias("t")))
+            .distinct(),
+            eager=False,
+        )
+
+    sym = session_memo(
+        _SYM_MEMO, (spark.sparkContext.applicationId, sf_dir), build
     )
-    knn = pairs.withColumn("rn", rn).filter(F.col("rn") <= _KNN_K).select("u", "v")
-    sym = durable_checkpoint(
-        knn.select(F.col("u").alias("s"), F.col("v").alias("t"))
-        .union(knn.select(F.col("v").alias("s"), F.col("u").alias("t")))
-        .distinct(),
-        eager=False,
-    )
-    _SYM_MEMO[memo_key] = sym
     canon = sym.filter(F.col("s") < F.col("t")).select(
         F.col("s").alias("u"), F.col("t").alias("v")
     )
@@ -281,30 +279,29 @@ def _wedge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free bigint). Candidate volume is Σ deg(z)², bounded by the
     k-NN cap — never all-pairs. The compact grouped frame (4 int cols,
     one row per candidate pair) is what checkpoints, not the wedge rows."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    cand = _WEDGE_MEMO.get(memo_key)
-    if cand is not None:
-        return cand
-    sym, _canon, deg = _knn_graph(spark, sf_dir)
-    bdeg = size_gated_broadcast(deg)
-    s1 = sym.select("s", F.col("t").alias("x"))
-    s2 = sym.select("s", F.col("t").alias("y"))
-    aa_term = F.floor(F.lit(1000000) / F.log(F.col("dz.d")) + F.lit(0.5)).cast(
-        "bigint"
+    def build():
+        sym, _canon, deg = _knn_graph(spark, sf_dir)
+        bdeg = size_gated_broadcast(deg)
+        s1 = sym.select("s", F.col("t").alias("x"))
+        s2 = sym.select("s", F.col("t").alias("y"))
+        aa_term = F.floor(
+            F.lit(1000000) / F.log(F.col("dz.d")) + F.lit(0.5)
+        ).cast("bigint")
+        return durable_checkpoint(
+            s1.join(s2, "s")
+            .filter(F.col("x") < F.col("y"))
+            .join(bdeg.alias("dz"), F.col("s") == F.col("dz.node"))
+            .groupBy("x", "y")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("common"),
+                F.sum(aa_term).cast("bigint").alias("aa_u"),
+            ),
+            eager=False,
+        )
+
+    return session_memo(
+        _WEDGE_MEMO, (spark.sparkContext.applicationId, sf_dir), build
     )
-    cand = durable_checkpoint(
-        s1.join(s2, "s")
-        .filter(F.col("x") < F.col("y"))
-        .join(bdeg.alias("dz"), F.col("s") == F.col("dz.node"))
-        .groupBy("x", "y")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("common"),
-            F.sum(aa_term).cast("bigint").alias("aa_u"),
-        ),
-        eager=False,
-    )
-    _WEDGE_MEMO[memo_key] = cand
-    return cand
 
 
 @register(
@@ -884,3 +881,18 @@ declare_helper_deps("graph_degree_assortativity", _knn_graph)
 declare_helper_deps("graph_label_propagation", _knn_graph)
 declare_helper_deps("graph_jaccard_link_prediction", _knn_graph, _wedge_candidates)
 declare_helper_deps("graph_adamic_adar", _knn_graph, _wedge_candidates)
+# the shared memo-with-eviction engine (tables.session_memo) the three
+# memoized graph helpers delegate to — computation-adjacent (a bug in it
+# serves a stale/cross-application frame), so every consumer declares it
+for _memo_consumer in (
+    "graph_pagerank_copurchase",
+    "graph_kcore_peel",
+    "graph_bfs_hops",
+    "graph_knn_degree_profile",
+    "graph_triangle_count",
+    "graph_degree_assortativity",
+    "graph_label_propagation",
+    "graph_jaccard_link_prediction",
+    "graph_adamic_adar",
+):
+    declare_helper_deps(_memo_consumer, session_memo)

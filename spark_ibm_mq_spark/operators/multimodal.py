@@ -1075,7 +1075,11 @@ def mm_crossmodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared-helper dependency declarations (see registry.declare_helper_deps).
 from spark_ibm_mq_spark.registry import declare_helper_deps  # noqa: E402
 
-declare_helper_deps("mm_crossmodal_near_dup", _cell_assignment)
+from spark_ibm_mq_spark.tables import session_memo as _session_memo  # noqa: E402
+
+# _cell_assignment is session_memo-backed, so its consumer declares the
+# memo engine too (census-enforced; see dedup.py's declaration comment)
+declare_helper_deps("mm_crossmodal_near_dup", _cell_assignment, _session_memo)
 for _q in (
     "mm_decode_features",
     "mm_frame_sample",

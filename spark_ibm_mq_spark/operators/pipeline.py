@@ -1482,7 +1482,8 @@ def pipeline_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_MERGES = 3
-_BPE_SEP = "\x1f"  # U+001F unit separator — absent from the corpus alphabet
+_BPE_SEP = "\x1f"  # U+001F unit separator — absence from the corpus is
+#                    ENFORCED by a raise_error guard in the word build
 _BPE_SEP_SQL = "chr(31)"
 
 
@@ -1590,13 +1591,28 @@ def pipeline_bpe_3merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = spread(d, "doc_id").select(F.explode(tokens("text")).alias("t"))
     sep = F.lit(_BPE_SEP)
+    # The encoding's precondition — U+001F absent from the corpus — is
+    # ENFORCED, not assumed (ADVICE r15 #3): a token containing the
+    # separator would have that byte silently vanish from pair counting
+    # in BOTH engines (parity would not catch it), so the guard raises
+    # loudly instead. Checked once per DISTINCT word (post-agg), so the
+    # cost is |vocab| codegen'd predicates, not one per occurrence; a
+    # NULL token also lands in the raise arm (intended strictness).
+    guarded_t = F.when(
+        ~F.col("t").contains(_BPE_SEP), F.col("t")
+    ).otherwise(
+        F.raise_error(
+            "pipeline_bpe_3merge: token contains U+001F — the symbol-"
+            "separator byte must be absent from the corpus alphabet"
+        )
+    )
     words = durable_checkpoint(
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .select(
             "n",
             F.regexp_replace(
-                "t", "(.)", _BPE_SEP + "$1" + _BPE_SEP
+                guarded_t, "(.)", _BPE_SEP + "$1" + _BPE_SEP
             ).alias("seq"),
         ),
         eager=False,

@@ -677,6 +677,14 @@ def scale_partition_evolution_plan(spark: SparkSession, sf_dir: str) -> DataFram
 from spark_ibm_mq_spark.operators.dedup import _cell_assignment as _dedup_cells  # noqa: E402,E501
 from spark_ibm_mq_spark.registry import declare_helper_deps  # noqa: E402
 
+from spark_ibm_mq_spark.tables import session_memo as _session_memo  # noqa: E402
+
+# _dedup_cells is session_memo-backed, so the consumer declares the memo
+# engine too (census-enforced)
 declare_helper_deps(
-    "scale_bucketed_cell_manifest", _cell_table, _cell_assignment, _dedup_cells
+    "scale_bucketed_cell_manifest",
+    _cell_table,
+    _cell_assignment,
+    _dedup_cells,
+    _session_memo,
 )

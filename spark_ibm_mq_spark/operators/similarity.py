@@ -2081,4 +2081,10 @@ from spark_ibm_mq_spark.registry import declare_helper_deps  # noqa: E402
 # arithmetic must re-open the consumer's green (r14 review finding —
 # the guard was briefly undeclared, the exact stale-green class the
 # transitive census exists to close).
-declare_helper_deps("emb_hard_negative_mining", _dedup_cells, _guarded_hn_key)
+from spark_ibm_mq_spark.tables import session_memo as _session_memo  # noqa: E402
+
+# _dedup_cells (dedup._cell_assignment) is session_memo-backed, so its
+# consumer declares the memo engine too (census-enforced)
+declare_helper_deps(
+    "emb_hard_negative_mining", _dedup_cells, _guarded_hn_key, _session_memo
+)

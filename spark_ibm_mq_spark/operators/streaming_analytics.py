@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
 from spark_ibm_mq_spark.registry import register
 from spark_ibm_mq_spark.streaming.readers import events_file_stream
-from spark_ibm_mq_spark.tables import load_table
+from spark_ibm_mq_spark.tables import load_table, session_memo
 
 
 _REPLAY_MEMO: dict[tuple[str, str, str, str | None], str] = {}
@@ -66,31 +66,38 @@ def _replay_src(
     from spark_ibm_mq_spark.operators.file_sources import _tag
     from spark_ibm_mq_spark.operators.mq_source import _scratch
 
-    k = (
-        df.sparkSession.sparkContext.applicationId,
-        _tag(sf_dir, tables),
-        key,
-        order_by,
-    )
-    d = _REPLAY_MEMO.get(k)
-    if d and os.path.exists(os.path.join(d, "_SUCCESS")):
-        return d
-    out = os.path.join(_scratch(f"replay_{key}_"), "src")
-    part = df.repartitionByRange(4, order_by) if order_by else df.repartition(4)
-    part.write.parquet(out)
-    if order_by:
-        import time as _time
+    def build():
+        out = os.path.join(_scratch(f"replay_{key}_"), "src")
+        part = (
+            df.repartitionByRange(4, order_by)
+            if order_by
+            else df.repartition(4)
+        )
+        part.write.parquet(out)
+        if order_by:
+            import time as _time
 
-        base = _time.time()
-        for i, f in enumerate(
-            sorted(
-                f for f in os.listdir(out)
-                if f.startswith("part-") and f.endswith(".parquet")
-            )
-        ):
-            os.utime(os.path.join(out, f), (base + 10 * i, base + 10 * i))
-    _REPLAY_MEMO[k] = out
-    return out
+            base = _time.time()
+            for i, f in enumerate(
+                sorted(
+                    f for f in os.listdir(out)
+                    if f.startswith("part-") and f.endswith(".parquet")
+                )
+            ):
+                os.utime(os.path.join(out, f), (base + 10 * i, base + 10 * i))
+        return out
+
+    return session_memo(
+        _REPLAY_MEMO,
+        (
+            df.sparkSession.sparkContext.applicationId,
+            _tag(sf_dir, tables),
+            key,
+            order_by,
+        ),
+        build,
+        valid=lambda d: os.path.exists(os.path.join(d, "_SUCCESS")),
+    )
 
 
 def run_snapshot_merge_stream(
@@ -1482,3 +1489,16 @@ for _ivm_twin in (
     "stream_dsir_model_update",
 ):
     declare_helper_deps(_ivm_twin, run_snapshot_merge_stream, additive_merge)
+
+# every _replay_src consumer declares the session_memo engine its export
+# memo delegates to (census-enforced; see dedup.py's declaration comment)
+for _replay_consumer in (
+    "stream_foreachbatch_upsert",
+    "stream_cdc_merge_with_deletes",
+    "stream_tpch_q1_incremental",
+    "stream_windowed_topk_update",
+    "stream_cusum_monitor",
+    "stream_ks_drift_monitor",
+    "stream_dsir_model_update",
+):
+    declare_helper_deps(_replay_consumer, session_memo)

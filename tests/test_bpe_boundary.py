@@ -73,6 +73,24 @@ def test_spark_bpe_3merge_is_greedy(spark, bpe_dir):
     assert got == EXPECTED, got
 
 
+def test_spark_bpe_3merge_rejects_separator_byte(spark, tmp_path):
+    """The encoding precondition (U+001F absent from the corpus) is
+    ENFORCED (ADVICE r15 #3): without the guard a token containing the
+    separator would have that byte silently vanish from pair counting in
+    BOTH engines — parity would pass on the deviation from true BPE."""
+    texts = ["aaaa", "a\x1fb"]
+    rows = {
+        "doc_id": [0, 1],
+        "text": texts,
+        "lang": ["en"] * 2,
+        "source": ["syn"] * 2,
+        "n_chars": [len(t) for t in texts],
+    }
+    pq.write_table(pa.table(rows), os.path.join(str(tmp_path), "documents.parquet"))
+    with pytest.raises(Exception, match="U\\+001F"):
+        registry.QUERIES["pipeline_bpe_3merge"](spark, str(tmp_path)).collect()
+
+
 def test_oracle_bpe_3merge_is_greedy(bpe_dir):
     con = duckdb.connect()
     path = os.path.join(bpe_dir, "documents.parquet")

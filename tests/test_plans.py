@@ -1076,15 +1076,18 @@ def test_bpe_3merge_broadcasts_argmax_no_corpus_cartesian(spark):
     df = registry.QUERIES["pipeline_bpe_3merge"](spark, SF_DIR)
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan, plan[:800]
-    # 4 = round-2 output branch re-derives rewrite 1 (one BNLJ) and the
-    # round-3 branch carries rewrite 2 over rewrite 1 plus rewrite 1
-    # again inside its broadcast argmax side (three BNLJs) — every one a
-    # 1-row IdentityBroadcastMode build side, never a corpus cartesian.
-    # The rewrite chains recompute from the CHECKPOINT (vocab-sized, the
-    # cheap part at scale), not from the corpus.
-    assert plan.count("BroadcastNestedLoopJoin") == 4, plan.count(
-        "BroadcastNestedLoopJoin"
-    )
+    # The unrolled rewrite chains recompute from the CHECKPOINT
+    # (vocab-sized, the cheap part at scale), not from the corpus; the
+    # current recomputation shape yields 4 BNLJs (round-2 branch
+    # re-derives rewrite 1; round-3 carries rewrite 2 over rewrite 1
+    # plus rewrite 1 inside its argmax side), every one a 1-row
+    # IdentityBroadcastMode build side. The INVARIANTS (no cartesian, no
+    # file scan, checkpoint present, broadcast rewrite joins exist) are
+    # asserted exactly; the BNLJ COUNT is a bound, not an equality —
+    # a Spark/AQE bump that dedups or re-shapes the chains is benign
+    # (ADVICE r15 #4).
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert 1 <= n_bnlj <= 6, (n_bnlj, plan[:800])
     assert "ExistingRDD" in plan, plan[:600]
     assert "Scan parquet" not in plan and "FileScan" not in plan, plan[:800]
 
