@@ -31,130 +31,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries() in
-# dict order.  Round-15 window — emitted VERBATIM by
-# `python scripts/stable_tier.py --window 50` at r15 HEAD AFTER this
-# round's early ADVICE-r14 fixes (the guard raise messages now name the
-# NULL case, the "branch-free" claim corrected to one-predicate-check in
-# both guard docstrings and SCALE.md rule 7, the census raise_error
-# detection is now an AST Call walk, the bench membw carry expires after
-# _CALIB_HISTORY_N probe-less records, and --window now machine-checks
-# divergence from this committed list).  Composition per the tool:
-# (a) 2 destabilized-after-green rows lead: dedup_line_level and
-#     emb_hard_negative_mining — BOTH destabilized by this round's
-#     guard-message edits (ADVICE r14 #1/#4 touched
-#     dedup._guarded_line_pack / similarity._guarded_hn_key, declared
-#     helper deps of exactly these two queries);
-#     emb_hard_negative_mining is ALSO the row the r14 verdict queued
-#     first (TIER-S re-opened by the r14 envelope-guard commit; sim
-#     MATCH at r14-final fingerprint twice, and re-MATCHed again this
-#     session at the r15 post-message-fix fingerprint).  dedup_line_level
-#     re-MATCHed likewise.
-# (b) 48 rotation rows, oldest-latest-green first (0 never-checked
-#     oracled rows remain; 0 TIER-S sentinels needed).
-# Window math (HARD cap): 2 + 48 = 50 exactly.
+# dict order.  Round-16 window — emitted VERBATIM by
+# `python scripts/stable_tier.py --window 50` at r16 HEAD AFTER this
+# round's fixes (ADVICE r15 all closed: BPE U+001F guard enforced +
+# fixture-tested, BNLJ plan assertion relaxed to invariants + bound,
+# sig_strategy_ab --family validated at parse time, README census 315;
+# VERDICT r15 task 3: the nine module-global session memos consolidated
+# onto tables.session_memo with dead-application eviction, declared as a
+# helper dep for all 28 consumers — census-enforced).  Composition per
+# the tool (1 never-checked + 20 destabilized + 29 rotation):
+# (a) pipeline_bpe_3merge LEADS — r15's one registration, deferred to
+#     this window by the house rule; never driver-checked; sim MATCH
+#     three times (r15 builder sweep, r15 judge's independent run, this
+#     session at the post-U+001F-guard fingerprint); oracle + plan test
+#     + greedy-overlap boundary fixture.
+# (b) 20 destabilized-after-green rows: every driver-checkable consumer
+#     of the migrated memo helpers (dedup funnel/cell/labels/pairs,
+#     graph edges/knn/wedge, similarity/mm/scale consumers) — ALL 29
+#     touched queries re-simmed MATCH at the new fingerprints this
+#     session before install (rows-only dedup_minhash_lsh and the
+#     stream_* replay consumers verified in the same sweeps; the
+#     stream_* rows are TIER-S and stay out of rotation).
+# (c) 29 rotation rows, oldest-latest-green first.
+# Window math (HARD cap): 1 + 20 + 29 = 50 exactly.
 # Registration budget stated BEFORE registering, per the house rule:
-# <= 2 new ops this round.  SPENT: 1 of 2 — pipeline_bpe_3merge, the
-# one shape the census lacked per the r14 verdict (task 5): an ITERATIVE
-# BPE trainer (3 unrolled merge rounds over a distinct-word frequency
-# frame, mirroring emb_kmeans_3iter's lazy-loop discipline, with an
-# unrolled-CTE oracle).  Registered AFTER this window installed; the
-# stable_tier tool defers same-round registrations to lead the r16
-# window, so it consumes no r15 slot.  Landed in one commit with oracle
-# + plan test + a greedy-overlap boundary fixture
-# (tests/test_bpe_boundary.py) that caught a real shared-twin mistake
-# BEFORE shipping: the single-separator symbol encoding makes leftmost-
-# non-overlapping replace in BOTH engines agree on a NON-greedy merge of
-# "aaaa" ([aa,a,a]); the double-boundary encoding (each symbol wrapped
-# in its own SEP pair) restores exact Sennrich-greedy semantics, pinned
-# against hand-computed merges.
-#
-# END-OF-ROUND state for the r16 builder: the window above is UNCHANGED
-# since install; ALL 319 registered queries were sim-swept late this
-# session (319/319 MATCH at sf0.01, zero problems) INCLUDING the two
-# leading destabilized rows at their final fingerprints.  Queueing for
-# r16: pipeline_bpe_3merge leads (this round's one registration,
-# deferred per the house rule; sim MATCH at final fingerprint, plan +
-# greedy-boundary tested), plus whatever the r15 driver window leaves
-# un-green.  Registration budget r15: 1 of 2 spent.
-# BENCH provenance (r15, five labeled attempts): attempt 1 DEGRADED
-# (end probes caught noise, discarded), attempt 2 = the COMMITTED
-# 327.2 s/319 q record with BOTH legs healthy (cpu worst 0.142 ratio
-# 1.14, membw2 worst 0.054 ratio 1.02 — the FIRST record where the
-# memory-bandwidth leg gates against a committed reference instead of
-# no-reference, closing VERDICT r14 task 2), attempts 3-4 DEGRADED
-# (cpu 0.17/0.36; discarded, bench_full.json restored).  The committed
-# record predates the minhash funnel memo: its dedup_minhash_lsh row
-# (17.0 s, the r14 watch-bar trip that triggered the fix) is the OLD
-# profile; post-fix bench-style 3-run medians read 3.4 s (commits
-# 40055b2, 09114d8, 7bf1151 carry the step-by-step evidence — sig
-# checkpoint alone fixes solos but not in-bench; the full
-# sig+cand+memo funnel parity with the md5 twin fixes both).  A fifth
-# (degraded, discarded) attempt confirms the fix holds IN-BENCH too:
-# dedup_minhash_lsh 7.8 s under a 2.8x-degraded ambient that previously
-# produced 26-32 s, with MQ sustained 354 k msg/s in the same run.
-# Expect the r15 driver record to show dedup_minhash_lsh at ~3-8 s.
-#
-# PERF EPOCH (re-anchored this round, VERDICT r14 task 3): the r12
-# absolute numbers are a formally dead epoch.  The current epoch's
-# reference is scripts/ab_epoch_r15.json — four interleaved
-# fresh-session HEAD-vs-e62c7ab (r14 record commit) pairs over the
-# 20-query panel at sf0.1, leading arm swapped, min-of-samples: panel
-# median pairwise min-ratio 0.933, total ratio 0.941 (HEAD 49.2 s / old
-# 52.3 s panel min-totals) — this round's code is at-or-slightly-faster
-# than the r14 record tree; no code regression.  Judge r15+ records
-# against THESE same-epoch panel totals (or a fresh interleaved pair),
-# never against r12/r13 absolutes.
+# <= 2 new ops this round; 0 spent at install time.
 _CHECK_FIRST = [
-    "dedup_line_level",
+    "pipeline_bpe_3merge",
+    "dedup_cluster_resolve",
+    "dedup_embedding_cosine",
+    "dedup_lsh_band_profile",
+    "dedup_minhash_lsh_md5",
+    "dedup_minhash_recall_eval",
+    "dedup_semdedup_prune",
+    "dedup_soft_weighting",
     "emb_hard_negative_mining",
-    "join_cross_flags",
-    "join_nearest_event",
-    "mm_patch_grid_plan",
-    "mm_webdataset_shard_plan",
-    "mq_cdc_apply",
-    "mq_cdc_collapse",
-    "mq_scd2_history_with_deletes",
-    "mq_scd2_point_in_time",
-    "pipeline_canonicalize_dedup",
-    "pipeline_quality_dup_correlation",
-    "pipeline_quality_gate_funnel",
-    "pipeline_schema_drift_report",
-    "pipeline_temperature_mixture",
-    "pipeline_token_budget_allocator",
-    "retrieval_ndcg_eval",
-    "retrieval_rrf_fusion",
-    "sim_prefix_dim_eval",
-    "stream_windowed_dau",
-    "text_hapax_ratio",
-    "text_lang_confusion",
-    "text_lang_trigram_similarity",
-    "text_term_burstiness",
-    "win_activity_streaks",
-    "win_max_drawdown",
-    "win_weekly_pct_change",
-    "agg_abc_classification",
-    "agg_hhi_concentration",
-    "agg_winsorized_mean",
-    "distinct_flag_combos",
-    "emb_metric_rank_correlation",
-    "events_anomaly_stl_residual",
-    "events_audience_overlap",
-    "events_conversion_wilson_ci",
-    "events_dow_seasonality",
-    "events_markov_3step",
-    "events_next_event_baseline",
+    "graph_adamic_adar",
+    "graph_bfs_hops",
+    "graph_degree_assortativity",
+    "graph_jaccard_link_prediction",
+    "graph_kcore_peel",
     "graph_knn_degree_profile",
-    "pipeline_bpe_first_merge",
-    "pipeline_interleave_sources",
-    "pipeline_length_filter_ablation",
-    "scale_dynamic_partition_pruning",
-    "scan_orc_roundtrip_region",
-    "set_except_all_flags",
-    "set_except_nations",
-    "set_intersect_all_flags",
-    "set_intersect_nations",
-    "set_union_by_name",
-    "sort_topn_offset",
+    "graph_label_propagation",
+    "graph_pagerank_copurchase",
+    "graph_triangle_count",
+    "mm_crossmodal_near_dup",
+    "pipeline_canonicalize_dedup",
+    "scale_bucketed_cell_manifest",
+    "sort_within_partitions",
+    "stream_dedup_replayed",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_static_join_segments",
+    "stream_stream_join",
+    "stream_tumbling_counts",
+    "text_fingerprint",
+    "text_heaps_law_curve",
+    "text_lang_id",
+    "text_quality_stats",
+    "text_readability",
+    "text_zipf_fit",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "udaf_grouped_weighted_avg",
+    "udf_pandas_net_price",
+    "udtf_key_explode",
+    "win_dedup_latest_event",
+    "win_lag_lead_events",
+    "win_rank_orders",
+    "win_rolling_corr",
+    "win_running_totals",
+    "win_skyline_orders",
+    "win_top3_parts_per_brand",
+    "agg_newcomer_share",
+    "agg_rfm_migration_matrix",
+    "agg_theil_index",
 ]
 
 
