@@ -55,7 +55,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) 29 rotation rows, oldest-latest-green first.
 # Window math (HARD cap): 1 + 20 + 29 = 50 exactly.
 # Registration budget stated BEFORE registering, per the house rule:
-# <= 2 new ops this round; 0 spent at install time.
+# <= 2 new ops this round.  SPENT: 1 of 2 —
+# stream_temperature_mixture_update, the one shape with a standing
+# template per the r15 verdict (task 4): a seventh IVM twin on the
+# snapshot-merge scaffold maintaining pipeline_temperature_mixture's
+# (source, n_docs) count monoid incrementally, deriving the q_i ∝ p_i^α
+# weights at read time through the SAME temperature_mixture_from_counts
+# the batch op now calls (refactored in the same commit — the batch op
+# re-queues for r17; it is NOT in this round's window, so no slot is
+# wasted).  Oracle reused verbatim (the IVM contract); landed in one
+# commit with the stream==batch equality drive
+# (test_r13_ops.py::test_stream_temperature_mixture_equals_batch) and a
+# narrow-scan + broadcast-total plan test.  No boundary fixture needed:
+# the twin's semantics rest on an associative bigint sum and shared
+# derivation code, not on any string/regex library behavior (the r15
+# rule's trigger).  Registered AFTER this window installed; the
+# stable_tier tool defers same-round registrations to lead the r17
+# window, so it consumes no r16 slot.
 _CHECK_FIRST = [
     "pipeline_bpe_3merge",
     "dedup_cluster_resolve",

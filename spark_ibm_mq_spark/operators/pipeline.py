@@ -1218,6 +1218,40 @@ def pipeline_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_ALPHA = 0.7  # temperature exponent (mT5/XLM-R-style mixing)
 
 
+def temperature_mixture_from_counts(counts: DataFrame) -> DataFrame:
+    """Temperature-scaled mixture weights from a (source, n_docs) count
+    frame — the read-time derivation shared by the batch operator
+    (`pipeline_temperature_mixture`) and its incremental twin
+    (`stream_temperature_mixture_update`), factored exactly like
+    `dsir_scores_from_bucket_counts` so the IVM guarantee is BY
+    CONSTRUCTION: both callers run the identical q_i ∝ p_i^α math over
+    whatever count frame they maintain.
+
+    Determinism: shares are one division each; `power(p, 0.7)` sits on
+    the ln/exp precedent (round(4) absorbs cross-engine libm ulps); the
+    Σp^α normalizer aggregates ~|sources| terms whose order-sensitivity
+    is ~1e-16 against 1e-4 granularity. Plan: a 1-row total broadcast
+    and an unpartitioned window sum over the |sources|-row frame —
+    nothing at corpus scale."""
+    tot = counts.agg(F.sum("n_docs").cast("bigint").alias("t"))
+    p = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") / F.col("t")).alias("raw_share"),
+        F.pow(F.col("n_docs") / F.col("t"), F.lit(_MIX_ALPHA)).alias("pw"),
+    )
+    denom = F.sum("pw").over(Window.partitionBy())
+    return p.select(
+        "source",
+        "n_docs",
+        F.round("raw_share", 4).alias("raw_share"),
+        F.round(F.col("pw") / denom, 4).alias("temp_share"),
+        F.round((F.col("pw") / denom) / F.col("raw_share"), 4).alias(
+            "upsample_factor"
+        ),
+    )
+
+
 @register(
     "pipeline_temperature_mixture",
     oracle=f"""
@@ -1247,31 +1281,15 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes the plan. `upsample_factor` = q_i/p_i is the per-source
     epoch multiplier a data loader applies.
 
-    Determinism: shares are one division each; `power(p, 0.7)` sits on
-    the ln/exp precedent (round(4) absorbs cross-engine libm ulps); the
-    Σp^α normalizer aggregates ~|sources| terms whose order-sensitivity
-    is ~1e-16 against 1e-4 granularity. Plan: one groupBy(source), a
-    1-row total broadcast, and an unpartitioned window sum over the
-    |sources|-row frame — nothing at corpus scale."""
+    Plan: one map-side-combinable groupBy(source) over the corpus, then
+    the metadata-scale derivation in `temperature_mixture_from_counts`
+    (shared with the streaming IVM twin `stream_temperature_mixture_update`
+    — see the helper's docstring for the determinism notes)."""
     d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    tot = counts.agg(F.sum("n_docs").cast("bigint").alias("t"))
-    p = counts.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        (F.col("n_docs") / F.col("t")).alias("raw_share"),
-        F.pow(F.col("n_docs") / F.col("t"), F.lit(_MIX_ALPHA)).alias("pw"),
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
-    denom = F.sum("pw").over(Window.partitionBy())
-    return p.select(
-        "source",
-        "n_docs",
-        F.round("raw_share", 4).alias("raw_share"),
-        F.round(F.col("pw") / denom, 4).alias("temp_share"),
-        F.round((F.col("pw") / denom) / F.col("raw_share"), 4).alias(
-            "upsample_factor"
-        ),
-    )
+    return temperature_mixture_from_counts(counts)
 
 
 @register(

@@ -1463,6 +1463,64 @@ def stream_dsir_model_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_scores_from_bucket_counts(counts)
 
 
+def _temp_mixture_oracle() -> str:
+    # incremental-view-maintenance contract: the merged per-source count
+    # state must equal the one-shot computation, so the batch oracle is
+    # reused verbatim (the stream_ks_drift_monitor discipline)
+    from spark_ibm_mq_spark.registry import ORACLE
+
+    return ORACLE["pipeline_temperature_mixture"]
+
+
+@register("stream_temperature_mixture_update", oracle=_temp_mixture_oracle())
+def stream_temperature_mixture_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`pipeline_temperature_mixture` maintained INCREMENTALLY — the
+    deployment shape of multi-domain sampling weights, which in
+    production re-balance as feeds land rather than re-counting the
+    corpus per training run: documents replay in 4 micro-batches through
+    a foreachBatch merge that folds each batch's (source, n_docs) counts
+    into a running snapshot (a trivially associative bigint monoid — the
+    `stream_cusum_monitor` / `stream_ks_drift_monitor` discipline), and
+    the q_i ∝ p_i^α weights derive from the merged counts at read time
+    via the SAME `temperature_mixture_from_counts` the batch operator
+    uses. Final output must equal the one-shot computation — the
+    incremental-view-maintenance guarantee — which is why this twin
+    reuses the batch oracle VERBATIM (driven end-to-end by
+    tests/test_r13_ops.py::test_stream_temperature_mixture_equals_batch).
+
+    Deriving at read time is the correct factoring, not a shortcut: the
+    shares and the Σp^α normalizer are corpus-wide, so any per-batch
+    weight would normalize against provisional totals; the stream
+    maintains the sufficient statistic (the |sources|-row count frame)
+    exactly, and the read-time derivation is metadata-scale. Scale
+    shape: each micro-batch pre-aggregates to ≤ |sources| rows before
+    touching the snapshot — the merge shuffle carries one row per
+    source, never documents; snapshot commits are batch_id-keyed
+    (idempotent under foreachBatch's at-least-once replay)."""
+    from spark_ibm_mq_spark.operators.mq_source import _scratch
+    from spark_ibm_mq_spark.operators.pipeline import (
+        temperature_mixture_from_counts,
+    )
+
+    d = _scratch("fb_tempmix_")
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    src = _replay_src(docs, "doc_tempmix", sf_dir, ("documents",))
+
+    counts = run_snapshot_merge_stream(
+        spark,
+        src=src,
+        schema="source string",
+        scratch=d,
+        batch_agg=lambda b: b.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        ),
+        merge=additive_merge(["source"], ["n_docs"]),
+    )
+    return temperature_mixture_from_counts(counts)
+
+
 # Shared-helper dependency declarations (see registry.declare_helper_deps).
 from spark_ibm_mq_spark.operators.aggregations import (  # noqa: E402
     ks_drift_from_counts as _ks_helper,
@@ -1478,8 +1536,15 @@ from spark_ibm_mq_spark.operators.pipeline import (  # noqa: E402
 declare_helper_deps("stream_dsir_model_update", _dsir_helper)
 declare_helper_deps("pipeline_dsir_importance", _dsir_helper)
 
+from spark_ibm_mq_spark.operators.pipeline import (  # noqa: E402
+    temperature_mixture_from_counts as _tempmix_helper,
+)
+
+declare_helper_deps("stream_temperature_mixture_update", _tempmix_helper)
+declare_helper_deps("pipeline_temperature_mixture", _tempmix_helper)
+
 # every IVM twin runs on the shared snapshot-merge scaffold: an edit to
-# its commit discipline must destabilize all six consumers
+# its commit discipline must destabilize all seven consumers
 for _ivm_twin in (
     "stream_foreachbatch_upsert",
     "stream_cdc_merge_with_deletes",
@@ -1487,6 +1552,7 @@ for _ivm_twin in (
     "stream_cusum_monitor",
     "stream_ks_drift_monitor",
     "stream_dsir_model_update",
+    "stream_temperature_mixture_update",
 ):
     declare_helper_deps(_ivm_twin, run_snapshot_merge_stream, additive_merge)
 
@@ -1500,5 +1566,6 @@ for _replay_consumer in (
     "stream_cusum_monitor",
     "stream_ks_drift_monitor",
     "stream_dsir_model_update",
+    "stream_temperature_mixture_update",
 ):
     declare_helper_deps(_replay_consumer, session_memo)

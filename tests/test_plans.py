@@ -1092,6 +1092,22 @@ def test_bpe_3merge_broadcasts_argmax_no_corpus_cartesian(spark):
     assert "Scan parquet" not in plan and "FileScan" not in plan, plan[:800]
 
 
+def test_temperature_mixture_narrow_scan_and_broadcast_total(spark):
+    """The mixture weights must read ONLY `source` from documents, and
+    the derivation's single 1-row total carry must ride a broadcast
+    nested-loop join — never a cartesian over the count frame. (Shared
+    derivation: the streaming twin reads the same plan shape over its
+    snapshot, so this pins both consumers' read-time math.)"""
+    from spark_ibm_mq_spark.plans import executed_plan
+
+    df = registry.QUERIES["pipeline_temperature_mixture"](spark, SF_DIR)
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"source"}, cols
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan[:600]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:600]
+
+
 def test_dsir_collapses_buckets_before_model_join(spark):
     """DSIR must hash tokens to buckets inside the scan stage and collapse
     to (doc_id, bucket, n) via a partial+final HashAggregate BEFORE the

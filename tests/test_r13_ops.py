@@ -160,6 +160,28 @@ def test_semdedup_prune_matches_manual(spark):
     assert pruned, "fixture produced no near-dup pairs; gate untested"
 
 
+def test_stream_temperature_mixture_equals_batch(spark):
+    """The IVM guarantee, driven: the streaming twin's final state must
+    equal the one-shot batch computation row-for-row (r16 registration;
+    the count monoid is (source, n_docs) — trivially associative — and
+    the q_i ∝ p_i^α derivation is shared code, so any divergence here
+    means a scaffold commit-discipline bug, not a math bug)."""
+    from spark_ibm_mq_spark.operators.pipeline import (
+        pipeline_temperature_mixture,
+    )
+    from spark_ibm_mq_spark.operators.streaming_analytics import (
+        stream_temperature_mixture_update,
+    )
+
+    batch = sorted(
+        map(tuple, pipeline_temperature_mixture(spark, SF_DIR).collect())
+    )
+    stream = sorted(
+        map(tuple, stream_temperature_mixture_update(spark, SF_DIR).collect())
+    )
+    assert batch == stream and len(batch) > 0
+
+
 def test_stream_dsir_equals_batch(spark):
     """The IVM guarantee, driven: the streaming twin's final state must
     equal the one-shot batch computation row-for-row."""
