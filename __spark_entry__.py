@@ -72,6 +72,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # rule's trigger).  Registered AFTER this window installed; the
 # stable_tier tool defers same-round registrations to lead the r17
 # window, so it consumes no r16 slot.
+# Bench provenance (r16): the committed bench_full.json (287.8 s / 320
+# queries, sf0.1) is the round's goal record — the FIRST that is BOTH
+# ambient-healthy on cpu AND membw legs (worst 0.1287 / ratio 1.05;
+# 0.0546 / 1.18) AND post-minhash-funnel-fix (dedup_minhash_lsh 4.16 s,
+# in the md5 twin's band; the r15 healthy record still showed the
+# pre-fix 17.0 s).  Launched unattended by scripts/bench_when_quiet.sh
+# (3 consecutive sub-0.15 probes); attempt 4, start-healthy but
+# end-probe-degraded, is preserved at scripts/bench_attempt_r16a.json
+# with minhash 4.54 s — a third independent fix confirmation.  287.8 s
+# vs the r15 healthy 327.2 s is consistent with ab_epoch_r15.json's
+# 0.93-0.94x epoch ratio plus the ~13 s the stale minhash row carried.
 _CHECK_FIRST = [
     "pipeline_bpe_3merge",
     "dedup_cluster_resolve",
