@@ -22,7 +22,8 @@ for ((i = 1; i <= MAX_POLLS; i++)); do
         echo "$(date +%H:%M:%S) LAUNCHING bench" >> scripts/bench_quiet_probes.log
         SPARK_GRAFT_BENCH_LABEL="r16 healthy+post-funnel-fix attempt" \
             python bench.py > scripts/bench_quiet_run.log 2>&1
-        echo "$(date +%H:%M:%S) bench exit=$?" >> scripts/bench_quiet_probes.log
+        rc=$?  # capture BEFORE the $(date) substitution below resets $?
+        echo "$(date +%H:%M:%S) bench exit=$rc" >> scripts/bench_quiet_probes.log
         exit 0
     fi
     sleep 55

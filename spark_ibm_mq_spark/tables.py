@@ -166,13 +166,24 @@ def session_memo(store, key, build, valid=None):
     which a long-lived multi-session process (the pytest/bench runner)
     would otherwise accumulate without bound (VERDICT r15 hygiene
     item).  Eviction on the miss path keeps the hit path a single dict
-    probe."""
+    probe.
+
+    Thread-safety: concurrent queries on ONE session (a mode the dedup
+    memos document as supported) can miss simultaneously, so the sweep
+    snapshots the keys with ``list(store)`` (atomic under the GIL — no
+    Python bytecode runs mid-listing, unlike a filtering comprehension
+    over the live dict) and pops tolerantly.  Evicting on a mere
+    applicationId mismatch is safe, not just convenient: Spark allows
+    one live SparkContext per JVM, and every SparkSession sharing that
+    context reports the SAME applicationId — a differing id therefore
+    proves a stopped application, never a concurrently-live sibling."""
     hit = store.get(key)
     if hit is not None and (valid is None or valid(hit)):
         return hit
     app = key[0]
-    for dead in [k for k in store if k[0] != app]:
-        del store[dead]
+    for dead in list(store):
+        if dead[0] != app:
+            store.pop(dead, None)
     val = build()
     store[key] = val
     return val
