@@ -72,6 +72,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # rule's trigger).  Registered AFTER this window installed; the
 # stable_tier tool defers same-round registrations to lead the r17
 # window, so it consumes no r16 slot.
+# End-of-round r16 state: full pytest 653 passed / 2 protobuf skips at
+# final HEAD; full 320-query sim sweep at final HEAD — 0 problems (316
+# value-MATCH + the 4 standing rows-only policy queries).  Registration
+# budget closed at 1 of 2 (the IVM twin); the second slot was left
+# unspent deliberately — the fixture's data model is saturated and no
+# other shape has a standing template (VERDICT r15 task 4).  A late
+# session_memo thread-safety fix (snapshot-then-pop eviction) bumped
+# the shared helper's fingerprint: its 20 driver-checkable window
+# consumers re-simmed MATCH the same session and stay in this window;
+# the 8 stream IVM consumers re-queue for r17 behind the deferred
+# registration.
 # Bench provenance (r16): the committed bench_full.json (287.8 s / 320
 # queries, sf0.1) is the round's goal record — the FIRST that is BOTH
 # ambient-healthy on cpu AND membw legs (worst 0.1287 / ratio 1.05;
