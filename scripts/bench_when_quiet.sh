@@ -20,7 +20,7 @@ for ((i = 1; i <= MAX_POLLS; i++)); do
     fi
     if ((streak >= STREAK_NEEDED)); then
         echo "$(date +%H:%M:%S) LAUNCHING bench" >> scripts/bench_quiet_probes.log
-        SPARK_GRAFT_BENCH_LABEL="r16 healthy+post-funnel-fix attempt" \
+        SPARK_GRAFT_BENCH_LABEL="${BENCH_LABEL:-quiet-window record attempt}" \
             python bench.py > scripts/bench_quiet_run.log 2>&1
         rc=$?  # capture BEFORE the $(date) substitution below resets $?
         echo "$(date +%H:%M:%S) bench exit=$rc" >> scripts/bench_quiet_probes.log
