@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from spark_ibm_mq_spark.functions.vector import dot, l2_norm
+from spark_ibm_mq_spark.functions.vector import dot, dot_unrolled, l2_norm
 from spark_ibm_mq_spark.functions.text import tokens
 from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
 from spark_ibm_mq_spark.registry import register
@@ -643,13 +643,29 @@ def _cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("c_sim") * 1e6).desc(), F.col("cell")
         )
         return durable_checkpoint(
+            # r16 opt (guide §2.5/§2.6): two parallelism fixes, results
+            # unchanged. (1) spread the unit frame BEFORE the centroid
+            # crossJoin so the |vectors|×K dot folds run
+            # defaultParallelism-wide instead of serially inside the
+            # 1-partition fixture scan stage. (2) key the materialized
+            # checkpoint by (cell, vec_id), NOT cell alone: every consumer
+            # joins this frame on cell with the OTHER side broadcast (or,
+            # at scale, re-exchanged by AQE anyway — the checkpoint's
+            # partitioning metadata does not survive into the logical plan),
+            # so a cell-only key left K non-empty partitions carrying the
+            # whole corpus and the per-pair dot stages ran K-wide with one
+            # hot straggler per big cell. The (cell, vec_id) key spreads
+            # rows evenly while keeping same-cell locality within a task a
+            # non-requirement by construction.
             spread(
-                unit.crossJoin(cent)
+                spread(unit)
+                .crossJoin(cent)
                 .withColumn("c_sim", dot(F.col("u"), F.col("cu")))
                 .withColumn("rn", F.row_number().over(w_assign))
                 .filter(F.col("rn") == 1)
                 .select("vec_id", "label", "u", "cell"),
                 "cell",
+                "vec_id",
                 force=True,
             ),
             eager=False,
@@ -708,9 +724,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = _cell_assignment(spark, sf_dir).select("vec_id", "u", "cell")
     a = assign.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"), "cell")
     b = assign.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"), F.col("cell").alias("cell_b"))
-    cos = F.aggregate(
-        F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    # r16 opt: shared `dot` helper — same left fold, but with the guarded
+    # static expansion (functions/vector.py) so the per-pair product chain
+    # is codegen'd instead of interpreted per element. Bit-identical value.
+    cos = dot_unrolled(F.col("ua"), F.col("ub"))
     return (
         a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
         .filter(cos >= 0.4)
@@ -1007,8 +1024,16 @@ def dedup_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _SPAN)),
         ),
     )
-    sh = spread(
-        d.select("doc_id", F.explode(shingles).alias("s")), "doc_id"
+    # spread the RAW text, not the exploded shingles (r16 opt, guide §2.6):
+    # the single-file fixture scan is 1 partition, and with the spread ABOVE
+    # the shingle projection the whole tokenize+slice+concat build ran
+    # serially inside the scan stage before the exchange. Repartitioning the
+    # (doc_id, text) rows first moves the per-row shingle build into the
+    # post-exchange stage — defaultParallelism-wide — and shuffles ~60 bytes
+    # of text per row instead of the built shingle rows. No-op on a real
+    # multi-split table (spread only fires when files < cores).
+    sh = spread(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.explode(shingles).alias("s")
     )
     c = F.count(F.lit(1)).over(Window.partitionBy("s"))
     dup = (F.col("c") >= 2).cast("int")
@@ -1433,7 +1458,14 @@ def dedup_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB's range(1, 1) never emits. The full-window filter below
     # happens to discard them, but the row sets must match by
     # construction, not by accident (same guard as dedup_cdc_chunking).
-    grams = d.select(
+    # spread the raw text BEFORE the gram explode (r16 opt, guide §2.6): the
+    # 1-partition fixture scan otherwise evaluates the per-position md5 —
+    # one hash per character of the corpus — serially inside the scan stage.
+    # The doc_id-keyed repartition also pre-establishes the exact
+    # distribution the selection windows below require, so the per-gram
+    # (doc_id, i, 32-hex) rows never shuffle at all: one tiny text exchange
+    # replaces a corpus-of-grams exchange (guide §2.4).
+    grams = spread(d.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.explode(
             F.when(
@@ -1560,7 +1592,12 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 vs ~2 s for this form. Inside the lambda, `st` is a bound
     # VALUE; the zip_with pairs each chunk start with its end (next
     # start - 1, document end for the last chunk).
-    chunked = d.select(
+    # spread the raw text BEFORE the boundary scan (r16 opt, guide §2.6):
+    # without it the per-position md5 boundary test below — one hash per
+    # character of the corpus — ran serially in the 1-partition fixture
+    # scan stage (same fix as dedup_containment_3gram's pre-shingle
+    # repartition; no-op on a real multi-split table).
+    chunked = spread(d.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.expr(
             "flatten(transform("
@@ -2139,7 +2176,8 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("ub"),
         F.col("cent_mu").alias("mb"),
     )
-    sim_mu = F.floor(dot(F.col("ua"), F.col("ub")) * 1e6)
+    # r16 opt: unrolled pair dot (bit-identical; see functions/vector.py)
+    sim_mu = F.floor(dot_unrolled(F.col("ua"), F.col("ub")) * 1e6)
     dominated = (
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") != F.col("vb")))
         .filter(

@@ -21,7 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import load_table
+from spark_ibm_mq_spark.tables import load_table, spread
 
 
 @register(
@@ -120,8 +120,16 @@ def _decode_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over binary payloads via mapInPandas: Arrow
     batches in, typed (dims, frames, feature-csv) rows out. Internal —
     the shared base frame for every decode-derived operator."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    # r16 opt (guide §2.6/§4): spread the 1-partition fixture scan BEFORE
+    # the Python boundary so the decode runs one task per core instead of
+    # serially in a single Python worker; keyed by doc_id so the per-doc
+    # windows downstream (scene cuts, frame sampling) reuse the exchange.
+    # No-op on a real multi-split table.
+    d = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        ),
+        "doc_id",
     )
     return d.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
 

@@ -18,7 +18,7 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from spark_ibm_mq_spark.functions.vector import cosine_similarity, dot
+from spark_ibm_mq_spark.functions.vector import cosine_similarity, dot, dot_unrolled
 from spark_ibm_mq_spark.operators.dedup import _COS_CELLS, _COS_SQL, _UNIT_SQL, _dot_sql
 from spark_ibm_mq_spark.registry import ORACLE as _ORACLE
 from spark_ibm_mq_spark.registry import register
@@ -2004,7 +2004,12 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("ub"),
         F.col("cell").alias("cell_b"),
     )
-    sim_mu = F.floor(dot(F.col("ua"), F.col("ub")) * 1e6).cast("bigint")
+    # r16 opt: dot_unrolled — bit-identical left fold, statically expanded
+    # so the half-million in-cell pair dots are codegen'd, not
+    # lambda-interpreted (solo median 5.9 s -> 2.1 s). Single-reference
+    # site: the expression occurs once in the plan (functions/vector.py
+    # docstring for why that matters).
+    sim_mu = F.floor(dot_unrolled(F.col("ua"), F.col("ub")) * 1e6).cast("bigint")
     pairs = (
         a.join(
             b,

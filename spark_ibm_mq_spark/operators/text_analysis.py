@@ -308,7 +308,12 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     result streams out of the scan stage. The per-doc O(distinct·total)
     token-count loop is a codegen'd higher-order function, not Python;
     document length bounds it (docs are KB-scale), not corpus size."""
-    d = load_table(spark, sf_dir, "documents")
+    # r16 opt (guide §2.6): spread the 1-partition fixture scan so the
+    # O(distinct·total) per-row token-count loop runs
+    # defaultParallelism-wide instead of serially in the scan stage
+    # (no-op on a real multi-split table; "no shuffle" above refers to the
+    # token multiset, which still never leaves its row).
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens("text")
     n = F.size(toks)
     n_dist = F.size(F.array_distinct(toks))

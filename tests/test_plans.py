@@ -269,10 +269,23 @@ def test_corpus_shuffle_single_exchange(spark):
 
 
 def test_repetition_filter_zero_shuffle(spark):
-    from spark_ibm_mq_spark.plans import num_exchanges
+    """The token multiset never leaves its row: no aggregation/range
+    shuffle. The ONE allowed exchange is the r16 scale-conditional
+    `spread` of the raw narrow scan (fires only when the scan is
+    under-partitioned vs cores — parallelizes the per-row token-count
+    loop, guide §2.6), which carries (doc_id, lang, text) rows, not any
+    derived/aggregated frame."""
+    from spark_ibm_mq_spark.plans import executed_plan, num_exchanges
 
     df = registry.QUERIES["text_repetition_filter"](spark, SF_DIR)
-    assert num_exchanges(df) == 0
+    assert num_exchanges(df) <= 1
+    plan = executed_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    # the exchange (when present) is the scan spread, below the projection:
+    # no hash key derived from computed columns
+    assert plan.count("Exchange") == plan.count(
+        "Exchange hashpartitioning(doc_id"
+    ), plan[:600]
 
 
 def test_zorder_manifest_narrow_scan_single_agg_exchange(spark):
@@ -936,7 +949,18 @@ def test_mm_planners_no_shuffle(spark):
     for name in ("mm_resize_letterbox_plan", "mm_audio_chunk_plan"):
         df = registry.QUERIES[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, f"{name} shuffles: {plan[:400]}"
+        # r16: _decode_df spreads its under-partitioned input BEFORE the
+        # Python boundary (parallel decode, guide §2.6/§4). That one
+        # exchange carries raw (doc_id, payload) rows and sits BELOW the
+        # decode node; any exchange ABOVE it would mean the planner
+        # shuffles payload-derived rows it never aggregates.
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex <= 1, f"{name} shuffles: {plan[:400]}"
+        if n_ex == 1:
+            decode_pos = plan.find("MapInPandas")
+            assert decode_pos != -1 and plan.find(
+                "Exchange hashpartitioning"
+            ) > decode_pos, f"{name} shuffles above decode: {plan[:400]}"
 
 
 def test_scene_cut_single_doc_shuffle(spark):
@@ -945,7 +969,14 @@ def test_scene_cut_single_doc_shuffle(spark):
     existing partitioning), never a second full exchange of frame rows."""
     df = registry.QUERIES["mm_video_scene_cut_plan"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") <= 1, plan[:600]
+    # r16: TWO doc_id hash exchanges are the correct shape now — the
+    # decode-input spread below MapInPandas (parallel decode; mapInPandas
+    # emits fresh attributes, so its output partitioning is unknown to the
+    # planner and cannot feed the window) plus the per-doc window
+    # partitioning. Never a third full exchange of frame rows.
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:600]
+    decode_pos = plan.find("MapInPandas")
+    assert plan.count("Exchange hashpartitioning", decode_pos) <= 1, plan[:600]
     assert not has_cartesian(df)
 
 
