@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from spark_ibm_mq_spark.operators.projections import EVENTS_CTE
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import durable_checkpoint, load_table
+from spark_ibm_mq_spark.tables import durable_checkpoint, load_table, spread
 
 
 @register(
@@ -404,7 +404,10 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast) counter frame against each distinct key's d probe cells.
     The exact count alongside it is the fixture-scale verification twin —
     at 100 TB one keeps only the sketch side."""
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    # r16 opt (guide §2.6): spread the 1-partition fixture scan so the
+    # 4-md5-per-row probe-bucket build runs on every core instead of
+    # serially inside the scan stage (no-op on a real multi-split table).
+    o = spread(load_table(spark, sf_dir, "orders").select("o_custkey"))
     probe_structs = F.array(
         *[
             F.struct(

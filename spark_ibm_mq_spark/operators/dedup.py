@@ -163,6 +163,28 @@ _BANDS = 4  # 4 bands × 4 rows: P(candidate) = 1-(1-j⁴)⁴ — steep around j
 _XXHASH_FUNNEL_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
+
+def _sig_agreement(a: str, b: str):
+    """Count of agreeing signature positions — the LSH Jaccard estimator's
+    numerator. r16 opt: when both arrays have exactly _N_MINHASH elements
+    (always, by construction) the count is emitted as a statically
+    unrolled 16-term integer sum of element equalities — plain codegen'd
+    comparisons instead of an interpreted zip_with+filter per candidate
+    pair (the estimate runs once per band-join candidate, millions of
+    times per action). The fold arm is kept as the guarded fallback, so
+    the value is identical for any array length. Integer arithmetic —
+    bit-identity is trivial."""
+    a_c, b_c = F.col(a), F.col(b)
+    fold = F.size(F.filter(F.zip_with(a_c, b_c, lambda x, y: x == y), lambda m: m))
+    unrolled = None
+    for i in range(_N_MINHASH):
+        term = F.when(a_c[i] == b_c[i], 1).otherwise(0)
+        unrolled = term if unrolled is None else unrolled + term
+    return F.when(
+        (F.size(a_c) == _N_MINHASH) & (F.size(b_c) == _N_MINHASH), unrolled
+    ).otherwise(fold)
+
+
 def _xxhash_minhash_funnel(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -292,9 +314,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fb = sig.select(
         F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"), F.col("toks").alias("tb")
     )
-    est = F.size(
-        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
-    ) / float(_N_MINHASH)
+    est = _sig_agreement("sa", "sb") / float(_N_MINHASH)
     inter = F.size(F.array_intersect("ta", "tb"))
     jac = inter / (F.size("ta") + F.size("tb") - inter)
     # per-doc features broadcast: the candidate-pair side is the big side
@@ -506,9 +526,7 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     fb = sig.select(
         F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"), F.col("toks").alias("tb")
     )
-    est = F.size(
-        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
-    ) / float(_N_MINHASH)
+    est = _sig_agreement("sa", "sb") / float(_N_MINHASH)
     inter = F.size(F.array_intersect("ta", "tb"))
     jac = inter / (F.size("ta") + F.size("tb") - inter)
     # same size-gated pin rationale as dedup_minhash_lsh (the xxhash64 twin)
@@ -532,31 +550,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall at scale without a cross join."""
     n_bits = 48
     d = load_table(spark, sf_dir, "documents")
-    # per-row bit votes over the hashed-token array (no explode/groupBy
-    # shuffle): bit b is set when more than half the token hashes have bit
-    # b set — identical to the ±1-vote-sum formulation, stage-local at 100 TB
-    arrs = spread(
+    # r16 opt (guide §2.3 "aggregate before you shuffle" + §4): the old
+    # per-row form ran 48 separate higher-order `filter` passes over the
+    # hashed-token array — HOFs are CodegenFallback, so that was ~7M
+    # interpreted lambda evaluations per run (~1.9 s measured). The vote
+    # counts are now one explode + ONE map-side-combinable hash aggregate
+    # with 48 codegen'd bit-extract sums: the partial agg collapses token
+    # rows to |docs| rows of 48 ints BEFORE the exchange, so the shuffle
+    # carries documents, not tokens — the right shape at 100 TB too.
+    # Identical values by construction: sum((h>>b)&1) over the same
+    # distinct-token hashes, same majority rule; split() always yields ≥1
+    # element (even for empty text), so the explode can never drop a doc.
+    ex = spread(
         d.select("doc_id", F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("toks")),
         "doc_id",
+    ).select("doc_id", F.explode("toks").alias("t")).select(
+        "doc_id", F.xxhash64("t").alias("h")
     )
-    hashed = arrs.select(
-        "doc_id",
-        F.transform("toks", lambda t: F.xxhash64(t)).alias("hs"),
-        F.size("toks").alias("n"),
+    votes = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+            for b in range(n_bits)
+        ],
     )
-
-    def _bit_set_count(b: int):
-        return F.size(
-            F.filter("hs", lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
-        )
-
     simhash = sum(
-        F.when(_bit_set_count(b) * 2 > F.col("n"), F.lit(2**b).cast("bigint")).otherwise(
+        F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(2**b).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         for b in range(n_bits)
     )
-    sigs = hashed.select("doc_id", simhash.alias("simhash")).withColumn(
+    sigs = votes.select("doc_id", simhash.alias("simhash")).withColumn(
         "prefix", F.shiftright("simhash", n_bits - 12)
     )
     x, y = sigs.alias("x"), sigs.alias("y")

@@ -1441,8 +1441,14 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim", F.lit(125000).cast("bigint").alias("qv")
     )
     for _k in range(_PCA_ROUNDS):
+        # r16 opt: v is |dims| rows — bounded by embedding dimensionality
+        # (a model constant), never by corpus size — so the broadcast pin
+        # is unconditional and scale-safe. The size gate could not see
+        # this: v's lineage roots in the checkpointed qx (LogicalRDD),
+        # whose Catalyst size estimate is the unknown-size default, so the
+        # gate always declined and every round paid a shuffle join of qx.
         dot = (
-            qx.join(size_gated_broadcast(v.withColumnRenamed("qv", "vq")), "dim")
+            qx.join(F.broadcast(v.withColumnRenamed("qv", "vq")), "dim")
             .groupBy("vec_id")
             .agg(
                 F.expr("CAST(sum(qv * vq) AS BIGINT) div 1000000").alias("dt")
@@ -1832,7 +1838,13 @@ def emb_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: zero-shuffle — one narrow scan, per-row zip_with/aggregate
     higher-order arrays, no explode, no join; at 100 TB this is a pure
     map stage that pipelines with whatever consumes the sketches."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # r16 opt (guide §2.6): spread the 1-partition fixture scan — the
+    # per-row JL folds (~9 higher-order passes over 64 elements per
+    # vector) are interpreted and otherwise run serially inside the scan
+    # stage. "Zero-shuffle" in the docstring refers to the projection
+    # itself, which still never explodes or joins; the spread no-ops on a
+    # real multi-split table.
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     q = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * 1000000 + 0.5).cast("long"),

@@ -1743,7 +1743,10 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed join + partial+final aggregate on it (`size_gated_broadcast`
     on the |V|-row rank frame keeps rounds map-side)."""
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(tokens("text").alias("t"))
+    # r16 opt (guide §2.6): spread before tokenize+pair-struct build —
+    # the interpreted per-row transform otherwise runs serially in the
+    # 1-partition fixture scan stage (no-op on multi-split tables)
+    t = spread(d, "doc_id").select(tokens("text").alias("t"))
     pair_struct = F.when(
         F.size("t") >= 2,
         F.expr(

@@ -794,10 +794,15 @@ def test_kcore_checkpoints_edges_and_stays_equi(spark):
 
 
 def test_jl_projection_zero_shuffle(spark):
-    """The JL projection is a pure map stage: no Exchange anywhere."""
+    """The JL projection itself is a pure map stage: no explode, no join,
+    no aggregation exchange. The ONE allowed exchange is the r16
+    scale-conditional `spread` of the under-partitioned fixture scan
+    (parallelizes the per-row JL folds; fires only when files < cores, so
+    a real multi-split table keeps the zero-exchange plan)."""
     df = registry.QUERIES["emb_random_projection_jl"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("Exchange") <= 1, plan[:2000]
+    assert "hashpartitioning" not in plan, plan[:2000]  # round-robin only
     assert plan.count("Scan parquet") == 1
 
 
