@@ -471,14 +471,34 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", bm25.alias("bm25"), F.col("n_terms_hit").alias("rel")
     )
     gain = F.pow(F.lit(2.0), F.col("rel")) - 1
-    ranked = scored.select(
-        "rel",
-        F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")).alias("pos"),
-    ).filter(F.col("pos") <= 10)
-    ideal = scored.select(
-        "rel",
-        F.row_number().over(Window.orderBy(F.col("rel").desc(), "doc_id")).alias("pos"),
-    ).filter(F.col("pos") <= 10)
+    # r16 opt (guide §2.4): both rank prefixes only need the TOP-10 rows,
+    # and (score desc, doc_id) is a total order — so take them with a
+    # distributed orderBy().limit() (TakeOrderedAndProject: per-partition
+    # top-10, driver merges 10-row heaps) instead of a global row_number
+    # window, which sorted the whole matching-docs frame on ONE partition
+    # (WindowExec with no PARTITION BY) — twice. The row_number that
+    # assigns `pos` now runs over 10 rows under the SAME total order, so
+    # positions are identical.
+    ranked = (
+        scored.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .alias("pos"),
+        )
+    )
+    ideal = (
+        scored.orderBy(F.col("rel").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.col("rel").desc(), "doc_id"))
+            .alias("pos"),
+        )
+    )
     contrib = gain / F.log2(F.col("pos") + 1)
     dpiv = ranked.agg(
         *[

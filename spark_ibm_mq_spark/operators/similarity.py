@@ -256,7 +256,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_sim") * 1e6).desc(), F.col("cell")
     )
     assign = (
-        e.crossJoin(cent)
+        # r16 opt (guide §2.6): spread the 1-partition fixture scan before
+        # the K-way centroid crossJoin so the |corpus|×K interpreted
+        # cosine folds run on every core (no-op on multi-split tables)
+        spread(e)
+        .crossJoin(cent)
         .withColumn("c_sim", cosine_similarity(F.col("embedding"), F.col("ce")))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
@@ -1562,18 +1566,26 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_u = F.floor(cosine_similarity(F.col("embedding"), F.col("qe")) * 1e6).cast(
         "bigint"
     )
-    wq = Window.orderBy(F.col("rel_u").desc(), "vec_id")
     # checkpoint the 20-row shortlist: five greedy rounds re-consume it
     # (and the 400-row sims matrix below) — without the cut, each round's
     # plan re-derives the corpus-scale relevance scan, and the final plan
     # is 5 scans deep (measured 7.7 s at sf0.1; ~2 s with the cut)
+    #
+    # r16 opt (guide §2.4/§2.5): the shortlist was a global row_number
+    # window — WindowExec with no PARTITION BY moves the WHOLE corpus
+    # (embedding arrays included) onto ONE partition and sorts it there.
+    # (rel_u desc, vec_id) is a total order, so `rn <= POOL` is exactly
+    # the top-POOL rows — orderBy().limit() computes the same set as a
+    # distributed TakeOrderedAndProject (per-partition top-POOL, tiny
+    # driver merge), no single-partition sort, no corpus exchange. The
+    # spread parallelizes the per-row cosine fold on the 1-partition
+    # fixture scan (no-op on multi-split tables).
     cand = durable_checkpoint(
-        e.filter(F.col("vec_id") != 0)
+        spread(e.filter(F.col("vec_id") != 0))
         .crossJoin(q)
         .select("vec_id", "embedding", rel_u.alias("rel_u"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= _MMR_POOL)
-        .drop("rn"),
+        .orderBy(F.col("rel_u").desc(), "vec_id")
+        .limit(_MMR_POOL),
         eager=False,
     )
     a = cand.select(

@@ -109,6 +109,7 @@ def run_snapshot_merge_stream(
     batch_agg,
     merge,
     min_batches: int = 4,
+    shuffle_partitions: int = 4,
 ) -> DataFrame:
     """The foreachBatch snapshot-merge scaffold shared by the six
     incremental-view-maintenance twins (upsert, CDC apply, TPC-H Q1,
@@ -128,6 +129,17 @@ def run_snapshot_merge_stream(
       touching the snapshot, so the merge shuffle carries one row per
       touched key, never raw input rows — state lives in the store,
       not executor memory.
+
+    Shuffle partitioning (r16 opt, guide §2.2/§6): the scaffold pins
+    ``spark.sql.shuffle.partitions`` to the same small constant
+    `_run_to_memory` uses while the stream drains. Without the pin every
+    per-batch ``batch_agg``/``merge`` aggregation ran at the session's
+    32 partitions, so each of the 4+ micro-batches wrote a 32-file
+    snapshot and the next batch re-opened all 32 — 8× the task launches
+    and file opens per round for key cardinalities in the hundreds.
+    Parameterized the same way as `_run_to_memory` (a latency dial, not
+    a constant tuned to this host): production sizes it to state volume.
+    Snapshot CONTENT is unchanged — only file count per snapshot drops.
     """
     applied: dict[int, str] = {}  # batch_id -> committed snapshot path
 
@@ -144,16 +156,21 @@ def run_snapshot_merge_stream(
         agg.write.mode("overwrite").parquet(path)
         applied[batch_id] = path
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     assert (
         len(applied) >= min_batches
     ), f"expected >={min_batches} merge rounds, got {len(applied)}"
