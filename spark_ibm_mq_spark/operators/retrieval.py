@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from spark_ibm_mq_spark.functions.text import tokens
 from spark_ibm_mq_spark.registry import register
-from spark_ibm_mq_spark.tables import load_table, spread
+from spark_ibm_mq_spark.tables import durable_checkpoint, load_table, spread
 
 # Fixed keyword query for the BM25 instance, in FIXED summation order —
 # the per-term partial scores add left-to-right in exactly this order in
@@ -131,11 +131,21 @@ def _bm25_frames(spark: SparkSession, sf_dir: str):
     tok = spread(d, "doc_id").select("doc_id", F.explode(tokens("text")).alias("t"))
     # ONE (doc, term) aggregate feeds everything: dl = Σ tf per doc,
     # df = row count per query term (tf_all is already distinct per
-    # (doc, term)), tf = the query-term slice. The three consumers share
-    # an identical exchange subtree, so Spark plans ONE shuffle of the
-    # exploded tokens and reuses it (ReusedExchange), instead of
-    # re-tokenizing the corpus per aggregate.
-    tf_all = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    # (doc, term)), tf = the query-term slice.
+    #
+    # r16 opt (guide §2.4/§5): the old comment claimed the consumers
+    # share the exchange via ReusedExchange — empirically FALSE (plan
+    # audit of retrieval_ndcg_eval: 9 Generate + 8 corpus scans, zero
+    # ReusedExchange): each consumer pushes a DIFFERENT partial
+    # aggregate below its exchange, so the canonical subtrees diverge
+    # and every aggregate re-tokenized the corpus. Checkpointing the
+    # (doc_id, term, tf) postings frame tokenizes ONCE per action; the
+    # downstream aggregates are postings-scale. Same discipline as
+    # sim_tf_cosine_blocked and the minhash funnel.
+    tf_all = durable_checkpoint(
+        tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf")),
+        eager=False,
+    )
     dl = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -240,8 +250,23 @@ def sim_tf_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     same funnel discipline as `dedup_minhash_lsh`."""
     d = load_table(spark, sf_dir, "documents")
     tok = spread(d, "doc_id").select("doc_id", F.explode(tokens("text")).alias("t"))
-    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    # r16 opt (guide §2.4/§5): the postings frame feeds FIVE consumers
+    # (df, top×2 via the self-joined blocker, nrm×2, ta, tb) and exchange
+    # reuse cannot fire across them — each consumer pushes a DIFFERENT
+    # partial aggregate below its exchange, so the canonical subtrees
+    # differ and the corpus was tokenized 8 times per action (plan
+    # audit: 8 Scan + 8 Generate, 0 ReusedExchange). Checkpointing the
+    # (doc_id, term, tf) frame — integers and short terms, never text —
+    # tokenizes once and is the "materialize the signature table once"
+    # discipline the minhash funnel already follows.
+    tf = durable_checkpoint(
+        tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf")),
+        eager=False,
+    )
+    # df from the checkpointed postings: tf holds exactly ONE row per
+    # (doc_id, t), so count(*) per t ≡ countDistinct(doc_id) over tok —
+    # same value, same bigint type, one fewer corpus pass.
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         (F.col("tf").cast("double") / F.col("df")).desc(), "t"
     )
