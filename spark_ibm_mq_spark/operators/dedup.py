@@ -2071,24 +2071,37 @@ def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     ks = F.array(*[F.lit(k) for k in range(_BOUND_K_MIN, _BOUND_K_MAX + 1)])
-    # force=True: three consumer subtrees (head-df cap, kept heads,
-    # tails) hang off this frame, and only a real exchange gives
-    # ReuseExchange an anchor — without it a multi-file table at scale
-    # re-scans and re-tokenizes once per consumer
-    base = spread(d, "doc_id", force=True).select(
-        "doc_id", toks.alias("toks"), F.explode(ks).alias("k")
-    ).filter(F.size("toks") >= F.col("k"))
+    # r16 opt (guide §2.4/§5): the old force=True spread was meant as a
+    # ReuseExchange anchor for the three consumer subtrees (head-df cap,
+    # kept heads, tails) — empirically it never fired (plan audit: 6
+    # Generate + 6 corpus scans, 0 ReusedExchange; each consumer's
+    # pruning/partial-agg specializes its exchange subtree). Instead:
+    # compute BOTH grams per (doc, k) in one projection and
+    # lazy-checkpoint that (doc_id, k, two ≤6-token strings — never the
+    # token arrays), so the corpus is tokenized once per action and all
+    # three consumers read the materialized frame.
+    base = durable_checkpoint(
+        spread(d, "doc_id")
+        .select("doc_id", toks.alias("toks"), F.explode(ks).alias("k"))
+        .filter(F.size("toks") >= F.col("k"))
+        .select(
+            "doc_id",
+            F.col("k").cast("bigint").alias("k"),
+            F.concat_ws(" ", F.slice("toks", F.lit(1), F.col("k"))).alias(
+                "head_g"
+            ),
+            F.concat_ws(
+                " ",
+                F.slice("toks", F.size("toks") - F.col("k") + 1, F.col("k")),
+            ).alias("tail_g"),
+        ),
+        eager=False,
+    )
     heads = base.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("k").cast("bigint").alias("k"),
-        F.concat_ws(" ", F.slice("toks", F.lit(1), F.col("k"))).alias("g"),
+        F.col("doc_id").alias("doc_b"), "k", F.col("head_g").alias("g")
     )
     tails = base.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("k").cast("bigint").alias("k"),
-        F.concat_ws(
-            " ", F.slice("toks", F.size("toks") - F.col("k") + 1, F.col("k"))
-        ).alias("g"),
+        F.col("doc_id").alias("doc_a"), "k", F.col("tail_g").alias("g")
     )
     hdf = heads.groupBy("k", "g").agg(F.count(F.lit(1)).alias("c"))
     heads_kept = (

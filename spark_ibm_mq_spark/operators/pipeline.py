@@ -2081,7 +2081,18 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_DSIR_BUCKET).cast("bigint").alias("b"),
         )
     )
-    db = tb.groupBy("doc_id", "source", "b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    # r16 opt (guide §2.4/§5): the bucket-count frame feeds THREE
+    # consumers inside dsir_scores_from_bucket_counts (raw model, target
+    # model, score join) and exchange reuse does not fire across them
+    # (different partial aggregates below each exchange → divergent
+    # canonical subtrees; plan audit: 10 Generate, 0 ReusedExchange).
+    # Lazy-checkpoint the O(docs·B)-int frame so the corpus is tokenized
+    # and md5-bucketed ONCE per action. The stream twin passes its own
+    # snapshot-backed frame and is untouched.
+    db = durable_checkpoint(
+        tb.groupBy("doc_id", "source", "b").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ),
+        eager=False,
     )
     return dsir_scores_from_bucket_counts(db)

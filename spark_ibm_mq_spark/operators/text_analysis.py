@@ -869,7 +869,14 @@ def text_lang_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     lo = F.lower(F.trim("text"))
     docs = d.select("lang", lo.alias("lo")).filter(F.length("lo") >= 3)
-    counts = (
+    # r16 opt (guide §2.4/§5): the (lang, tri, c) profile frame feeds
+    # three consumers (nrm and both pair-join sides) and exchange reuse
+    # does not fire across them (plan audit: 8 Generate + 8 corpus
+    # scans, 0 ReusedExchange — each consumer's partial agg specializes
+    # its exchange subtree). Lazy-checkpoint the |langs|·|trigrams|-
+    # bounded frame so the corpus-wide trigram explode runs ONCE per
+    # action.
+    counts = durable_checkpoint(
         spread(docs, "lang")
         .select(
             "lang",
@@ -882,7 +889,8 @@ def text_lang_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(~F.col("tri").contains(" "))
         .groupBy("lang", "tri")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c")),
+        eager=False,
     )
     nrm = counts.groupBy("lang").agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2"))
     a = counts.select(F.col("lang").alias("lang_a"), "tri", F.col("c").alias("ca"))
