@@ -250,23 +250,20 @@ def sim_tf_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     same funnel discipline as `dedup_minhash_lsh`."""
     d = load_table(spark, sf_dir, "documents")
     tok = spread(d, "doc_id").select("doc_id", F.explode(tokens("text")).alias("t"))
-    # r16 opt (guide §2.4/§5): the postings frame feeds FIVE consumers
-    # (df, top×2 via the self-joined blocker, nrm×2, ta, tb) and exchange
-    # reuse cannot fire across them — each consumer pushes a DIFFERENT
-    # partial aggregate below its exchange, so the canonical subtrees
-    # differ and the corpus was tokenized 8 times per action (plan
-    # audit: 8 Scan + 8 Generate, 0 ReusedExchange). Checkpointing the
-    # (doc_id, term, tf) frame — integers and short terms, never text —
-    # tokenizes once and is the "materialize the signature table once"
-    # discipline the minhash funnel already follows.
-    tf = durable_checkpoint(
-        tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf")),
-        eager=False,
-    )
-    # df from the checkpointed postings: tf holds exactly ONE row per
-    # (doc_id, t), so count(*) per t ≡ countDistinct(doc_id) over tok —
-    # same value, same bigint type, one fewer corpus pass.
-    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    # r16 note (guide §1.1 "a fresh implementation of the ideal plan is
+    # usually slower at first"): this op re-tokenizes the corpus once per
+    # consumer (8 Generate, 0 ReusedExchange — per-consumer partial aggs
+    # defeat exchange reuse). Checkpointing the postings frame — the fix
+    # that won for _bm25_frames/DSIR/trigram below — was MEASURED HERE at
+    # a 1.30× min-ratio LOSS (interleaved A/B, scripts/ab_ckpt_r16.json):
+    # every downstream side of the pair ladder is a BROADCAST build, so
+    # the materialized RDD is collected/deserialized per broadcast, while
+    # the pre-change plan overlapped 8 codegen'd parquet pipelines across
+    # all cores. Kept the re-scan form deliberately; at 100 TB the
+    # equivalent is cell-bucketed postings written once (docstring), not
+    # an in-plan checkpoint.
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         (F.col("tf").cast("double") / F.col("df")).desc(), "t"
     )
