@@ -1627,7 +1627,15 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select("vec_id", "mmr_u", F.lit(k).alias("pick"))
         )
-        picked = picked.unionByName(nxt)
+        # r16 opt (guide §3.3 "planning time itself can become the
+        # bottleneck"): round k's argmax references ALL prior rounds (the
+        # anti-join's `sel` AND the union), so the unrolled plan grew
+        # ~2^k — 4,811 formatted lines / 121 TakeOrderedAndProject nodes
+        # over ≤20-row frames, all Catalyst planning, no data. A lazy
+        # lineage cut per round makes round k+1 reference a ≤k-row RDD
+        # scan instead of the whole prior tree (plan now linear in k);
+        # the k picked rows themselves are identical.
+        picked = durable_checkpoint(picked.unionByName(nxt), eager=False)
     return picked.join(slim, "vec_id").select(
         "pick",
         "vec_id",
