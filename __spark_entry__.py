@@ -94,8 +94,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # with minhash 4.54 s — a third independent fix confirmation.  287.8 s
 # vs the r15 healthy 327.2 s is consistent with ab_epoch_r15.json's
 # 0.93-0.94x epoch ratio plus the ~13 s the stale minhash row carried.
+# Window REINSTALLED at optimization-round HEAD (the r15 verdict's task
+# 1 wording: "rebuild the window verbatim from stable_tier --window 50
+# at r16 HEAD after any early fixes"): the optimization batches landed
+# AFTER the build-round install and destabilized ~29 rows (fingerprint
+# changes re-enter at never-checked priority), so the rebuilt proposal
+# leads with pipeline_bpe_3merge (the round's one never-driver-checked
+# registration) and then covers exactly the operators this round's
+# optimization touched — the rows whose correctness the driver most
+# needs to re-attest. Copied verbatim from
+# `python scripts/stable_tier.py --window 50` at this commit (the tool
+# prints EXACT MATCH against this list). Every row below is
+# sim-verified MATCH at final HEAD in this session's full 320-query
+# sweep.
 _CHECK_FIRST = [
     "pipeline_bpe_3merge",
+    "agg_heavy_hitters_cms",
+    "dedup_boundary_overlap",
+    "dedup_cdc_chunking",
     "dedup_cluster_resolve",
     "dedup_embedding_cosine",
     "dedup_lsh_band_profile",
@@ -103,7 +119,11 @@ _CHECK_FIRST = [
     "dedup_minhash_recall_eval",
     "dedup_semdedup_prune",
     "dedup_soft_weighting",
+    "dedup_substr_spans",
+    "dedup_winnowing_fingerprint",
     "emb_hard_negative_mining",
+    "emb_pca_power_iteration",
+    "emb_random_projection_jl",
     "graph_adamic_adar",
     "graph_bfs_hops",
     "graph_degree_assortativity",
@@ -114,37 +134,30 @@ _CHECK_FIRST = [
     "graph_pagerank_copurchase",
     "graph_triangle_count",
     "mm_crossmodal_near_dup",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_patch_grid_plan",
+    "mm_resize_letterbox_plan",
+    "mm_token_budget_plan",
+    "mm_video_scene_cut_plan",
     "pipeline_canonicalize_dedup",
+    "pipeline_dsir_importance",
+    "pipeline_temperature_mixture",
+    "retrieval_ndcg_eval",
     "scale_bucketed_cell_manifest",
-    "sort_within_partitions",
-    "stream_dedup_replayed",
-    "stream_session_windows",
-    "stream_sliding_counts",
-    "stream_static_join_segments",
-    "stream_stream_join",
-    "stream_tumbling_counts",
-    "text_fingerprint",
-    "text_heaps_law_curve",
-    "text_lang_id",
-    "text_quality_stats",
-    "text_readability",
-    "text_zipf_fit",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "udaf_grouped_weighted_avg",
-    "udf_pandas_net_price",
-    "udtf_key_explode",
-    "win_dedup_latest_event",
-    "win_lag_lead_events",
-    "win_rank_orders",
-    "win_rolling_corr",
-    "win_running_totals",
-    "win_skyline_orders",
-    "win_top3_parts_per_brand",
-    "agg_newcomer_share",
-    "agg_rfm_migration_matrix",
-    "agg_theil_index",
+    "sim_ann_ivf",
+    "sim_mmr_rerank",
+    "sim_tf_cosine_blocked",
+    "stream_cdc_merge_with_deletes",
+    "stream_cusum_monitor",
+    "stream_dsir_model_update",
+    "stream_foreachbatch_upsert",
+    "stream_ks_drift_monitor",
+    "stream_tpch_q1_incremental",
+    "stream_windowed_topk_update",
+    "text_lang_trigram_similarity",
+    "text_repetition_filter",
+    "text_textrank_keywords",
 ]
 
 
