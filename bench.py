@@ -546,8 +546,25 @@ def main() -> None:
     with open(os.path.join(here, "bench_full.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
-    # Compact line: headline families first, then remaining queries slowest-
-    # first, greedily while the line stays parseable within a 2000-char tail.
+    print(_compact_line(full))
+    spark.stop()
+
+
+def _compact_line(full: dict, budget: int = 1900) -> str:
+    """The printed one-line JSON: headline families first, then remaining
+    queries slowest-first, greedily while the line stays parseable within
+    the driver's 2000-char stdout tail.
+
+    Extracted from main() so the r16 regression has a unit test: the full
+    provenance block's probe histories grow one entry per round, and in r16
+    they squeezed dedup_minhash_lsh — the slowest headline query — off the
+    printed line (PERF_r16 "dropped_from_bench"). The printed line now
+    carries a slim, FIXED-SIZE provenance (health status + ratio per leg,
+    run attribution); every number it drops (calibration floats, probe
+    histories, thresholds) still lives in bench_full.json's untouched
+    provenance block. Constant-size provenance ⇒ the printed query set can
+    no longer shrink round over round."""
+    timings = full["queries"]
     headline = [
         "pricing_summary",
         *sorted(n for n in timings if n.startswith("tpch_")),
@@ -573,8 +590,21 @@ def main() -> None:
     compact["queries"] = {}
     # keep the printed line small: the full per-outlier detail lives in
     # bench_full.json; the line carries only the count
-    compact["outlier_reruns"] = len(outlier_reruns)
-    budget = 1900
+    compact["outlier_reruns"] = len(full.get("outlier_reruns") or {})
+    verdict = full["provenance"].get("ambient_verdict") or {}
+    compact["provenance"] = {
+        "ambient_verdict": {
+            "status": verdict.get("status"),
+            "ratio": verdict.get("ratio"),
+            "membw": {
+                "status": (verdict.get("membw") or {}).get("status"),
+                "ratio": (verdict.get("membw") or {}).get("ratio"),
+            },
+        },
+        "run_label": full["provenance"]["run_label"],
+        "utc": full["provenance"]["utc"],
+        "mq_warmup_protocol": full["provenance"].get("mq_warmup_protocol"),
+    }
 
     def _line() -> str:
         return json.dumps(compact, separators=(",", ":"))
@@ -586,8 +616,7 @@ def main() -> None:
         if len(_line()) > budget:
             del compact["queries"][name]
             break
-    print(_line())
-    spark.stop()
+    return _line()
 
 
 if __name__ == "__main__":

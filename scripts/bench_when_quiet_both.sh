@@ -31,7 +31,9 @@ except ValueError:
             python bench.py > scripts/bench_quiet_run.log 2>&1
         rc=$?
         echo "$(date +%H:%M:%S) bench exit=$rc" >> scripts/bench_quiet_probes.log
-        exit 0
+        # propagate the bench's own exit code (ADVICE r16): a caller/cron
+        # wrapper must see a failed bench run as a failure, not success
+        exit "$rc"
     fi
     sleep 50
 done

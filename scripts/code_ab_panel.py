@@ -144,7 +144,18 @@ def main() -> None:
         "per pair, min-of-samples",
         "pairs": args.pairs,
         "sf_dir": args.sf_dir,
-        "arms": {"head": _git_rev(REPO), "old": _git_rev(args.other)},
+        # each arm records its commit AND whether the tree was dirty when
+        # measured (ADVICE r16: ab_heaps_r16.json stamped commit 72416b2 for
+        # a head arm that was actually uncommitted working-tree code — a
+        # reader checking out that commit could not reproduce the arm). A
+        # non-empty `dirty` means the arm's code is NOT the stamped commit.
+        "arms": {
+            "head": {"commit": _git_rev(REPO), "dirty": _git_dirty(REPO)},
+            "old": {
+                "commit": _git_rev(args.other),
+                "dirty": _git_dirty(args.other),
+            },
+        },
         "panel": panel,
         "per_query": per_query,
         "ambients": ambients,
@@ -154,6 +165,19 @@ def main() -> None:
         json.dump(record, f, indent=1, sort_keys=True)
     print(json.dumps(verdict))
     print(f"record -> {args.out}")
+
+
+def _git_dirty(path: str) -> bool:
+    """True when the worktree has uncommitted changes — the stamped commit
+    does not describe the measured code (ADVICE r16)."""
+    return bool(
+        subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=path,
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+    )
 
 
 def _git_rev(path: str) -> str:

@@ -367,3 +367,52 @@ def test_membw_carry_expires_after_history_window():
         },
     )
     assert fresh["membw"]["carried_records"] == 1
+
+
+def test_compact_line_keeps_headline_dedup_family():
+    """r16 verdict task 2: the printed one-line JSON silently lost
+    dedup_minhash_lsh (the slowest headline query) because the full
+    provenance block's per-round probe histories grew into the 1900-char
+    budget. The printed line now carries a fixed-size provenance, so the
+    query set can no longer shrink as history accumulates."""
+    from bench import _compact_line
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "bench_full.json")) as f:
+        full = json.load(f)
+    line = _compact_line(full)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    qs = parsed["queries"]
+    # the r16 driver parse carried 31 queries; the contract is it never
+    # shrinks below the prior round's set and minhash_lsh is back
+    assert "dedup_minhash_lsh" in qs
+    assert len(qs) >= 32
+    r16_printed = [
+        "pricing_summary", "tpch_q10_returned_items",
+        "tpch_q11_important_stock", "tpch_q12_priority_by_linestatus",
+        "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+        "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
+        "tpch_q19_disjunctive_revenue", "tpch_q20_excess_shippers",
+        "tpch_q21_waiting_suppliers", "tpch_q22_global_sales_opportunity",
+        "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+        "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+        "tpch_q7_nation_volume", "tpch_q8_market_share",
+        "tpch_q9_product_type_profit", "dedup_boundary_overlap",
+        "dedup_cdc_chunking", "dedup_cluster_resolve",
+        "dedup_containment_3gram", "dedup_edit_distance_parts",
+        "dedup_embedding_cosine", "dedup_exact_docs_hash",
+        "dedup_exact_events", "dedup_line_level", "dedup_lsh_band_profile",
+    ]
+    missing = [q for q in r16_printed if q not in qs]
+    assert not missing, f"printed set shrank: {missing}"
+    # the slim provenance must stay fixed-size: no growing histories
+    prov = parsed["provenance"]
+    assert "probe_history" not in json.dumps(prov)
+    assert prov["ambient_verdict"]["status"] in (
+        "healthy", "degraded", "no-reference", None,
+    )
+    # and the contract fields the driver parses are intact
+    for k in ("metric", "value", "unit", "sf"):
+        assert k in parsed
