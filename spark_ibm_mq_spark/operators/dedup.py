@@ -1072,6 +1072,14 @@ def dedup_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Containment prefix-filter width: each doc probes its _RARE_K globally
+# rarest shingles against the inverted index; a candidate pair must hit on
+# ALL of them. k is a small constant (index-join volume scales k× the
+# 1-rarest form, still near-linear in corpus size); k=3 measured 16,531 →
+# 264 verify pairs at sf0.1 with k=4 giving no further cut.
+_RARE_K = 3
+
+
 @register(
     "dedup_containment_3gram",
     oracle="""
@@ -1106,16 +1114,24 @@ def dedup_containment_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     5000-token doc has Jaccard ≈ 0.01 but containment = 1.0).
 
     Candidate generation is the containment form of the prefix filter: if
-    shingles(A) ⊆ shingles(B) then in particular A's globally RAREST
-    shingle is in B, so candidates come from ONE equi-join between each
-    doc's rarest shingle and the inverted shingle index — candidate count
-    is Σ_A df(rarest(A)), which 3-gram rarity keeps near-linear (the
-    unigram variant of this query degenerates: with a 31-word vocabulary
-    every token is common and subset pairs are everywhere). Verification
-    is exact per candidate: one array_intersect against the two shingle
-    arrays (size-gated broadcast, like the Jaccard funnel). At 100 TB,
-    swap the shingle string for xxhash64(s) so the df table and the
-    inverted index carry 8-byte keys."""
+    shingles(A) ⊆ shingles(B) then in particular A's min(k, |sh(A)|)
+    globally RAREST shingles are ALL in B, so candidates come from an
+    equi-join between each doc's k rarest shingles and the inverted
+    shingle index, grouped per (doc_a, doc_b) and kept only when every
+    probed shingle hit — each extra rarest shingle multiplies the
+    filter's selectivity (r17 opt, guide §2.3/§3.2: at sf0.1 the k=1 form
+    produced 16,531 candidate pairs, k=3 produces 264 against 236 result
+    rows — a 54× cut in pairs reaching the array verify, measured in
+    scripts/ab_containment_r17.json). Index-join volume is Σ_A Σ_{j≤k}
+    df(j-th rarest of A) ≈ k× the k=1 form — still near-linear, narrow
+    rows (the unigram variant of this query degenerates: with a 31-word
+    vocabulary every token is common and subset pairs are everywhere).
+    The container-strictly-larger test (nb > na) also prunes BEFORE the
+    shingle arrays attach, on (bigint, bigint) rows. Verification is
+    exact per surviving candidate: one array_intersect against the two
+    shingle arrays (size-gated broadcast, like the Jaccard funnel). At
+    100 TB, swap the shingle string for xxhash64(s) so the df table and
+    the inverted index carry 8-byte keys."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), "\\s+")
     shingles = F.array_distinct(
@@ -1142,39 +1158,51 @@ def dedup_containment_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = docs.select("doc_id", F.explode("sh").alias("s"))
     df_tbl = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    rarest = (
+    # k rarest shingles per doc, deterministic ((df, s) is a total order).
+    # Which k are picked does not affect correctness — ANY fixed subset of
+    # sh(A) yields a necessary containment condition — rarest maximizes
+    # selectivity. A doc with fewer than k shingles probes all of them.
+    rare_k = (
         ex.join(df_tbl, "s")
-        .groupBy("doc_id")
-        .agg(F.min_by("s", F.struct("df", "s")).alias("rare_s"))
-    )
-    cand = (
-        rarest.select(F.col("doc_id").alias("doc_a"), "rare_s")
-        .join(
-            ex.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("rare_s")),
-            "rare_s",
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
         )
+        .filter(F.col("rn") <= _RARE_K)
+        .select(F.col("doc_id").alias("doc_a"), "s")
+    )
+    sizes = docs.select("doc_id", "n")
+    # candidate = doc_b contains ALL min(k, na) probed shingles of doc_a
+    # (ex rows are distinct per (doc, shingle) — array_distinct upstream —
+    # so the group count equals |rarest_k(A) ∩ sh(B)|), and is strictly
+    # larger — both tests run on narrow rows before any array attaches.
+    cand = (
+        rare_k.join(ex.select(F.col("doc_id").alias("doc_b"), "s"), "s")
         .filter(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("got"))
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            (F.col("got") == F.least(F.lit(_RARE_K), F.col("na")))
+            & (F.col("nb") > F.col("na"))
+        )
+        .select("doc_a", "doc_b", "na")
     )
     a = size_gated_broadcast(
-        docs.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("sh").alias("sha"),
-            F.col("n").alias("na"),
-        )
+        docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     )
-    b = docs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("shb"),
-        F.col("n").alias("nb"),
-    )
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .filter(
-            (F.size(F.array_intersect("sha", "shb")) == F.col("na"))
-            & (F.col("nb") > F.col("na"))
-        )
+        .filter(F.size(F.array_intersect("sha", "shb")) == F.col("na"))
         .groupBy(F.col("doc_a").alias("doc_id"), F.col("na").alias("n_shingles"))
         .agg(
             F.count(F.lit(1)).alias("n_containers"),

@@ -166,7 +166,15 @@ def mq_source_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxMessagesPerBatch", str(max(total, 1)))
     )
     # availableNow processes the one prefetched batch per run; loop restarts
-    # from the checkpoint until the cursor has covered the queue.
+    # from the checkpoint until the cursor has covered the queue. The
+    # covered-the-queue check reads the query's OWN progress counters
+    # (rows the source handed to committed micro-batches) instead of
+    # re-scanning the parquet sink — the old count() re-opened and counted
+    # the whole sink once per iteration, a full extra pass of everything
+    # drained so far (r17 opt, guide §1/§5: don't re-read what the driver
+    # already knows; decomposition in scripts/decompose_mq_drains.py timed
+    # the per-iteration count at ~1 s of the drain's ~5 s).
+    drained_rows = 0
     for _ in range(8):
         q = (
             reader.load()
@@ -177,8 +185,8 @@ def mq_source_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        done = spark.read.parquet(out).count() >= total
-        if done:
+        drained_rows += sum(int(p["numInputRows"]) for p in q.recentProgress)
+        if drained_rows >= total:
             break
     return spark.read.parquet(out)
 
@@ -219,6 +227,7 @@ def mq_source_destructive_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sentinel = "__flush__"
     drained = False
+    drained_rows = 0
     for _ in range(10):
         q = (
             reader.load()
@@ -231,7 +240,13 @@ def mq_source_destructive_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         if drained:  # extra cycle: sentinel batch construction acks the rest
             break
-        if spark.read.parquet(out).count() >= total:
+        # covered-the-queue via the query's own progress counters — same
+        # replacement as mq_source_stream_drain (no per-iteration re-scan
+        # of the sink); the final assert below still checks the BROKER's
+        # acked/depth state, so the destructive-semantics witness is
+        # unchanged.
+        drained_rows += sum(int(p["numInputRows"]) for p in q.recentProgress)
+        if drained_rows >= total:
             drained = True
             broker.put(9_999_999_999_999, 0, sentinel)
     assert broker.acked() == total and broker.depth() == 1, (

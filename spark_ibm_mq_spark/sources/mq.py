@@ -110,6 +110,112 @@ def _rows_from_messages(
     return rows, last_ms, last_seq
 
 
+def seeded_repair_seq(put_ms, raw_seq, last_ms: int, last_seq: int):
+    """`vectorized_repair_seq` generalized to an arbitrary carry-in state
+    (the stream reader's offset carries (last_ms, last_seq) across
+    batches; the batch reader's splits always seed (0, 0)).
+
+    The serial rule consults exactly one previous message, so prepending
+    the carry-in as a VIRTUAL row makes the closed-form pass reproduce the
+    seeded chain bit-identically: row 1's reset test compares against the
+    virtual row's put_ms, and a non-reset run anchored at the virtual row
+    counts up from last_seq — precisely `repair_seq`'s two branches.
+    Property-tested against the serial chain in test_mq_source.py."""
+    import numpy as np
+
+    pm = np.concatenate((np.asarray([last_ms], dtype="int64"), put_ms))
+    rs = np.concatenate((np.asarray([last_seq], dtype="int64"), raw_seq))
+    return vectorized_repair_seq(pm, rs)[1:]
+
+
+def arrow_batch_from_block(
+    block: bytes, queue: str, encoding: str, last_ms: int, last_seq: int
+):
+    """One columnar pass from raw broker bytes to a pyarrow RecordBatch —
+    the shared fast path of BOTH the batch reader and (since r17) the
+    stream reader: pyarrow's C++ JSON reader parses the whole line block
+    (no per-message Python dicts), the seq-collision repair runs as the
+    closed-form numpy pass, and the key column is an arrow binary_join —
+    no per-row Python on the common text-body path (guide §4: the
+    streaming boundary previously materialized 100k Python tuples that
+    Spark then converted FIELD BY FIELD to arrow on the driver; yielding
+    RecordBatches skips both loops).
+
+    Returns (batch, last_ms, last_seq) — the carry-out repair state the
+    stream reader stores in its end offset — or (None, last_ms, last_seq)
+    for an empty block."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.json as pj
+
+    if not block:
+        return None, last_ms, last_seq
+    parsed = pj.read_json(
+        io.BytesIO(block),
+        parse_options=pj.ParseOptions(
+            explicit_schema=pa.schema(
+                [
+                    ("put_ms", pa.int64()),
+                    ("seq_no", pa.int64()),
+                    ("body", pa.string()),
+                    ("body_b64", pa.string()),
+                ]
+            ),
+            unexpected_field_behavior="ignore",
+        ),
+    )
+    put_ms = parsed["put_ms"].combine_chunks().to_numpy()
+    seq = seeded_repair_seq(
+        put_ms, parsed["seq_no"].combine_chunks().to_numpy(), last_ms, last_seq
+    )
+    b64 = parsed["body_b64"]
+    if b64.null_count == len(parsed):
+        values = parsed["body"].combine_chunks()
+    else:
+        # bytes bodies present: CCSID decode row-at-a-time (rare path —
+        # encoding tests; a production binary queue would decode via a
+        # vectorized pc.binary decode for fixed codecs)
+        bodies = parsed["body"].to_pylist()
+        b64l = b64.to_pylist()
+        values = pa.array(
+            [
+                FakeMQBroker.decode_body(
+                    {"body_b64": b} if b is not None else {"body": t},
+                    encoding,
+                )
+                for t, b in zip(bodies, b64l)
+            ],
+            pa.string(),
+        )
+    seq_arr = pa.array(seq, pa.int64())
+    keys = pc.binary_join_element_wise(
+        pc.cast(parsed["put_ms"].combine_chunks(), pa.string()),
+        pc.cast(seq_arr, pa.string()),
+        "_",
+    )
+    batch = pa.RecordBatch.from_arrays(
+        [
+            keys,
+            values,
+            pa.array(put_ms * 1000, pa.timestamp("us")),
+            seq_arr,
+            pa.nulls(len(parsed), pa.string()).fill_null(queue),
+        ],
+        schema=pa.schema(
+            [
+                ("key", pa.string()),
+                ("value", pa.string()),
+                ("put_ts", pa.timestamp("us")),
+                ("seq_no", pa.int64()),
+                ("queue", pa.string()),
+            ]
+        ),
+    )
+    return batch, int(put_ms[-1]), int(seq[-1])
+
+
 # IBM MQ coded character set id → Python codec. The commonly-deployed CCSIDs
 # (public IBM MQ documentation); anything unmapped raises rather than
 # silently mojibake-ing message bodies.
@@ -174,6 +280,23 @@ def _fetch_with_reconnect(opts: _Options, broker: FakeMQBroker, from_pos: int, l
     while True:
         try:
             return broker.messages(from_pos, limit)
+        except ConnectionError:
+            attempts += 1
+            if attempts > opts.max_reconnects:
+                raise
+            time.sleep(opts.reconnect_wait_s)
+
+
+def _block_with_reconnect(
+    opts: _Options, broker: FakeMQBroker, from_pos: int, limit: int
+) -> bytes:
+    """`message_block` under the same reconnect/backoff policy as
+    `_fetch_with_reconnect` — the raw-bytes fetch the arrow stream path
+    uses."""
+    attempts = 0
+    while True:
+        try:
+            return broker.message_block(from_pos, limit)
         except ConnectionError:
             attempts += 1
             if attempts > opts.max_reconnects:
@@ -265,22 +388,12 @@ class MQBatchReader(DataSourceReader):
 
     def read(self, partition: MQSplit):
         """Emits pyarrow RecordBatches (Spark 4 arrow path for Python data
-        sources), built COLUMNARLY: the raw line block parses once through
-        pyarrow's C++ JSON reader (no per-message Python dicts), the
-        seq-collision repair runs as a closed-form numpy pass (see
-        `vectorized_repair_seq`), and the key column is an arrow
-        binary_join — no per-row Python at all on the common (text-body)
-        path. ~10× the old per-record loop on the 50k-message bench; the
+        sources) via the shared `arrow_batch_from_block` columnar pass —
+        ~10× the old per-record loop on the 50k-message bench; the
         CCSID/body_b64 decode path drops to Python only for the rows that
         actually carry bytes. Seq state seeds to zero: the slice starts at
         a put_ms boundary, where the repair chain has no carry-over by
         construction."""
-        import io
-
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.json as pj
-
         opts = self.opts
         broker = opts.broker()
         if partition.count <= 0:
@@ -297,69 +410,9 @@ class MQBatchReader(DataSourceReader):
                 if attempts > opts.max_reconnects:
                     raise
                 time.sleep(opts.reconnect_wait_s)
-        if not block:
-            return
-        parsed = pj.read_json(
-            io.BytesIO(block),
-            parse_options=pj.ParseOptions(
-                explicit_schema=pa.schema(
-                    [
-                        ("put_ms", pa.int64()),
-                        ("seq_no", pa.int64()),
-                        ("body", pa.string()),
-                        ("body_b64", pa.string()),
-                    ]
-                ),
-                unexpected_field_behavior="ignore",
-            ),
-        )
-        put_ms = parsed["put_ms"].combine_chunks().to_numpy()
-        seq = vectorized_repair_seq(
-            put_ms, parsed["seq_no"].combine_chunks().to_numpy()
-        )
-        b64 = parsed["body_b64"]
-        if b64.null_count == len(parsed):
-            values = parsed["body"].combine_chunks()
-        else:
-            # bytes bodies present: CCSID decode row-at-a-time (rare path —
-            # encoding tests; a production binary queue would decode via a
-            # vectorized pc.binary decode for fixed codecs)
-            bodies = parsed["body"].to_pylist()
-            b64l = b64.to_pylist()
-            values = pa.array(
-                [
-                    FakeMQBroker.decode_body(
-                        {"body_b64": b} if b is not None else {"body": t},
-                        opts.encoding,
-                    )
-                    for t, b in zip(bodies, b64l)
-                ],
-                pa.string(),
-            )
-        seq_arr = pa.array(seq, pa.int64())
-        keys = pc.binary_join_element_wise(
-            pc.cast(parsed["put_ms"].combine_chunks(), pa.string()),
-            pc.cast(seq_arr, pa.string()),
-            "_",
-        )
-        yield pa.RecordBatch.from_arrays(
-            [
-                keys,
-                values,
-                pa.array(put_ms * 1000, pa.timestamp("us")),
-                seq_arr,
-                pa.nulls(len(parsed), pa.string()).fill_null(opts.queue),
-            ],
-            schema=pa.schema(
-                [
-                    ("key", pa.string()),
-                    ("value", pa.string()),
-                    ("put_ts", pa.timestamp("us")),
-                    ("seq_no", pa.int64()),
-                    ("queue", pa.string()),
-                ]
-            ),
-        )
+        batch, _, _ = arrow_batch_from_block(block, opts.queue, opts.encoding, 0, 0)
+        if batch is not None:
+            yield batch
 
 
 class MQSimpleStreamReader(SimpleDataSourceStreamReader):
@@ -381,28 +434,51 @@ class MQSimpleStreamReader(SimpleDataSourceStreamReader):
         return broker.get_inhibited()
 
     def read(self, start: dict) -> tuple:
+        """One prefetched micro-batch as a SINGLE pyarrow RecordBatch.
+
+        Spark's simple-reader wrapper accepts RecordBatch elements from
+        this iterator (records_to_arrow_batches yields them straight onto
+        the arrow stream), so the whole batch crosses the Python boundary
+        as one columnar block instead of max_per_batch pickled tuples that
+        the driver would re-convert to arrow FIELD BY FIELD (r17 opt,
+        guide §4 — decomposition in scripts/decompose_mq_drains.py: the
+        tuple path spent ~0.8 s/100k msgs in json.loads + the per-row
+        repair/decode/datetime loop before that conversion even began).
+        Values, keys, and the repair chain are bit-identical to the old
+        row loop (seeded_repair_seq property-test), and the offset JSON
+        is unchanged, so replay determinism and every downstream oracle
+        hold."""
         opts = self.opts
         broker = opts.broker()
         if self._paused(broker):
             return iter([]), dict(start)
-        msgs = _fetch_with_reconnect(opts, broker, start["pos"], opts.max_per_batch)
-        rows, last_ms, last_seq = _rows_from_messages(
-            msgs, opts.queue, opts.encoding, start["last_ms"], start["last_seq"]
+        block = _block_with_reconnect(opts, broker, start["pos"], opts.max_per_batch)
+        batch, last_ms, last_seq = arrow_batch_from_block(
+            block, opts.queue, opts.encoding, start["last_ms"], start["last_seq"]
         )
-        end = {"pos": start["pos"] + len(rows), "last_ms": last_ms, "last_seq": last_seq}
-        return iter(rows), end
+        if batch is None:
+            return iter([]), dict(start)
+        end = {
+            "pos": start["pos"] + batch.num_rows,
+            "last_ms": last_ms,
+            "last_seq": last_seq,
+        }
+        return iter([batch]), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        """Replay path (query restart): same arrow block pass, seeded with
+        the START offset's repair state — byte-identical keys to the
+        original read (the deterministic-replay contract)."""
         opts = self.opts
         broker = opts.broker()
         n = end["pos"] - start["pos"]
         if n <= 0:
             return iter([])
-        msgs = _fetch_with_reconnect(opts, broker, start["pos"], n)
-        rows, _, _ = _rows_from_messages(
-            msgs, opts.queue, opts.encoding, start["last_ms"], start["last_seq"]
+        block = _block_with_reconnect(opts, broker, start["pos"], n)
+        batch, _, _ = arrow_batch_from_block(
+            block, opts.queue, opts.encoding, start["last_ms"], start["last_seq"]
         )
-        return iter(rows)
+        return iter([] if batch is None else [batch])
 
     def commit(self, end: dict) -> None:
         # Commit-after-durable (R7): Spark has persisted `end` to the offset

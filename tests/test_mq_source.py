@@ -320,6 +320,16 @@ def test_reconnect_recovers_mid_retry(broker):
 # ------------------------------------------------------------------- replay
 
 
+def _flatten_stream(it) -> list[tuple]:
+    """Row tuples from the stream reader's iterator — since r17 it yields
+    pyarrow RecordBatches (the documented fast path of Spark's
+    records_to_arrow_batches); flatten for value-level assertions."""
+    rows: list[tuple] = []
+    for el in it:
+        rows.extend(tuple(r.values()) for r in el.to_pylist())
+    return rows
+
+
 def test_read_between_offsets_deterministic(broker):
     """Replayed ranges mint identical keys because collision-repair state
     lives in the offset (SURVEY.md §7 hard-parts)."""
@@ -328,11 +338,44 @@ def test_read_between_offsets_deterministic(broker):
     broker.put_all([(1000, 1, "a"), (1000, 1, "b"), (1000, 1, "c"), (2000, 1, "d")])
     r = MQSimpleStreamReader({"path": broker.path, "queue": broker.queue})
     start = r.initialOffset()
-    rows1, end = r.read(start)
-    rows1 = list(rows1)
-    rows2 = list(r.readBetweenOffsets(start, end))
+    it1, end = r.read(start)
+    rows1 = _flatten_stream(it1)
+    rows2 = _flatten_stream(r.readBetweenOffsets(start, end))
     assert rows1 == rows2
     assert [x[0] for x in rows1] == ["1000_1", "1000_2", "1000_3", "2000_1"]
+    assert end == {"pos": 4, "last_ms": 2000, "last_seq": 1}
+
+
+@given(
+    stream=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 3)), min_size=0, max_size=40
+    ),
+    seed_ms=st.integers(0, 5),
+    seed_seq=st.integers(0, 6),
+)
+@settings(max_examples=200, deadline=None)
+def test_seeded_repair_matches_serial_chain(stream, seed_ms, seed_seq):
+    """The stream reader's arrow path repairs from an ARBITRARY carry-in
+    (last_ms, last_seq) — the offset state — and must chain bit-identically
+    to the serial rule from that seed (r17: the virtual-row closed form)."""
+    import numpy as np
+
+    from spark_ibm_mq_spark.sources.mq import seeded_repair_seq
+
+    ts_sorted = sorted(ms for ms, _ in stream)
+    seqs = [s for _, s in stream]
+    last_ms, last_seq, serial = seed_ms, seed_seq, []
+    for put_ms, raw_seq in zip(ts_sorted, seqs):
+        seq = repair_seq(put_ms, raw_seq, last_ms, last_seq)
+        serial.append(seq)
+        last_ms, last_seq = put_ms, seq
+    vec = seeded_repair_seq(
+        np.array(ts_sorted, dtype="int64"),
+        np.array(seqs, dtype="int64"),
+        seed_ms,
+        seed_seq,
+    )
+    assert list(vec) == serial
 
 
 # ---------------------------------------------------------------- DLQ routing
