@@ -106,7 +106,19 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frames all start from this one materialization, so the degree
     # aggregate and join run exactly once instead of once per consumer
     contrib_src = durable_checkpoint(edges.join(deg, "src"), eager=False)
-    nodes = contrib_src.select(F.col("src").alias("node")).distinct()
+    # r17 opt (guide §3.3/§5, the sim_mmr_rerank treatment): the vertex
+    # set and the per-round rank frame are both consumed TWICE per round
+    # (every round's plan re-embedded the nodes-distinct aggregate and the
+    # whole previous-round tree — 119 plan nodes, with the contrib_src
+    # distinct re-aggregated ~7×). Cutting lineage at the two narrow
+    # frames (|V| bigints; |V| (bigint, double) rows) makes each round
+    # start from a materialized RDD: plan linear in rounds, one distinct
+    # aggregate total. Values unchanged — a checkpoint replays the same
+    # computed rows. In-session 5-round interleave + cold interleaved A/B
+    # in scripts/ab_pagerank_r17.json.
+    nodes = durable_checkpoint(
+        contrib_src.select(F.col("src").alias("node")).distinct(), eager=False
+    )
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
@@ -120,7 +132,7 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
         )
-        ranks = (
+        ranks = durable_checkpoint(
             nodes.crossJoin(F.broadcast(n))
             .join(c.withColumnRenamed("dst", "node"), "node", "left")
             .select(
@@ -129,7 +141,8 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0.15) / F.col("n_nodes")
                     + F.lit(_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("pr"),
-            )
+            ),
+            eager=False,
         )
     node_deg = contrib_src.select(
         F.col("src").alias("node"), "deg"
